@@ -1,0 +1,215 @@
+"""Text signature functions: tokens, shingles, MinHash, SimHash, quality.
+
+These are the web-text analogue of the reference's per-read key
+extraction: cluster-key computation (/root/reference/src/gencore.cpp:295-313)
+becomes shingle/MinHash band keys; UMI parsing
+(/root/reference/src/bamutil.cpp:23-112) becomes tokenisation; the
+qual->score map (/root/reference/src/pair.cpp:70-86) becomes the page
+quality score.
+
+All functions are pure and deterministic given (text, seed).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from gencore_ray.functions.hashing import (
+    U64,
+    _MASK,
+    hash_str_array_u64,
+    minhash_perms,
+    pow_array,
+    splitmix64,
+)
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+# polynomial base for order-sensitive shingle hashing (FNV prime)
+_POLY = np.uint64(0x100000001B3)
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercased word tokens. The single tokenisation used everywhere."""
+    return _TOKEN_RE.findall(text.lower())
+
+
+def token_hashes_for_batch(texts, seed: int = 42) -> list[np.ndarray]:
+    """Per-text arrays of token hashes, hashing each *unique* token once.
+
+    Token vocabularies repeat heavily across a batch of web pages, so
+    we hash the unique tokens once (Python loop) and gather per text
+    (numpy fancy-indexing) — the batch-level hot path stays vectorised.
+    """
+    vocab: dict[str, int] = {}
+    idx_lists: list[np.ndarray] = []
+    for t in texts:
+        toks = tokenize(t)
+        idx = np.empty(len(toks), dtype=np.int64)
+        for j, w in enumerate(toks):
+            k = vocab.get(w)
+            if k is None:
+                k = len(vocab)
+                vocab[w] = k
+            idx[j] = k
+        idx_lists.append(idx)
+    uniq_hashes = hash_str_array_u64(list(vocab.keys()), seed=seed)
+    return [uniq_hashes[ix] if len(ix) else np.empty(0, dtype=U64) for ix in idx_lists]
+
+
+def shingle_hashes(tok_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Sorted unique hashes of k-gram shingles from a token-hash array.
+
+    Order-sensitive polynomial over each window, then a splitmix64
+    finalise. Texts with 0 < n < k tokens yield one shingle over all
+    tokens (so short-but-nonempty pages still dedup); empty -> empty.
+    """
+    n = len(tok_hashes)
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    kk = min(k, n)
+    windows = np.lib.stride_tricks.sliding_window_view(tok_hashes, kk)
+    powers = pow_array(_POLY, kk)
+    with np.errstate(over="ignore"):
+        raw = (windows * powers).sum(axis=1, dtype=U64)
+    return np.unique(splitmix64(raw))
+
+
+class MinHasher:
+    """128-perm MinHash over shingle-hash sets. Build once per actor."""
+
+    def __init__(self, num_perm: int = 128, seed: int = 42):
+        self.num_perm = num_perm
+        a, b = minhash_perms(num_perm, seed)
+        self._a = a[:, None]  # (P,1) for broadcasting against (1,S)
+        self._b = b[:, None]
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        """(num_perm,) uint64 signature; all-max for empty sets."""
+        if len(shingles) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=U64)
+        with np.errstate(over="ignore"):
+            permuted = (self._a * shingles[None, :] + self._b) & _MASK
+        return permuted.min(axis=1)
+
+
+def band_keys(signature: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(bands,) uint64 bucket keys; band index mixed in so bands don't collide."""
+    mat = signature.reshape(bands, rows)
+    acc = np.zeros(bands, dtype=U64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            acc = (acc * _POLY + mat[:, r]) & _MASK
+        acc = (acc * _POLY + np.arange(bands, dtype=U64)) & _MASK
+    return splitmix64(acc)
+
+
+def simhash64(tok_hashes: np.ndarray) -> int:
+    """64-bit SimHash from token hashes weighted by term frequency."""
+    if len(tok_hashes) == 0:
+        return 0
+    uniq, counts = np.unique(tok_hashes, return_counts=True)
+    bits = np.unpackbits(uniq.astype(">u8").view(np.uint8)).reshape(-1, 64)
+    votes = ((bits.astype(np.int64) * 2 - 1) * counts[:, None]).sum(axis=0)
+    fp_bits = (votes > 0).astype(np.uint8)
+    return int.from_bytes(np.packbits(fp_bits).tobytes(), "big")
+
+
+def bottom_m_sketch(
+    shingles: np.ndarray, perms_a: np.ndarray, perms_b: np.ndarray, m: int
+) -> np.ndarray:
+    """Bottom-m sketch keys for the containment pass.
+
+    For each of P independent permutations, emit the m smallest
+    permuted shingle values.  If A ⊆ B with |A| >= |B|/3, A's minimum
+    under a permutation lands in B's bottom-m with probability
+    1-(1-|A|/|B|)^m, so contained pairs collide on at least one key
+    w.h.p. across the P permutations.  Substring-dup analogue of
+    gencore's cigar-containment test (/root/reference/src/bamutil.cpp:204-255).
+    """
+    if len(shingles) == 0:
+        return np.empty(0, dtype=U64)
+    P = len(perms_a)
+    with np.errstate(over="ignore"):
+        permuted = (perms_a[:, None] * shingles[None, :] + perms_b[:, None]) & _MASK
+        mm = min(m, permuted.shape[1])
+        part = np.partition(permuted, mm - 1, axis=1)[:, :mm]
+        # mix in the permutation index so keys from different perms never collide
+        keys = (part * _POLY + np.arange(P, dtype=U64)[:, None]) & _MASK
+    return splitmix64(keys.ravel())
+
+
+# ---------------------------------------------------------------------------
+# quality / language / token-count scalar features (SURVEY §2.2 M8 analogue)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": frozenset(
+        "the of and to in a is that it was for on are as with his they at be this "
+        "have from or had by not but what all were when we there can an your which".split()
+    ),
+    "de": frozenset(
+        "der die das und ist von zu den nicht mit sich des auf für im dem ein eine "
+        "als auch es an werden aus er hat dass sie nach bei um noch wie über".split()
+    ),
+    "fr": frozenset(
+        "le de la et les des en un du une est que dans qui par pour sur au plus "
+        "pas ce ne se sont avec son ses mais comme ou si leur elle".split()
+    ),
+}
+
+
+def quality_score(text: str) -> float:
+    """Deterministic [0,1] quality score: length, alnum ratio, word length.
+
+    Mirrors gencore's coarse qual->score thresholds
+    (/root/reference/src/pair.cpp:70-86): cheap, monotone heuristics.
+    """
+    n = len(text)
+    if n == 0:
+        return 0.0
+    alnum = sum(c.isalnum() for c in text)
+    toks = tokenize(text)
+    if not toks:
+        return 0.0
+    mean_wl = sum(len(t) for t in toks) / len(toks)
+    len_term = min(n / 2000.0, 1.0)
+    alnum_term = alnum / n
+    wl_term = min(mean_wl / 8.0, 1.0)
+    return round(0.4 * len_term + 0.4 * alnum_term + 0.2 * wl_term, 6)
+
+
+def detect_lang(tokens: list[str]) -> str:
+    """Tiny stopword-voting language ID over {en, de, fr}; '' if no signal."""
+    if not tokens:
+        return ""
+    best_lang, best_hits = "", 0
+    tok_set = set(tokens)
+    for lang, stops in _STOPWORDS.items():
+        hits = len(tok_set & stops)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang
+
+
+def doc_fingerprint(tok_hashes: np.ndarray) -> int:
+    """Order-sensitive rolling-hash fingerprint of the full token stream."""
+    if len(tok_hashes) == 0:
+        return 0
+    acc = np.uint64(0xCBF29CE484222325)
+    # vectorised horner: fold in chunks to avoid a python loop per token
+    powers_cache: dict[int, np.ndarray] = {}
+    chunk = 4096
+    with np.errstate(over="ignore"):
+        for start in range(0, len(tok_hashes), chunk):
+            seg = tok_hashes[start : start + chunk]
+            L = len(seg)
+            powers = powers_cache.get(L)
+            if powers is None:
+                powers = pow_array(_POLY, L)
+                powers_cache[L] = powers
+            p_l = (powers[0] * _POLY) & _MASK  # _POLY ** L
+            acc = (acc * p_l + (seg * powers).sum(dtype=U64)) & _MASK
+    return int(splitmix64(acc))

@@ -1,0 +1,143 @@
+"""Signature stage: pages -> per-doc dedup signatures.
+
+The analogue of gencore's per-read key extraction — cluster-key
+computation (/root/reference/src/gencore.cpp:295-313) plus UMI parsing
+(/root/reference/src/bamutil.cpp:23-112) — collapsed into ONE
+map_batches pass so the text is tokenised exactly once per page.
+
+Emits, per input row::
+
+    url:           passthrough key
+    warc_ts:       passthrough (rep-election recency)
+    text_len:      int64
+    quality:       float64   (scored like gencore's qual->score map)
+    shingle_count: int64
+    text_hash:     uint64    (exact-dup key)
+    simhash:       uint64
+    minhash:       fixed_size_list<uint64, num_perm>
+    tshash:        list<uint64>  sorted unique shingle hashes (verify stage input)
+    band_key:      fixed_size_list<uint64, bands>   LSH bucket keys
+    ckeys:         list<uint64>  bottom-m containment-sketch keys
+
+This is a STATEFUL stage (MinHash permutation matrix, containment
+perms, compiled regex built once per actor — ST1 analogue,
+/root/reference/src/reference.cpp:4-11); run it as an actor pool via
+``map_batches(SignatureStage, fn_constructor_kwargs=..., concurrency=N)``
+or as stateless tasks (the state is cheap to rebuild, so plain-function
+mode also works for elasticity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gencore_ray.config import DedupConfig
+from gencore_ray.functions.hashing import U64, hash_bytes_u64, minhash_perms
+from gencore_ray.functions.text import (
+    MinHasher,
+    band_keys,
+    bottom_m_sketch,
+    quality_score,
+    shingle_hashes,
+    simhash64,
+    token_hashes_for_batch,
+)
+
+
+class SignatureStage:
+    def __init__(self, cfg: DedupConfig | None = None, keep_cols: tuple[str, ...] = ("warc_ts",)):
+        self.cfg = cfg or DedupConfig()
+        self.keep_cols = keep_cols
+        self.minhasher = MinHasher(self.cfg.num_perm, self.cfg.seed)
+        # independent permutation family for the containment sketch
+        self.cperm_a, self.cperm_b = minhash_perms(
+            self.cfg.containment_perms, self.cfg.seed + 1
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        toks = token_hashes_for_batch(texts, seed=cfg.seed)
+
+        text_len = np.fromiter((len(t or "") for t in texts), dtype=np.int64, count=n)
+        quality = np.fromiter((quality_score(t or "") for t in texts), dtype=np.float64, count=n)
+        text_hash = np.fromiter(
+            (hash_bytes_u64((t or "").encode("utf-8", "surrogatepass"), seed=cfg.seed) for t in texts),
+            dtype=U64, count=n,
+        )
+
+        shingle_count = np.empty(n, dtype=np.int64)
+        simhashes = np.empty(n, dtype=U64)
+        minhash_mat = np.empty((n, cfg.num_perm), dtype=U64)
+        bkey_mat = np.empty((n, cfg.bands), dtype=U64)
+        tshash_list: list[np.ndarray] = []
+        ckeys_list: list[np.ndarray] = []
+
+        for i in range(n):
+            sh = shingle_hashes(toks[i], cfg.shingle_k)
+            shingle_count[i] = len(sh)
+            tshash_list.append(sh)
+            simhashes[i] = simhash64(toks[i])
+            sig = self.minhasher.signature(sh)
+            minhash_mat[i] = sig
+            if len(sh) >= cfg.min_shingles:
+                bkey_mat[i] = band_keys(sig, cfg.bands, cfg.rows_per_band)
+                ckeys_list.append(
+                    bottom_m_sketch(sh, self.cperm_a, self.cperm_b, cfg.containment_bottom_m)
+                )
+            else:
+                # bypass rows (gencore unmapped bypass, src/gencore.cpp:254-266):
+                # no bucket keys -> never shuffled into LSH
+                bkey_mat[i] = 0
+                ckeys_list.append(np.empty(0, dtype=U64))
+
+        cols: dict[str, pa.Array] = {"url": batch["url"]}
+        for c in self.keep_cols:
+            if c in batch.column_names:
+                cols[c] = batch[c]
+        cols["text_len"] = pa.array(text_len)
+        cols["quality"] = pa.array(quality)
+        cols["shingle_count"] = pa.array(shingle_count)
+        cols["text_hash"] = pa.array(text_hash)
+        cols["simhash"] = pa.array(simhashes)
+        cols["minhash"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(minhash_mat.ravel()), cfg.num_perm
+        )
+        cols["band_key"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(bkey_mat.ravel()), cfg.bands
+        )
+        # tshash is BINARY (raw little-endian uint64 bytes), not list<uint64>:
+        # it rides the pair⋈signature hash joins, and Arrow's join kernel
+        # supports binary payloads but not list payloads.
+        cols["tshash"] = pa.array([a.tobytes() for a in tshash_list], pa.binary())
+        coffs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(a) for a in ckeys_list], out=coffs[1:])
+        cols["ckeys"] = pa.ListArray.from_arrays(
+            pa.array(coffs, pa.int32()),
+            pa.array(np.concatenate(ckeys_list) if n else np.empty(0, dtype=U64)),
+        )
+        return pa.table(cols)
+
+
+def list_column_arrays(col: pa.ChunkedArray | pa.Array) -> list[np.ndarray]:
+    """View a list<uint64> / fixed_size_list<uint64> column as per-row numpy arrays.
+
+    Slices into the flat values buffer — no per-row Python object
+    conversion (the Arrow-native way to iterate a list column).
+    """
+    out: list[np.ndarray] = []
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for arr in chunks:
+        if isinstance(arr, pa.FixedSizeListArray):
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            width = arr.type.list_size
+            for i in range(len(arr)):
+                out.append(flat[i * width : (i + 1) * width])
+        else:
+            offsets = np.asarray(arr.offsets)
+            values = arr.values.to_numpy(zero_copy_only=False)
+            for i in range(len(arr)):
+                out.append(values[offsets[i] : offsets[i + 1]])
+    return out

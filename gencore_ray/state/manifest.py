@@ -1,0 +1,131 @@
+"""Checkpoint manifest: per-stage lineage records + resume (SURVEY §2.3 ST4).
+
+gencore tracks pre/post Stats accumulators and emits a JSON report
+(/root/reference/src/stats.cpp:153-193, src/jsonreporter.cpp:11-42);
+its incremental cluster flush (src/gencore.cpp:319-389) bounds state so
+a crash loses little.  Our batch equivalent of both: every stage
+materialises its output as a partitioned Parquet directory written
+atomically (tmp dir + rename), and appends one manifest record
+
+    {stage, fingerprint, rows_out, partitions: [{path, rows}],
+     counters, wall_sec, completed_at_ord}
+
+to ``manifest.jsonl``.  Resume = if a stage's (name, fingerprint)
+pair — fingerprint covers the DedupConfig and the input stage
+fingerprints — already has a completed record whose files still
+exist, read the parquet back instead of recomputing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import ray.data as rd
+
+
+@dataclass
+class StageRecord:
+    stage: str
+    fingerprint: str
+    rows_out: int
+    partitions: list[dict]
+    counters: dict[str, int] = field(default_factory=dict)
+    wall_sec: float = 0.0
+
+
+class CheckpointManager:
+    """Stage-level checkpoint/resume over a run directory."""
+
+    def __init__(self, run_dir: str | None, enabled: bool = True):
+        self.run_dir = run_dir or ""
+        self.enabled = enabled and run_dir is not None
+        self.manifest_path = os.path.join(self.run_dir, "manifest.jsonl")
+        self._records: dict[tuple[str, str], dict] = {}
+        if self.enabled:
+            os.makedirs(run_dir, exist_ok=True)
+            if os.path.exists(self.manifest_path):
+                with open(self.manifest_path) as f:
+                    for line in f:
+                        rec = json.loads(line)
+                        self._records[(rec["stage"], rec["fingerprint"])] = rec
+
+    # -- resume ------------------------------------------------------
+    def completed(self, stage: str, fingerprint: str) -> dict | None:
+        rec = self._records.get((stage, fingerprint))
+        if rec and all(os.path.exists(p["path"]) for p in rec["partitions"]):
+            return rec
+        return None
+
+    def load(self, rec: dict) -> rd.Dataset:
+        return rd.read_parquet([p["path"] for p in rec["partitions"]])
+
+    # -- checkpoint --------------------------------------------------
+    def save(
+        self,
+        stage: str,
+        fingerprint: str,
+        ds: rd.Dataset,
+        counters: dict[str, int] | None = None,
+        t0: float | None = None,
+    ) -> rd.Dataset:
+        """Write ds to <run_dir>/<stage>/ atomically, record lineage,
+        and return a Dataset reading from the checkpoint (so downstream
+        consumes the materialised copy, not a recompute)."""
+        out_dir = os.path.join(self.run_dir, stage)
+        tmp_dir = out_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ds.write_parquet(tmp_dir)
+        os.replace(tmp_dir, out_dir)
+
+        import pyarrow.parquet as pq
+
+        partitions = []
+        rows = 0
+        for fn in sorted(os.listdir(out_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(out_dir, fn)
+            n = pq.ParquetFile(path).metadata.num_rows
+            partitions.append({"path": path, "rows": n})
+            rows += n
+        rec = StageRecord(
+            stage=stage,
+            fingerprint=fingerprint,
+            rows_out=rows,
+            partitions=partitions,
+            counters=counters or {},
+            wall_sec=round(time.monotonic() - t0, 3) if t0 else 0.0,
+        ).__dict__
+        with open(self.manifest_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        self._records[(stage, fingerprint)] = rec
+        return rd.read_parquet([p["path"] for p in partitions])
+
+    # -- convenience -------------------------------------------------
+    def stage(
+        self,
+        name: str,
+        fingerprint: str,
+        build: Any,
+        counters: dict[str, int] | None = None,
+    ) -> rd.Dataset:
+        """Run-or-resume one stage. ``build`` is a zero-arg callable
+        returning the stage's Dataset."""
+        if self.enabled:
+            rec = self.completed(name, fingerprint)
+            if rec is not None:
+                return self.load(rec)
+        t0 = time.monotonic()
+        ds = build()
+        if not self.enabled:
+            return ds
+        return self.save(name, fingerprint, ds, counters=counters, t0=t0)
+
+    def counters(self) -> dict[str, dict[str, int]]:
+        return {rec["stage"]: rec.get("counters", {}) for rec in self._records.values()}
