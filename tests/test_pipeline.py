@@ -1,0 +1,155 @@
+"""End-to-end pipeline correctness vs the brute-force oracle
+(FIXTURES.md §2) plus stage-level behavior: exact dedup, rep-election
+tie-breaks, distributed CC equality, checkpoint resume."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from gencore_ray.config import DedupConfig
+from gencore_ray.corpus import generate_pages, write_pages_corpus
+from gencore_ray.oracle import oracle_edges, oracle_jaccard_pairs, union_find_clusters
+from gencore_ray.pipelines.dedup import compute_signatures, dedup_pages
+from gencore_ray.stages.elect import elect_representatives
+from gencore_ray.stages.exact import exact_dedup
+
+N_PAGES = 300
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    pages_tbl, truth = generate_pages(N_PAGES, 42, with_truth=True)
+    return pages_tbl, truth
+
+
+@pytest.fixture(scope="module")
+def engine_clusters(corpus):
+    pages_tbl, _ = corpus
+    pages = rd.from_arrow(pages_tbl.select(["url", "warc_ts", "text", "lang"]))
+    res = dedup_pages(pages, CFG, cc_mode="driver")
+    return res.clusters.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus):
+    pages_tbl, _ = corpus
+    ids = pages_tbl["url"].to_pylist()
+    texts = pages_tbl["text"].to_pylist()
+    edges = oracle_edges(ids, texts, CFG)
+    return ids, texts, edges, union_find_clusters(ids, edges)
+
+
+def test_cluster_parity_with_oracle(engine_clusters, oracle_result):
+    ids, _, _, oclust = oracle_result
+    eng = dict(zip(engine_clusters["url"], engine_clusters["cluster_id"]))
+    mismatches = [u for u in ids if eng.get(u) != oclust[u]]
+    assert mismatches == []
+
+
+def test_dup_pair_recall(engine_clusters, oracle_result):
+    ids, texts, _, _ = oracle_result
+    jp = oracle_jaccard_pairs(ids, texts, CFG)
+    eng = dict(zip(engine_clusters["url"], engine_clusters["cluster_id"]))
+    hits = sum(1 for a, b, _ in jp if eng[a] == eng[b])
+    assert len(jp) > 50  # corpus actually plants duplicates
+    assert hits / len(jp) >= 0.99
+
+
+def test_every_cluster_has_exactly_one_rep(engine_clusters):
+    reps = engine_clusters.groupby("cluster_id")["is_representative"].sum()
+    assert (reps == 1).all()
+
+
+def test_cluster_sizes_consistent(engine_clusters):
+    sizes = engine_clusters.groupby("cluster_id").size()
+    for cid, grp in engine_clusters.groupby("cluster_id"):
+        assert (grp["cluster_size"] == sizes[cid]).all()
+
+
+def test_empty_and_short_pages_are_singletons(engine_clusters, corpus):
+    _, truth = corpus
+    tdf = truth.to_pandas()
+    eng = engine_clusters.set_index("url")
+    for u in tdf.loc[tdf["kind"] == "empty", "url"]:
+        assert eng.loc[u, "cluster_size"] == 1
+
+
+def test_distributed_cc_matches_driver(corpus):
+    pages_tbl, _ = corpus
+    pages = rd.from_arrow(pages_tbl.select(["url", "warc_ts", "text", "lang"]))
+    d = dedup_pages(pages, CFG, cc_mode="driver").clusters.to_pandas()
+    x = dedup_pages(pages, CFG, cc_mode="distributed").clusters.to_pandas()
+    md = dict(zip(d["url"], d["cluster_id"]))
+    mx = dict(zip(x["url"], x["cluster_id"]))
+    assert md == mx
+
+
+def test_checkpoint_resume_identical(corpus, tmp_path):
+    pages_tbl, _ = corpus
+    small = pages_tbl.slice(0, 120)
+    pages = rd.from_arrow(small.select(["url", "warc_ts", "text", "lang"]))
+    ck = str(tmp_path / "ckpt")
+    d1 = dedup_pages(pages, CFG, checkpoint_dir=ck).clusters.to_pandas()
+    # resume: stages reload from manifest; result identical
+    d2 = dedup_pages(pages, CFG, checkpoint_dir=ck).clusters.to_pandas()
+    s1 = d1.sort_values("url").reset_index(drop=True)
+    s2 = d2.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s1, s2)
+    manifest = os.path.join(ck, "manifest.jsonl")
+    assert os.path.exists(manifest)
+    assert sum(1 for _ in open(manifest)) >= 4  # one record per stage
+
+
+def test_resume_after_partial_failure(corpus, tmp_path):
+    """Kill after stage 'candidate_pairs' (delete later checkpoints);
+    resume equals the single-shot run (FIXTURES.md §3 manifest/resume)."""
+    pages_tbl, _ = corpus
+    small = pages_tbl.slice(0, 120)
+    pages = rd.from_arrow(small.select(["url", "warc_ts", "text", "lang"]))
+    ck = str(tmp_path / "ckpt2")
+    full = dedup_pages(pages, CFG, checkpoint_dir=ck).clusters.to_pandas()
+    # simulate mid-pipeline crash: drop the last two stage outputs
+    for stage in ["verified_edges", "clusters"]:
+        shutil.rmtree(os.path.join(ck, stage), ignore_errors=True)
+    resumed = dedup_pages(pages, CFG, checkpoint_dir=ck).clusters.to_pandas()
+    pd.testing.assert_frame_equal(
+        full.sort_values("url").reset_index(drop=True),
+        resumed.sort_values("url").reset_index(drop=True),
+    )
+
+
+def test_exact_dedup_operator(ray_session):
+    sig = compute_signatures(
+        rd.from_items(
+            [
+                {"url": "b", "warc_ts": None, "text": "same text here ok", "lang": "en"},
+                {"url": "a", "warc_ts": None, "text": "same text here ok", "lang": "en"},
+                {"url": "c", "warc_ts": None, "text": "different words entirely", "lang": "en"},
+            ]
+        ),
+        CFG,
+    )
+    out = exact_dedup(sig, num_parts=4).to_pandas().sort_values("url")
+    assert out["url"].tolist() == ["a", "c"]
+    assert out.set_index("url")["dup_count"].to_dict() == {"a": 2, "c": 1}
+
+
+def test_rep_election_tiebreaks(ray_session):
+    # equal score -> min url wins; length decides otherwise
+    members = rd.from_items(
+        [
+            {"url": "z", "cluster_id": "c1", "text_len": 100, "quality": 0.5},
+            {"url": "a", "cluster_id": "c1", "text_len": 100, "quality": 0.5},
+            {"url": "m", "cluster_id": "c2", "text_len": 5000, "quality": 0.5},
+            {"url": "a2", "cluster_id": "c2", "text_len": 10, "quality": 0.5},
+        ]
+    )
+    out = elect_representatives(members, CFG, num_parts=4).to_pandas()
+    reps = out[out["is_representative"]].set_index("cluster_id")["url"].to_dict()
+    assert reps == {"c1": "a", "c2": "m"}

@@ -1,0 +1,127 @@
+"""Signature-function unit vectors (FIXTURES.md §3: shingles, minhash,
+band keys, simhash, quality, lang, fingerprint)."""
+
+import numpy as np
+import pytest
+
+from gencore_ray.functions.hashing import minhash_perms, popcount64
+from gencore_ray.functions.text import (
+    MinHasher,
+    band_keys,
+    bottom_m_sketch,
+    detect_lang,
+    doc_fingerprint,
+    quality_score,
+    shingle_hashes,
+    simhash64,
+    token_hashes_for_batch,
+    tokenize,
+)
+
+
+def _toks(*texts):
+    return token_hashes_for_batch(list(texts), seed=42)
+
+
+def test_tokenize():
+    assert tokenize("Hello, World! it's 42") == ["hello", "world", "it", "s", "42"]
+    assert tokenize("") == []
+    assert tokenize("   \n\t ") == []
+
+
+def test_shingles_shorter_than_k_yield_one():
+    (th,) = _toks("one two three")
+    assert len(shingle_hashes(th, 5)) == 1
+
+
+def test_shingles_exactly_k():
+    (th,) = _toks("a b c d e")
+    assert len(shingle_hashes(th, 5)) == 1
+
+
+def test_shingles_count_and_dedup():
+    (th,) = _toks("a b c d e f g")          # 3 windows of 5
+    assert len(shingle_hashes(th, 5)) == 3
+    (rep,) = _toks("x y " * 50)              # heavy repetition -> few uniques
+    assert len(shingle_hashes(rep, 5)) < 10
+
+
+def test_shingles_empty():
+    (th,) = _toks("")
+    assert len(shingle_hashes(th, 5)) == 0
+
+
+def test_shingles_order_sensitive():
+    a, b = _toks("a b c d e f", "f e d c b a")
+    assert set(shingle_hashes(a, 5).tolist()) != set(shingle_hashes(b, 5).tolist())
+
+
+def test_minhash_identical_sets_identical_sigs():
+    a, b = _toks("the quick brown fox jumps over it", "the quick brown fox jumps over it")
+    mh = MinHasher(128, 42)
+    sa = mh.signature(shingle_hashes(a, 5))
+    sb = mh.signature(shingle_hashes(b, 5))
+    assert (sa == sb).all()
+
+
+def test_minhash_agreement_tracks_jaccard():
+    base = ("w%d " % i for i in range(60))
+    t1 = " ".join("w%d" % i for i in range(60))
+    t2 = " ".join(("w%d" % i if i % 10 else "z%d" % i) for i in range(60))
+    a, b = _toks(t1, t2)
+    sh_a, sh_b = shingle_hashes(a, 5), shingle_hashes(b, 5)
+    A, B = set(sh_a.tolist()), set(sh_b.tolist())
+    true_j = len(A & B) / len(A | B)
+    mh = MinHasher(128, 42)
+    est = float((mh.signature(sh_a) == mh.signature(sh_b)).mean())
+    assert abs(est - true_j) < 0.15
+
+
+def test_band_keys_stable_and_distinct_across_bands():
+    (a,) = _toks("some reasonably long text with many words in it for banding")
+    sig = MinHasher(128, 42).signature(shingle_hashes(a, 5))
+    k1 = band_keys(sig, 32, 4)
+    k2 = band_keys(sig, 32, 4)
+    assert (k1 == k2).all()
+    assert len(np.unique(k1)) == 32
+
+
+def test_simhash_near_texts_small_hamming():
+    t1 = " ".join("w%d" % i for i in range(40))
+    t2 = t1.replace("w5", "zz")
+    a, b = _toks(t1, t2)
+    d = int(popcount64(np.uint64(simhash64(a)) ^ np.uint64(simhash64(b)))[0])
+    assert 0 < d <= 12
+    c, = _toks(" ".join("q%d" % i for i in range(40)))
+    d2 = int(popcount64(np.uint64(simhash64(a)) ^ np.uint64(simhash64(c)))[0])
+    assert d2 > d
+
+
+def test_bottom_m_sketch_containment_collision():
+    long_t = " ".join("w%d" % i for i in range(120))
+    short_t = " ".join("w%d" % i for i in range(40))  # prefix subset
+    a, b = _toks(long_t, short_t)
+    pa_, pb_ = minhash_perms(4, 43)
+    ka = set(bottom_m_sketch(shingle_hashes(a, 5), pa_, pb_, 8).tolist())
+    kb = set(bottom_m_sketch(shingle_hashes(b, 5), pa_, pb_, 8).tolist())
+    assert ka & kb  # contained doc shares at least one sketch key
+
+
+def test_quality_score_monotone_signals():
+    assert quality_score("") == 0.0
+    lo = quality_score("!!! ??? ...")
+    hi = quality_score("a perfectly normal sentence with reasonable words " * 20)
+    assert hi > lo
+
+
+def test_detect_lang():
+    assert detect_lang(tokenize("the cat is on the mat and it was there")) == "en"
+    assert detect_lang(tokenize("der hund ist nicht mit der katze und auch")) == "de"
+    assert detect_lang(tokenize("le chat est dans la maison avec les autres")) == "fr"
+    assert detect_lang([]) == ""
+
+
+def test_doc_fingerprint_order_sensitive():
+    a, b, c = _toks("a b c d e", "a b c d e", "e d c b a")
+    assert doc_fingerprint(a) == doc_fingerprint(b)
+    assert doc_fingerprint(a) != doc_fingerprint(c)
