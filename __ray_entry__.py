@@ -3,42 +3,455 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/ray.shutdown() here or in gencore_ray library code.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TESTDATA_SMOKE = "/root/testdata/sf0.001"
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_as_pages(sf_dir: str):
+    """documents(doc_id,text,...) -> pages-like input (url,text)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls = pa.array([f"doc-{int(i):08d}" for i in t["doc_id"].to_pylist()], pa.string())
+        return pa.table({"url": urls, "text": t["text"]})
+
+    return ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _round_cols(ds, cols: dict[str, int]):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        for c, nd in cols.items():
+            df[c] = np.round(df[c].astype(np.float64), nd)
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship near-dup pipeline over sf0.001 documents."""
+    from gencore_ray.config import DedupConfig
+    from gencore_ray.pipelines.dedup import dedup_pages
+
+    pages = _docs_as_pages(TESTDATA_SMOKE)
+    res = dedup_pages(pages, DedupConfig(), cc_mode="driver")
+    return res.clusters.select_columns(
+        ["url", "cluster_id", "cluster_size", "is_representative", "rep_score"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_exact_dedup_docs(sf_dir: str):
+    from gencore_ray.config import DedupConfig
+    from gencore_ray.pipelines.dedup import compute_signatures
+    from gencore_ray.stages.exact import exact_dedup
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        from gencore_ray.functions.hashing import U64, hash_bytes_u64
+
+        hashes = np.fromiter(
+            (hash_bytes_u64((x or "").encode()) for x in t["text"].to_pylist()),
+            dtype=U64, count=t.num_rows,
+        )
+        return pa.table({"doc_id": t["doc_id"], "text_hash": pa.array(hashes)})
+
+    hashed = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = exact_dedup(hashed, id_col="doc_id", hash_col="text_hash", num_parts=16)
+    return out.select_columns(["doc_id", "dup_count"])
+
+
+def _q_doc_stats_by_lang(sf_dir: str):
+    from gencore_ray.ops.relational import grouped_aggregate
+
+    docs = _docs(sf_dir).select_columns(["lang", "n_chars"])
+    out = grouped_aggregate(
+        docs,
+        ["lang"],
+        [("n_docs", None, "count"), ("total_chars", "n_chars", "sum"),
+         ("avg_chars", "n_chars", "mean")],
+        num_parts=8,
+    )
+    return _round_cols(out, {"avg_chars": 6})
+
+
+def _q_token_counts_by_source(sf_dir: str):
+    from gencore_ray.ops.relational import grouped_aggregate
+    from gencore_ray.ops.textstats import text_stats
+
+    docs = _docs(sf_dir).select_columns(["source", "text"])
+    stats = text_stats(docs, with_heuristics=False).select_columns(
+        ["source", "token_count"]
+    )
+    return grouped_aggregate(
+        stats,
+        ["source"],
+        [("total_tokens", "token_count", "sum"), ("n_docs", None, "count")],
+        num_parts=8,
+    )
+
+
+def _q_text_metrics(sf_dir: str):
+    from gencore_ray.ops.textstats import text_stats
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return text_stats(docs, with_heuristics=False).select_columns(
+        ["doc_id", "text_len", "alnum_count", "token_count"]
+    )
+
+
+def _q_top_longest_docs(sf_dir: str):
+    from gencore_ray.ops.relational import topk
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    return topk(docs, ["n_chars", "doc_id"], 10, descending=[True, False])
+
+
+def _q_events_by_type(sf_dir: str):
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import grouped_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = grouped_aggregate(
+        ev,
+        ["event_type"],
+        [("n_events", None, "count"), ("total_value", "value", "sum"),
+         ("avg_value", "value", "mean")],
+        num_parts=8,
+    )
+    return _round_cols(out, {"total_value": 6, "avg_value": 6})
+
+
+def _q_events_hourly(sf_dir: str):
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import grouped_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hour": df["ts"].dt.floor("h")})
+
+    hours = ev.map_batches(add_hour, batch_format="pandas")
+    return grouped_aggregate(hours, ["hour"], [("n_events", None, "count")], num_parts=8)
+
+
+def _q_lineitem_pricing_summary(sf_dir: str):
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import grouped_aggregate
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax"],
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["charge"] = df["disc_price"] * (1 + df["l_tax"])
+        return df
+
+    li = li.map_batches(derive, batch_format="pandas")
+    out = grouped_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [("sum_qty", "l_quantity", "sum"), ("sum_base_price", "l_extendedprice", "sum"),
+         ("sum_disc_price", "disc_price", "sum"), ("sum_charge", "charge", "sum"),
+         ("avg_qty", "l_quantity", "mean"), ("avg_price", "l_extendedprice", "mean"),
+         ("avg_disc", "l_discount", "mean"), ("count_order", None, "count")],
+        num_parts=8,
+    )
+    return _round_cols(
+        out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
+              "sum_charge": 2, "avg_qty": 4, "avg_price": 4, "avg_disc": 4}
+    )
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import broadcast_join, grouped_aggregate
+
+    # small dims read driver-side once, broadcast into every batch
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ]
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    joined = broadcast_join(orders, dim, key="o_custkey", small_key="c_custkey")
+    out = grouped_aggregate(
+        joined.select_columns(["n_name", "o_totalprice"]),
+        ["n_name"],
+        [("total_revenue", "o_totalprice", "sum"), ("n_orders", None, "count")],
+        num_parts=8,
+    )
+    return _round_cols(out, {"total_revenue": 2})
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    row = df.loc[df["vec_id"] == 0, "embedding"].iloc[0]
+    return np.asarray(row, dtype=np.float64)
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data as rd
+
+    from gencore_ray.ops.ann import brute_force_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return brute_force_topk(emb, _query_vec(sf_dir), k=10)
+
+
+def _q_ann_ivf_topk(sf_dir: str):
+    import ray.data as rd
+
+    from gencore_ray.ops.ann import ivf_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(emb, _query_vec(sf_dir), k=10, n_clusters=16, nprobe=4)
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gencore_ray.ops.ann import near_dup_pairs
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < 500),     # row-group pushdown at the read
+    )
+    return near_dup_pairs(emb, threshold=0.45)
+
+
+def _q_dedup_docs_pipeline(sf_dir: str):
+    from gencore_ray.config import DedupConfig
+    from gencore_ray.pipelines.dedup import dedup_pages
+
+    res = dedup_pages(_docs_as_pages(sf_dir), DedupConfig(), cc_mode="driver")
+    return res.clusters.select_columns(
+        ["url", "cluster_id", "cluster_size", "is_representative"]
+    )
+
+
+def _q_text_quality_profile(sf_dir: str):
+    from gencore_ray.ops.textstats import text_stats
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return text_stats(docs).select_columns(
+        ["doc_id", "quality", "lang_pred", "fingerprint"]
+    )
+
+
+def _sig_edges(sf_dir: str):
+    from gencore_ray.config import DedupConfig
+    from gencore_ray.pipelines.dedup import compute_signatures
+    from gencore_ray.stages.lsh import candidate_pairs
+    from gencore_ray.stages.verify import verified_edges
+
+    cfg = DedupConfig()
+    sig = compute_signatures(_docs_as_pages(sf_dir), cfg).materialize()
+    pairs = candidate_pairs(sig, cfg, num_parts=16)
+    return verified_edges(pairs, sig, cfg), cfg
+
+
+def _q_simhash_near_pairs(sf_dir: str):
+    edges, cfg = _sig_edges(sf_dir)
+    return edges.filter(expr=f"hamming <= {cfg.simhash_hamming_max}").select_columns(
+        ["url_a", "url_b", "hamming"]
+    )
+
+
+def _q_containment_pairs(sf_dir: str):
+    edges, cfg = _sig_edges(sf_dir)
+    return edges.filter(expr=f"containment >= {cfg.containment_threshold}").select_columns(
+        ["url_a", "url_b", "containment"]
+    )
+
+
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    edges, cfg = _sig_edges(sf_dir)
+    out = edges.filter(expr=f"jaccard >= {cfg.jaccard_threshold}").select_columns(
+        ["url_a", "url_b", "jaccard"]
+    )
+    return _round_cols(out, {"jaccard": 6})
+
+
+def _q_multimodal_features(sf_dir: str):
+    from gencore_ray.ops.multimodal import decode_media
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        payload = pa.array(
+            [(x or "").encode() for x in t["text"].to_pylist()], pa.binary()
+        )
+        return pa.table({"doc_id": t["doc_id"], "payload": payload})
+
+    media = docs.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    return decode_media(media)
+
+
+def _q_pages_dedup_pipeline(sf_dir: str):
+    """Full pipeline incl. HTML extraction on the synthesized pages
+    corpus (deterministic, cached under /tmp)."""
+    import ray.data as rd
+
+    from gencore_ray.config import DedupConfig
+    from gencore_ray.corpus import write_pages_corpus
+    from gencore_ray.pipelines.dedup import dedup_pages
+    from gencore_ray.sources import read_pages
+
+    n = 1500 if "0.01" in sf_dir else 400
+    cache = f"/tmp/gencore_pages_{n}_s42"
+    if not os.path.exists(os.path.join(cache, "pages.parquet")):
+        write_pages_corpus(cache, n_pages=n, seed=42)
+    pages = read_pages(os.path.join(cache, "pages.parquet"), need_html=True)
+    pages = pages.drop_columns(["text"])  # force extraction
+    res = dedup_pages(pages, DedupConfig(), extract_html=True, cc_mode="driver")
+    return res.clusters.select_columns(
+        ["url", "cluster_id", "cluster_size", "is_representative"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-checked
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "token_counts_by_source": _q_token_counts_by_source,
+        "text_metrics": _q_text_metrics,
+        "top_longest_docs": _q_top_longest_docs,
+        "events_by_type": _q_events_by_type,
+        "events_hourly": _q_events_hourly,
+        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "ann_topk": _q_ann_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        # engine-only (rows-only check)
+        "dedup_docs_pipeline": _q_dedup_docs_pipeline,
+        "pages_dedup_pipeline": _q_pages_dedup_pipeline,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "simhash_near_pairs": _q_simhash_near_pairs,
+        "containment_pairs": _q_containment_pairs,
+        "text_quality_profile": _q_text_quality_profile,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "multimodal_features": _q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_docs": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS dup_count "
+            "FROM documents GROUP BY text"
+        ),
+        "doc_stats_by_lang": (
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY lang"
+        ),
+        "token_counts_by_source": (
+            "SELECT source, "
+            "CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS BIGINT) "
+            "AS total_tokens, count(*) AS n_docs FROM documents GROUP BY source"
+        ),
+        "text_metrics": (
+            "SELECT doc_id, length(text) AS text_len, "
+            "length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS alnum_count, "
+            "CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT) "
+            "AS token_count FROM documents"
+        ),
+        "top_longest_docs": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "events_by_type": (
+            "SELECT event_type, count(*) AS n_events, "
+            "round(sum(value), 6) AS total_value, round(avg(value), 6) AS avg_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events "
+            "FROM events GROUP BY 1"
+        ),
+        "lineitem_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+            "round(avg(l_quantity), 4) AS avg_qty, "
+            "round(avg(l_extendedprice), 4) AS avg_price, "
+            "round(avg(l_discount), 4) AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, round(sum(o_totalprice), 2) AS total_revenue, "
+            "count(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+            "WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 6) AS cos_sim "
+            "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "embedding_near_dups": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE a.vec_id < 500 AND b.vec_id < 500 "
+            "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.45"
+        ),
+    }
