@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline pipeline (full HTML->clusters dedup
+over the synthesized pages corpus) plus a representative query set
+over $GRAFT_SF_DIR (default /root/testdata/sf0.1), then prints ONE
+JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "pages": N, "pages_per_sec": N}
+
+--scaling: runs the identical job in two FRESH processes at
+num_cpus=8 and num_cpus=32 (the sandbox proxy for the north rule's
+N-node vs 4N-node clusters) and reports both throughputs plus
+scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "60000"))
+CORPUS_SEED = 42
+
+QUERY_NAMES = [
+    "exact_dedup_docs",
+    "dedup_docs_pipeline",
+    "lineitem_pricing_summary",
+    "revenue_by_nation",
+    "events_by_type",
+    "ann_topk",
+    "embedding_near_dups",
+    "text_quality_profile",
+]
+
+
+def _corpus_dir() -> str:
+    """Deterministic bench corpus, cached across runs (generation is
+    driver-side and excluded from timings)."""
+    from gencore_ray.corpus import write_pages_corpus
+
+    cache = f"/tmp/gencore_bench_pages_{BENCH_PAGES}_s{CORPUS_SEED}"
+    marker = os.path.join(cache, "pages.parquet")
+    if not os.path.exists(marker):
+        write_pages_corpus(cache, n_pages=BENCH_PAGES, seed=CORPUS_SEED)
+    return cache
+
+
+def _consume(res) -> int:
+    """Consume a Dataset/DataFrame fully; return row count."""
+    if hasattr(res, "count") and not hasattr(res, "columns"):
+        return res.count()
+    if hasattr(res, "to_pandas"):
+        return len(res.to_pandas())
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, REPO)
+    import __ray_entry__ as entrymod
+
+    from gencore_ray.config import DedupConfig
+    from gencore_ray.pipelines.dedup import dedup_pages
+    from gencore_ray.sources import read_pages
+
+    corpus = _corpus_dir()
+
+    # enough read blocks that the fused read->extract->signature chain
+    # can occupy every core (row-group granularity permitting)
+    n_blocks = NUM_CPUS * 4
+
+    # warm the OS page cache so we measure compute+shuffle, not cold disk
+    read_pages(os.path.join(corpus, "pages"), need_html=True,
+               override_num_blocks=n_blocks).count()
+
+    # --- headline: full extract -> signatures -> LSH -> CC -> elect ----
+    t0 = time.monotonic()
+    pages = read_pages(os.path.join(corpus, "pages"), need_html=True,
+                       override_num_blocks=n_blocks)
+    pages = pages.drop_columns(["text"])
+    res = dedup_pages(pages, DedupConfig(), extract_html=True, cc_mode="driver")
+    n_out = res.clusters.count()
+    headline = time.monotonic() - t0
+
+    # --- representative query set over SF_DIR --------------------------
+    qtimes: dict[str, float] = {}
+    queries = entrymod.queries()
+    for name in QUERY_NAMES:
+        t0 = time.monotonic()
+        _consume(queries[name](SF_DIR))
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "e2e web-page dedup (extract+minhash+lsh+verify+cc+elect)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": BENCH_PAGES,
+        "pages_per_sec": round(BENCH_PAGES / headline, 1),
+        "rows_out": n_out,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    thr_lo, thr_hi = lo["pages_per_sec"], hi["pages_per_sec"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, fresh sessions)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "pages_per_sec_8": thr_lo,
+        "pages_per_sec_32": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+        "pages": BENCH_PAGES,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

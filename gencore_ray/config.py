@@ -55,7 +55,7 @@ class DedupConfig:
     # --- execution ---------------------------------------------------
     sig_batch_size: int = 1024    # signature stage is CPU-heavy -> smaller batches
     sig_concurrency: int | None = None  # None -> stateless-task autoscale
-    join_num_partitions: int = 8
+    join_num_partitions: int = 32
     min_cluster_size: int = 1     # emit only clusters with >= this many members
                                   # (~ supporting_reads filter, src/cluster.cpp:138)
 

@@ -251,14 +251,36 @@ def generate_pages(
     return pages, truth
 
 
-def write_pages_corpus(out_dir: str, n_pages: int = 500, seed: int = 42) -> str:
-    """Write pages.parquet (+ truth.parquet) under out_dir; returns out_dir."""
+def write_pages_corpus(
+    out_dir: str, n_pages: int = 500, seed: int = 42, shards: int | None = None
+) -> str:
+    """Write pages/ (sharded parquet dir) + truth.parquet under out_dir.
+
+    Sharding matters: ray.data issues ONE read task per parquet file,
+    so a single big file serialises the read stage no matter how many
+    row groups it has.  One file per ~1000 pages keeps the read (and
+    everything fused onto it) parallel — the same layout the engine
+    itself writes for resumability.
+    """
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     pages, truth = generate_pages(n_pages, seed, with_truth=True)
-    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
-    pq.write_table(truth, os.path.join(out_dir, "truth.parquet"))
+    if shards is None:
+        shards = max(1, min(256, n_pages // 1000))
+    pages_dir = os.path.join(out_dir, "pages")
+    os.makedirs(pages_dir, exist_ok=True)
+    per = (n_pages + shards - 1) // shards
+    for s in range(shards):
+        chunk = pages.slice(s * per, per)
+        if chunk.num_rows == 0:
+            break
+        pq.write_table(
+            chunk, os.path.join(pages_dir, f"part-{s:04d}.parquet"), row_group_size=512
+        )
+    # single-file convenience copy for small corpora / tests
+    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"), row_group_size=512)
+    pq.write_table(truth, os.path.join(out_dir, "truth.parquet"), row_group_size=8192)
     return out_dir

@@ -48,24 +48,25 @@ def compute_signatures(
 ) -> rd.Dataset:
     """pages -> signatures. Optionally runs HTML extraction first
     (actor pool; html never leaves this stage)."""
-    if extract_html:
-        pages = pages.map_batches(
-            ExtractStage,
-            batch_format="pyarrow",
-            batch_size=256,
-            concurrency=cfg.sig_concurrency or (2, 8),
-            zero_copy_batch=True,
-        )
-        keep = [c for c in ["url", "warc_ts", "text", "lang"] if c in pages.columns()]
-        pages = pages.select_columns(keep)
+    stage = SignatureStage(cfg, extract_from="html" if extract_html else None)
+    kwargs = {}
+    if cfg.sig_concurrency is not None:
+        # explicit actor pool (heavy per-actor state, e.g. a real model)
+        kwargs["concurrency"] = cfg.sig_concurrency
+        kwargs["fn_constructor_kwargs"] = {
+            "cfg": cfg, "extract_from": "html" if extract_html else None,
+        }
+        stage = SignatureStage
+    # default: a prebuilt INSTANCE -> stateless tasks. The stage state
+    # (perm matrices, compiled regexes) is tiny, so elastic tasks on
+    # warm workers beat paying actor-pool spawn ramp at high CPU counts;
+    # pass sig_concurrency for genuinely heavy state.
     return pages.map_batches(
-        SignatureStage,
+        stage,
         batch_format="pyarrow",
-        batch_size=cfg.sig_batch_size,
+        batch_size=cfg.sig_batch_size if not extract_html else min(cfg.sig_batch_size, 512),
         zero_copy_batch=True,
-        fn_constructor_kwargs={"cfg": cfg},
-        # autoscaling actor pool: state (perm matrices) built once per actor
-        concurrency=cfg.sig_concurrency or (1, 16),
+        **kwargs,
     )
 
 
@@ -82,27 +83,56 @@ def dedup_pages(
     fp = cfg.fingerprint()
     counters: dict[str, int] = {}
 
-    sig = ckpt.stage("signatures", fp, lambda: compute_signatures(pages, cfg, extract_html))
-    if not ckpt.enabled:
-        # signatures feed 4 consumers (exact, LSH, verify-join, features);
-        # without a parquet checkpoint each consumer would re-run the whole
-        # extract+signature lineage. Pin it once (spills to disk if large —
-        # production runs should pass checkpoint_dir instead).
-        sig = sig.materialize()
+    import ray as _ray
 
-    # --- edge sources ----------------------------------------------
-    ex_edges = ckpt.stage(
-        "exact_edges", fp, lambda: exact_edges(sig, min_shingles=cfg.min_shingles)
-    )
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
 
-    pairs = ckpt.stage("candidate_pairs", fp, lambda: candidate_pairs(sig, cfg))
-    ver_edges = ckpt.stage("verified_edges", fp, lambda: verified_edges(pairs, sig, cfg))
+    def run_stage(name: str, build):
+        """Checkpoint if enabled, else materialize: every stage output
+        feeds multiple consumers or a barrier, and one mega-DAG
+        (explode+3 sorts+2 joins fused) measures ~2x slower than
+        stage-at-a-time execution on this Ray version.  Outputs are
+        coalesced to O(ncpu) blocks — exchange cost here is dominated
+        by per-block dispatch, not bytes (measured: a 5M-row groupby is
+        0.4s from 32 blocks, 2.2s from 180)."""
+        ds = ckpt.stage(name, fp, build)
+        if ckpt.enabled:
+            return ds
+        ds = ds.materialize()
+        if ds.num_blocks() > ncpu:
+            ds = ds.repartition(ncpu).materialize()
+        return ds
 
-    from gencore_ray.stages.shuffle import to_arrow_blocks
+    sig = run_stage("signatures", lambda: compute_signatures(pages, cfg, extract_html))
 
-    all_edges = to_arrow_blocks(ver_edges.select_columns(["url_a", "url_b"])).union(
-        to_arrow_blocks(ex_edges.select_columns(["url_a", "url_b"]))
-    )
+    # --- edge generation -------------------------------------------
+    # NOTE: no separate exact-dup pass. Identical texts have identical
+    # MinHash => share every band bucket, and inside an over-cap bucket
+    # they sort adjacently (identical simhash, consecutive urls) so the
+    # neighbor-linking always connects them; verification yields
+    # jaccard=1 >= tau. The standalone exact_dedup operator remains for
+    # exact-only pipelines (stages/exact.py).
+    pairs = run_stage("candidate_pairs", lambda: candidate_pairs(sig, cfg))
+    ver_edges = run_stage("verified_edges", lambda: verified_edges(pairs, sig, cfg))
+
+    # lineage counters (gencore Stats analogue, src/stats.cpp:101-151);
+    # counts on materialized datasets read block metadata — no recompute
+    counters["pages_in"] = sig.count()
+    counters["candidate_pairs"] = pairs.count()
+    counters["verified_edges"] = ver_edges.count()
+    try:
+        import pyarrow.compute as _pc
+
+        capped = 0
+        for _t in pairs.select_columns(["capped"]).iter_batches(
+            batch_size=262144, batch_format="pyarrow"
+        ):
+            capped += int(_pc.sum(_t["capped"]).as_py() or 0)
+        counters["capped_docs"] = capped
+    except Exception:
+        pass
+
+    all_edges = ver_edges.select_columns(["url_a", "url_b"])
 
     # --- connected components --------------------------------------
     features = sig.select_columns(
@@ -143,9 +173,16 @@ def dedup_pages(
 
         members = features.map_batches(assign, batch_format="pyarrow")
 
-    clusters = ckpt.stage(
-        "clusters", fp, lambda: elect_representatives(members, cfg)
-    )
+    clusters = run_stage("clusters", lambda: elect_representatives(members, cfg))
+    counters["pages_out"] = clusters.count()
+    if cc_mode == "driver":
+        counters["dup_pages"] = len(label_map)               # pages in multi-clusters
+        counters["dup_clusters"] = len(set(label_map.values()))
+        counters["clusters_total"] = (
+            counters["pages_out"] - counters["dup_pages"] + counters["dup_clusters"]
+        )
+    if ckpt.enabled:
+        ckpt.write_report(counters)
     if cfg.min_cluster_size > 1:
         n = cfg.min_cluster_size
         clusters = clusters.filter(expr=f"cluster_size >= {n}")

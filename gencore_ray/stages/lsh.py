@@ -36,6 +36,38 @@ from gencore_ray.functions.hashing import U64, _MASK, splitmix64
 
 _SIMHASH_CHUNK_TAG = np.uint64(0x51AB5A1DE5C0FFEE)
 
+# SimHash blocking (Manku/Jain/Sarma, WWW'07 "Detecting Near-Duplicates
+# for Web Crawling"): split the 64-bit fingerprint into B=6 blocks; any
+# two fingerprints within Hamming distance <= 3 have their <=3 differing
+# bits confined to <=3 blocks, so at least one combination of B-3=3
+# blocks is identical — index each of the C(6,3)=20 combinations as a
+# bucket key (~32 matched bits each). Random collisions ~ n^2/2^32 per
+# combo instead of n^2/2^16 per 16-bit chunk — the difference between a
+# linear and a quadratic candidate set at web scale.
+_SIMHASH_BLOCKS = 6
+_BLOCK_BOUNDS = np.linspace(0, 64, _SIMHASH_BLOCKS + 1).astype(np.uint64)
+
+
+def _simhash_combo_keys(sim: np.ndarray, hamming_max: int) -> list[np.ndarray]:
+    """One uint64 key array per block-combination (len C(B, B-hamming_max))."""
+    from itertools import combinations
+
+    blocks = []
+    for i in range(_SIMHASH_BLOCKS):
+        lo, hi = int(_BLOCK_BOUNDS[i]), int(_BLOCK_BOUNDS[i + 1])
+        width = hi - lo
+        mask = np.uint64((1 << width) - 1)
+        blocks.append((sim >> np.uint64(lo)) & mask)
+    keep = _SIMHASH_BLOCKS - hamming_max
+    keys = []
+    with np.errstate(over="ignore"):
+        for ci, combo in enumerate(combinations(range(_SIMHASH_BLOCKS), keep)):
+            acc = np.full(len(sim), np.uint64(ci + 1), dtype=U64)
+            for b in combo:
+                acc = (acc * np.uint64(0x100000001B3) + blocks[b]) & _MASK
+            keys.append(splitmix64(acc ^ _SIMHASH_CHUNK_TAG))
+    return keys
+
 
 def explode_keys(batch: pa.Table, include_simhash_keys: bool = True) -> pa.Table:
     """(url, band_key, ckeys, simhash) -> (bkey, url, sort64) rows.
@@ -70,10 +102,7 @@ def explode_keys(batch: pa.Table, include_simhash_keys: bool = True) -> pa.Table
     url_idx.append(np.repeat(np.arange(n), clens))
 
     if include_simhash_keys:
-        for c in range(4):
-            chunk = (sim >> np.uint64(16 * c)) & np.uint64(0xFFFF)
-            with np.errstate(over="ignore"):
-                k = splitmix64((chunk * np.uint64(0x9E3779B97F4A7C15) + np.uint64(c)) ^ _SIMHASH_CHUNK_TAG)
+        for k in _simhash_combo_keys(sim, hamming_max=3):
             keys.append(k[act_idx])
             url_idx.append(act_idx)
 
@@ -157,7 +186,12 @@ def _pairs_in_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     out = pd.DataFrame(
         {"url_a": np.where(swap, b, a), "url_b": np.where(swap, a, b)}
     ).drop_duplicates()
-    out["capped"] = np.int64(capped_total)
+    # capped count on the FIRST row only, so a global sum() over the
+    # column is the true number of subsampled docs (no silent drops)
+    cap_col = np.zeros(len(out), dtype=np.int64)
+    if len(cap_col):
+        cap_col[0] = capped_total
+    out["capped"] = cap_col
     return out
 
 

@@ -8,12 +8,16 @@ throughout this engine instead:
   1. add ``_part = stable_hash(key) % P``   (vectorised)
   2. ``groupby("_part").map_groups(fn)``    -> P big invocations
   3. inside ``fn``, process ALL complete key-groups of the partition
-     with vectorised pandas/numpy.
+     with vectorised pandas/numpy/arrow.
 
 Same all-to-all exchange semantics (every row moves once, keyed), but
 the per-group Python cost collapses into a handful of vectorised
 calls.  P bounds partition size at scale: choose P ~ total_rows /
 (target rows per partition).
+
+Two body formats: ``batch_format="pandas"`` for slim numeric/string
+tables, ``"pyarrow"`` when rows carry wide binary payloads (pandas
+conversion of per-row bytes objects is the classic hidden cost).
 """
 
 from __future__ import annotations
@@ -29,7 +33,13 @@ from pandas.util import hash_pandas_object
 _PART = "_part"
 
 
-def _part_of_column(col: pd.Series, num_parts: int) -> np.ndarray:
+def _part_values(col, num_parts: int) -> np.ndarray:
+    """Stable partition ids for a key column (pa.ChunkedArray or pd.Series)."""
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        if pa.types.is_integer(col.type):
+            vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            return (vals % np.uint64(num_parts)).astype(np.int64)
+        col = col.to_pandas()  # key column only — payload columns untouched
     if pd.api.types.is_integer_dtype(col):
         return (col.to_numpy().astype(np.uint64) % np.uint64(num_parts)).astype(np.int64)
     # hash_pandas_object is deterministic across processes (fixed hash_key)
@@ -41,25 +51,30 @@ def _part_of_column(col: pd.Series, num_parts: int) -> np.ndarray:
 def grouped_map(
     ds: rd.Dataset,
     key: str,
-    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    fn: Callable,
     num_parts: int = 64,
+    batch_format: str = "pandas",
 ) -> rd.Dataset:
-    """Hash-partition by ``key``; ``fn`` sees one partition DataFrame
-    holding only complete key-groups and returns any DataFrame."""
+    """Hash-partition by ``key``; ``fn`` sees one partition (DataFrame
+    or pa.Table per batch_format) holding only complete key-groups."""
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        df[_PART] = _part_of_column(df[key], num_parts)
-        return df
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(_PART, pa.array(_part_values(t[key], num_parts)))
 
-    def run(df: pd.DataFrame) -> pd.DataFrame:
-        out = fn(df.drop(columns=[_PART]))
-        return out
+    if batch_format == "pandas":
+
+        def run(df: pd.DataFrame) -> pd.DataFrame:
+            return fn(df.drop(columns=[_PART]))
+
+    else:
+
+        def run(t: pa.Table) -> pa.Table:
+            return fn(t.drop_columns([_PART]))
 
     return (
-        ds.map_batches(add_part, batch_format="pandas")
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(_PART)
-        .map_groups(run, batch_format="pandas")
+        .map_groups(run, batch_format=batch_format)
     )
 
 
@@ -78,41 +93,40 @@ def hash_join(
     Arrow join kernel rejects list payloads.  This implementation is
     the guide's portable pattern: tag each side, align schemas with
     typed null columns, union, one sort-shuffle keyed on the join key,
-    then a vectorised ``pd.merge`` per partition.
+    then an Arrow-native matched ``take`` per partition — payload
+    columns (binary sketches etc.) stay in Arrow buffers end to end.
 
     Non-key column names must already be disjoint (rename first).
     The right key column does not appear in the output.
     """
-    import pyarrow as _pa
-
     lschema = left.schema().base_schema
-    if not isinstance(lschema, _pa.Schema):
+    if not isinstance(lschema, pa.Schema):
         left = to_arrow_blocks(left)
         lschema = left.schema().base_schema
     rschema = right.schema().base_schema
-    if not isinstance(rschema, _pa.Schema):
+    if not isinstance(rschema, pa.Schema):
         right = to_arrow_blocks(right)
         rschema = right.schema().base_schema
-    lcols = [n for n in lschema.names]
+    lcols = list(lschema.names)
     rcols = [n for n in rschema.names if n != right_key]
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"hash_join column overlap: {sorted(overlap)} — rename first")
 
-    def tag_left(t: _pa.Table) -> _pa.Table:
+    def tag_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        t = t.append_column("__key", t[left_key].cast(_pa.string()))
-        t = t.append_column("__side", _pa.array(np.zeros(n, dtype=np.int8)))
+        t = t.append_column("__key", t[left_key].cast(pa.string()))
+        t = t.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
         for name in rcols:
-            t = t.append_column(name, _pa.nulls(n, rschema.field(name).type))
+            t = t.append_column(name, pa.nulls(n, rschema.field(name).type))
         return t.select(["__key", "__side", *lcols, *rcols])
 
-    def tag_right(t: _pa.Table) -> _pa.Table:
+    def tag_right(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        t = t.append_column("__key", t[right_key].cast(_pa.string()))
-        t = t.append_column("__side", _pa.array(np.ones(n, dtype=np.int8)))
+        t = t.append_column("__key", t[right_key].cast(pa.string()))
+        t = t.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
         for name in lcols:
-            t = t.append_column(name, _pa.nulls(n, lschema.field(name).type))
+            t = t.append_column(name, pa.nulls(n, lschema.field(name).type))
         t = t.drop_columns([right_key])
         return t.select(["__key", "__side", *lcols, *rcols])
 
@@ -120,15 +134,37 @@ def hash_join(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    pd_how = {"inner": "inner", "left_outer": "left"}[how]
+    left_outer = how == "left_outer"
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported how={how}")
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        ldf = df.loc[df["__side"] == 0, ["__key", *lcols]]
-        rdf = df.loc[df["__side"] == 1, ["__key", *rcols]]
-        out = ldf.merge(rdf, on="__key", how=pd_how)
-        return out.drop(columns=["__key"])
+    def merge(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        keys = np.asarray(t["__key"].to_pandas())
+        lmask = side == 0
+        lidx = np.nonzero(lmask)[0]
+        ridx = np.nonzero(~lmask)[0]
+        # match left rows to right rows on the key (first match wins is
+        # wrong for 1:N — build full index pairs via pandas merge on
+        # integer codes, cheap: keys only)
+        codes, _ = pd.factorize(keys)
+        ldf = pd.DataFrame({"c": codes[lidx], "li": lidx})
+        rdf = pd.DataFrame({"c": codes[ridx], "ri": ridx})
+        m = ldf.merge(rdf, on="c", how="left" if left_outer else "inner")
+        li = m["li"].to_numpy(dtype=np.int64)
+        ri = m["ri"].fillna(-1).to_numpy(dtype=np.int64)
 
-    return grouped_map(tagged, "__key", merge, num_parts=num_parts)
+        left_part = t.select(lcols).take(pa.array(li))
+        # null take-index -> null row (left-outer padding)
+        right_part = t.select(rcols).take(pa.array(ri, mask=ri < 0))
+        out = left_part
+        for name in rcols:
+            out = out.append_column(name, right_part[name])
+        return out
+
+    return grouped_map(tagged, "__key", merge, num_parts=num_parts,
+                       batch_format="pyarrow")
 
 
 def to_arrow_blocks(ds: rd.Dataset) -> rd.Dataset:

@@ -46,9 +46,15 @@ from gencore_ray.functions.text import (
 
 
 class SignatureStage:
-    def __init__(self, cfg: DedupConfig | None = None, keep_cols: tuple[str, ...] = ("warc_ts",)):
+    def __init__(
+        self,
+        cfg: DedupConfig | None = None,
+        keep_cols: tuple[str, ...] = ("warc_ts",),
+        extract_from: str | None = None,
+    ):
         self.cfg = cfg or DedupConfig()
         self.keep_cols = keep_cols
+        self.extract_from = extract_from
         self.minhasher = MinHasher(self.cfg.num_perm, self.cfg.seed)
         # independent permutation family for the containment sketch
         self.cperm_a, self.cperm_b = minhash_perms(
@@ -57,7 +63,15 @@ class SignatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        texts = batch["text"].to_pylist()
+        if self.extract_from is not None:
+            # fused extract+signature: html decoded and dropped inside one
+            # stage — the wide binary column never reaches the object store
+            from gencore_ray.extract import extract_text
+
+            texts = [extract_text(h) for h in batch[self.extract_from].to_pylist()]
+            batch = batch.drop_columns([self.extract_from])
+        else:
+            texts = batch["text"].to_pylist()
         n = len(texts)
         toks = token_hashes_for_batch(texts, seed=cfg.seed)
 

@@ -101,7 +101,15 @@ def _verify_batch(t: pa.Table, cfg: DedupConfig) -> pa.Table:
     )
 
 
+EDGE_SCHEMA = pa.schema(
+    [("url_a", pa.string()), ("url_b", pa.string()), ("jaccard", pa.float64()),
+     ("containment", pa.float64()), ("hamming", pa.int64()), ("src", pa.string())]
+)
+
+
 def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+    if pairs.schema() is None:  # no candidates at all (all-unique corpus)
+        return rd.from_arrow(EDGE_SCHEMA.empty_table())
     withsig = attach_signatures(pairs.select_columns(["url_a", "url_b"]), sig, cfg)
     return withsig.map_batches(
         lambda t: _verify_batch(t, cfg), batch_format="pyarrow", zero_copy_batch=True

@@ -129,3 +129,20 @@ class CheckpointManager:
 
     def counters(self) -> dict[str, dict[str, int]]:
         return {rec["stage"]: rec.get("counters", {}) for rec in self._records.values()}
+
+    def write_report(self, counters: dict[str, int]) -> None:
+        """Final JSON report (gencore JSON reporter analogue,
+        /root/reference/src/jsonreporter.cpp:11-42): run counters plus
+        the per-stage lineage summary."""
+        if not self.enabled:
+            return
+        report = {
+            "counters": counters,
+            "stages": [
+                {"stage": r["stage"], "rows_out": r["rows_out"],
+                 "partitions": len(r["partitions"]), "wall_sec": r["wall_sec"]}
+                for r in self._records.values()
+            ],
+        }
+        with open(os.path.join(self.run_dir, "report.json"), "w") as f:
+            json.dump(report, f, indent=2)
