@@ -322,6 +322,57 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return _round_cols(out, {"jaccard": 6})
 
 
+def _q_events_sessions(sf_dir: str):
+    import ray.data as rd
+
+    from gencore_ray.ops.windows import session_windows
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return session_windows(ev, gap=pd.Timedelta(minutes=30))
+
+
+def _q_events_value_buckets(sf_dir: str):
+    import ray.data as rd
+
+    from gencore_ray.ops.intervals import interval_lookup_join
+    from gencore_ray.ops.relational import grouped_aggregate
+
+    buckets = pd.DataFrame(
+        {"lo": [0.0, 50.0, 200.0], "hi": [50.0, 200.0, 1000.0],
+         "label": ["low", "mid", "high"]}
+    )
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    lab = interval_lookup_join(ev, buckets, "value", label_col="bucket")
+    out = grouped_aggregate(
+        lab, ["bucket"],
+        [("n_events", None, "count"), ("total_value", "value", "sum")],
+        num_parts=4,
+    )
+    return _round_cols(out, {"total_value": 6})
+
+
+def _q_user_running_totals(sf_dir: str):
+    import ray.data as rd
+
+    from gencore_ray.ops.windows import running_totals
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = running_totals(ev).select_columns(["event_id", "user_id", "running_value"])
+    return _round_cols(out, {"running_value": 6})
+
+
+def _q_events_daily_user(sf_dir: str):
+    import ray.data as rd
+
+    from gencore_ray.ops.windows import tumbling_window_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = tumbling_window_agg(ev, width="1d")
+    return _round_cols(out, {"total_value": 6})
+
+
 def _q_multimodal_features(sf_dir: str):
     from gencore_ray.ops.multimodal import decode_media
 
@@ -373,6 +424,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "events_sessions": _q_events_sessions,
+        "events_value_buckets": _q_events_value_buckets,
+        "user_running_totals": _q_user_running_totals,
+        "events_daily_user": _q_events_daily_user,
         # engine-only (rows-only check)
         "dedup_docs_pipeline": _q_dedup_docs_pipeline,
         "pages_dedup_pipeline": _q_pages_dedup_pipeline,
@@ -444,6 +499,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 6) AS cos_sim "
             "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "events_sessions": (
+            "WITH d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM d) "
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "min(ts) AS session_start, max(ts) AS session_end "
+            "FROM s GROUP BY user_id, session_id"
+        ),
+        "events_value_buckets": (
+            "WITH b(lo, hi, label) AS (VALUES (0.0, 50.0, 'low'), "
+            "(50.0, 200.0, 'mid'), (200.0, 1000.0, 'high')) "
+            "SELECT label AS bucket, count(*) AS n_events, "
+            "round(sum(value), 6) AS total_value "
+            "FROM events JOIN b ON value >= lo AND value < hi GROUP BY label"
+        ),
+        "user_running_totals": (
+            "SELECT event_id, user_id, round(sum(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 6) AS running_value "
+            "FROM events"
+        ),
+        "events_daily_user": (
+            "SELECT user_id, date_trunc('day', ts) AS window_start, "
+            "count(*) AS n_events, round(sum(value), 6) AS total_value "
+            "FROM events GROUP BY 1, 2"
         ),
         "embedding_near_dups": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

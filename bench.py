@@ -87,9 +87,10 @@ def run_bench() -> dict:
 
     corpus = _corpus_dir()
 
-    # enough read blocks that the fused read->extract->signature chain
-    # can occupy every core (row-group granularity permitting)
-    n_blocks = NUM_CPUS * 4
+    # one read block per core: the fused read->extract->signature chain
+    # then emits ~ncpu signature blocks, matching the exchange map-task
+    # count (exchange fan-out = blocks x partitions object refs)
+    n_blocks = NUM_CPUS
 
     # warm the OS page cache so we measure compute+shuffle, not cold disk
     read_pages(os.path.join(corpus, "pages"), need_html=True,

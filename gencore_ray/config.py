@@ -55,7 +55,8 @@ class DedupConfig:
     # --- execution ---------------------------------------------------
     sig_batch_size: int = 1024    # signature stage is CPU-heavy -> smaller batches
     sig_concurrency: int | None = None  # None -> stateless-task autoscale
-    join_num_partitions: int = 32
+    join_num_partitions: int | None = None   # None -> 2 * cluster CPUs
+    pair_num_partitions: int | None = None   # None -> 2 * cluster CPUs
     min_cluster_size: int = 1     # emit only clusters with >= this many members
                                   # (~ supporting_reads filter, src/cluster.cpp:138)
 

@@ -87,6 +87,16 @@ def dedup_pages(
 
     ncpu = int(_ray.cluster_resources().get("CPU", 8))
 
+    import os as _os
+
+    _timing = _os.environ.get("GENCORE_TIMING")
+
+    def _t(label: str, t0: float) -> None:
+        if _timing:
+            import sys as _sys
+
+            print(f"[timing] {label}: {time.monotonic() - t0:.2f}s", file=_sys.stderr)
+
     def run_stage(name: str, build):
         """Checkpoint if enabled, else materialize: every stage output
         feeds multiple consumers or a barrier, and one mega-DAG
@@ -95,12 +105,15 @@ def dedup_pages(
         coalesced to O(ncpu) blocks — exchange cost here is dominated
         by per-block dispatch, not bytes (measured: a 5M-row groupby is
         0.4s from 32 blocks, 2.2s from 180)."""
+        t0 = time.monotonic()
         ds = ckpt.stage(name, fp, build)
         if ckpt.enabled:
+            _t(name, t0)
             return ds
         ds = ds.materialize()
         if ds.num_blocks() > ncpu:
             ds = ds.repartition(ncpu).materialize()
+        _t(name, t0)
         return ds
 
     sig = run_stage("signatures", lambda: compute_signatures(pages, cfg, extract_html))
@@ -112,7 +125,9 @@ def dedup_pages(
     # neighbor-linking always connects them; verification yields
     # jaccard=1 >= tau. The standalone exact_dedup operator remains for
     # exact-only pipelines (stages/exact.py).
-    pairs = run_stage("candidate_pairs", lambda: candidate_pairs(sig, cfg))
+    pairs = run_stage(
+        "candidate_pairs", lambda: candidate_pairs(sig, cfg, dedupe=False)
+    )
     ver_edges = run_stage("verified_edges", lambda: verified_edges(pairs, sig, cfg))
 
     # lineage counters (gencore Stats analogue, src/stats.cpp:101-151);
@@ -121,14 +136,7 @@ def dedup_pages(
     counters["candidate_pairs"] = pairs.count()
     counters["verified_edges"] = ver_edges.count()
     try:
-        import pyarrow.compute as _pc
-
-        capped = 0
-        for _t in pairs.select_columns(["capped"]).iter_batches(
-            batch_size=262144, batch_format="pyarrow"
-        ):
-            capped += int(_pc.sum(_t["capped"]).as_py() or 0)
-        counters["capped_docs"] = capped
+        counters["capped_docs"] = int(pairs.sum("capped") or 0)  # distributed sum
     except Exception:
         pass
 
@@ -138,6 +146,7 @@ def dedup_pages(
     features = sig.select_columns(
         [c for c in ["url", "warc_ts", "text_len", "quality"] if c in sig.columns()]
     )
+    t_cc = time.monotonic()
     if cc_mode == "distributed":
         from gencore_ray.stages.shuffle import hash_join
 
@@ -149,7 +158,7 @@ def dedup_pages(
         )
         members = hash_join(
             features, labels, "url", "node",
-            num_parts=cfg.join_num_partitions, how="left_outer",
+            num_parts=cfg.join_num_partitions or ncpu, how="left_outer",
         )
 
         def fill(t: pa.Table) -> pa.Table:
@@ -173,6 +182,7 @@ def dedup_pages(
 
         members = features.map_batches(assign, batch_format="pyarrow")
 
+    _t("cc+assign", t_cc)
     clusters = run_stage("clusters", lambda: elect_representatives(members, cfg))
     counters["pages_out"] = clusters.count()
     if cc_mode == "driver":

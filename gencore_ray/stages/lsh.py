@@ -135,6 +135,7 @@ def _pairs_in_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     """
     empty = pd.DataFrame(
         {"url_a": pd.Series(dtype=object), "url_b": pd.Series(dtype=object),
+         "pair_hash": pd.Series(dtype=np.uint64),
          "capped": pd.Series(dtype=np.int64)}
     )
     if len(df) < 2:
@@ -146,7 +147,13 @@ def _pairs_in_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     urls = df["url"].to_numpy()
     sort64 = df["sort64"].to_numpy().astype(np.uint64)
 
-    order = np.lexsort((urls, sort64, bkey))
+    # deterministic int sort key for urls (string lexsort is ~10x
+    # slower; any stable deterministic order preserves the adjacency
+    # property that identical docs sort next to each other)
+    from pandas.util import hash_pandas_object
+
+    uhash = hash_pandas_object(df["url"], index=False).to_numpy()
+    order = np.lexsort((uhash, sort64, bkey))
     bkey, urls, sort64 = bkey[order], urls[order], sort64[order]
     # bucket boundaries
     starts = np.flatnonzero(np.r_[True, bkey[1:] != bkey[:-1]])
@@ -186,27 +193,61 @@ def _pairs_in_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     out = pd.DataFrame(
         {"url_a": np.where(swap, b, a), "url_b": np.where(swap, a, b)}
     ).drop_duplicates()
-    # capped count on the FIRST row only, so a global sum() over the
-    # column is the true number of subsampled docs (no silent drops)
-    cap_col = np.zeros(len(out), dtype=np.int64)
-    if len(cap_col):
-        cap_col[0] = capped_total
-    out["capped"] = cap_col
+    # vectorised uint64 pair key: the global pair-dedupe exchange keys
+    # on this instead of re-hashing url strings (deterministic across
+    # processes — pandas hash_pandas_object has a fixed hash key)
+    from pandas.util import hash_pandas_object
+
+    ha = hash_pandas_object(out["url_a"], index=False).to_numpy()
+    hb = hash_pandas_object(out["url_b"], index=False).to_numpy()
+    with np.errstate(over="ignore"):
+        out["pair_hash"] = splitmix64((ha * np.uint64(0x100000001B3)) ^ hb)
+    out["capped"] = np.int64(0)
+    if capped_total:
+        # sentinel row carries the cap count (no silent drops): its
+        # pair_hash is unique per partition so pair-dedupe keeps it, and
+        # the empty urls match nothing in the verify joins
+        sentinel = pd.DataFrame(
+            {"url_a": [""], "url_b": [""],
+             "pair_hash": [np.uint64(splitmix64(np.uint64(int(bkey[0]) ^ capped_total)))],
+             "capped": [np.int64(capped_total)]}
+        )
+        out = pd.concat([out, sentinel], ignore_index=True)
     return out
 
 
-def candidate_pairs(sig: rd.Dataset, cfg: DedupConfig, num_parts: int = 64) -> rd.Dataset:
-    """signatures -> deduplicated candidate-pair table (url_a < url_b).
+def candidate_pairs(
+    sig: rd.Dataset, cfg: DedupConfig, num_parts: int | None = None,
+    dedupe: bool = True,
+) -> rd.Dataset:
+    """signatures -> candidate-pair table (url_a < url_b).
 
-    Two slim exchanges: (1) exploded keys partitioned by bkey for
-    pairing, (2) pairs partitioned by url_a for global dedupe.
+    One slim exchange: exploded keys partitioned by bkey for pairing.
+    A pair found in k buckets appears k times; with ``dedupe=True`` a
+    second exchange keyed on the uint64 pair_hash makes pairs unique.
+    The flagship pipeline passes ``dedupe=False`` and instead dedupes
+    for free inside the verify join partition (rows sharing url_a
+    colocate there — see hash_join(left_dedupe=...)).
     """
-    from gencore_ray.stages.shuffle import dedupe_rows, grouped_map
+    from gencore_ray.stages.shuffle import grouped_map
 
+    if num_parts is None:
+        import ray as _ray
+
+        num_parts = cfg.pair_num_partitions or int(
+            _ray.cluster_resources().get("CPU", 8)
+        )
     exploded = sig.map_batches(
         explode_keys, batch_format="pyarrow", zero_copy_batch=True
     )
     pairs = grouped_map(
         exploded, "bkey", lambda df: _pairs_in_partition(df, cfg), num_parts=num_parts
     )
-    return dedupe_rows(pairs, ["url_a", "url_b"], num_parts=num_parts)
+    if not dedupe:
+        return pairs
+    return grouped_map(
+        pairs,
+        "pair_hash",
+        lambda df: df.drop_duplicates(subset=["pair_hash"]),
+        num_parts=num_parts,
+    )

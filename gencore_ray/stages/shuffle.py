@@ -48,6 +48,88 @@ def _part_values(col, num_parts: int) -> np.ndarray:
     )
 
 
+import ray as _ray
+
+
+@_ray.remote
+def _exchange_map(block: pa.Table, key: str, num_parts: int):
+    """Split one block into num_parts sub-tables by stable key hash."""
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    if not block.column_names:
+        # a column-less block carries zero rows by construction (Ray
+        # emits these for some empty intermediate blocks) — nothing to route
+        return tuple(None for _ in range(num_parts))
+    if key not in block.column_names:
+        raise KeyError(
+            f"hash_exchange key {key!r} missing; block has {block.column_names}"
+        )
+    parts = _part_values(block[key], num_parts)
+    order = np.argsort(parts, kind="stable")
+    sorted_parts = parts[order]
+    bounds = np.searchsorted(sorted_parts, np.arange(num_parts + 1))
+    reordered = block.take(pa.array(order))
+    return tuple(
+        reordered.slice(bounds[p], bounds[p + 1] - bounds[p])
+        for p in range(num_parts)
+    )
+
+
+@_ray.remote
+def _exchange_nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@_ray.remote
+def _exchange_reduce(*tables) -> pa.Table:
+    tables = [t for t in tables if t is not None]
+    if not tables:
+        return pa.table({})  # filtered out downstream by the nrows check
+    # empty inputs still carry the schema, so an all-empty partition
+    # reduces to a schema-correct empty block
+    return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+def hash_exchange(ds: rd.Dataset, key: str, num_parts: int) -> rd.Dataset:
+    """Raw-Ray two-round hash exchange: one output block per partition,
+    all rows of a key in exactly one block.
+
+    Ray Data's ``groupby`` exchange is a full SORT (sample -> range
+    map -> merge) — it buys a global order that partition-wise grouped
+    execution never needs, and its sampling barrier + per-block
+    dispatch dominate wall time for slim tables.  This is the one spot
+    the Dataset API can't express the cheaper semantics, so it drops
+    to ray.remote: map tasks split each block by key hash, reduce
+    tasks concat per partition (a textbook 2-round shuffle; the object
+    store spills as needed).  Choose num_parts so a partition fits a
+    worker's heap.
+    """
+    block_refs = [ref for ref in ds.to_arrow_refs()]
+    if not block_refs:
+        return ds
+    map_out = [
+        _exchange_map.options(num_returns=num_parts).remote(ref, key, num_parts)
+        for ref in block_refs
+    ]
+    if num_parts == 1:
+        map_out = [[r] for r in map_out]
+    reduced = [
+        _exchange_reduce.remote(*[mo[p] for mo in map_out])
+        for p in range(num_parts)
+    ]
+    import ray.data as _rd
+
+    # drop empty partitions — Ray renders them as column-less blocks
+    # downstream, which poisons schema inference (only row counts cross
+    # to the driver; blocks stay in the object store)
+    counts = _ray.get([_exchange_nrows.remote(r) for r in reduced])
+    keep = [r for r, n in zip(reduced, counts) if n]
+    if not keep:
+        schema = ds.schema().base_schema
+        return _rd.from_arrow(schema.empty_table())
+    return _rd.from_arrow_refs(keep)
+
+
 def grouped_map(
     ds: rd.Dataset,
     key: str,
@@ -57,25 +139,9 @@ def grouped_map(
 ) -> rd.Dataset:
     """Hash-partition by ``key``; ``fn`` sees one partition (DataFrame
     or pa.Table per batch_format) holding only complete key-groups."""
-
-    def add_part(t: pa.Table) -> pa.Table:
-        return t.append_column(_PART, pa.array(_part_values(t[key], num_parts)))
-
-    if batch_format == "pandas":
-
-        def run(df: pd.DataFrame) -> pd.DataFrame:
-            return fn(df.drop(columns=[_PART]))
-
-    else:
-
-        def run(t: pa.Table) -> pa.Table:
-            return fn(t.drop_columns([_PART]))
-
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(_PART)
-        .map_groups(run, batch_format=batch_format)
-    )
+    parted = hash_exchange(to_arrow_blocks(ds), key, num_parts)
+    # batch_size=None -> fn is called once per block == once per partition
+    return parted.map_batches(fn, batch_format=batch_format, batch_size=None)
 
 
 def hash_join(
@@ -85,6 +151,7 @@ def hash_join(
     right_key: str,
     num_parts: int = 64,
     how: str = "inner",
+    left_dedupe: list[str] | None = None,
 ) -> rd.Dataset:
     """Partitioned hash join without persistent aggregator actors.
 
@@ -145,6 +212,13 @@ def hash_join(
         lmask = side == 0
         lidx = np.nonzero(lmask)[0]
         ridx = np.nonzero(~lmask)[0]
+        if left_dedupe and len(lidx):
+            # partition-local dedupe of left rows: rows sharing the join
+            # key colocate here, so this is a GLOBAL distinct over
+            # left_dedupe without a dedicated exchange
+            kdf = t.select(left_dedupe).take(pa.array(lidx)).to_pandas()
+            keep = ~kdf.duplicated().to_numpy()
+            lidx = lidx[keep]
         # match left rows to right rows on the key (first match wins is
         # wrong for 1:N — build full index pairs via pandas merge on
         # integer codes, cheap: keys only)

@@ -44,11 +44,18 @@ def attach_signatures(
     from gencore_ray.stages.shuffle import hash_join
 
     slim = sig.select_columns(["url", "tshash", "simhash", "shingle_count"])
-    np_parts = cfg.join_num_partitions
+    import ray as _ray
+
+    np_parts = cfg.join_num_partitions or int(
+        _ray.cluster_resources().get("CPU", 8)
+    )
 
     slim_a = _rename(slim, {"tshash": "tshash_a", "simhash": "simhash_a",
                             "shingle_count": "count_a"})
-    j1 = hash_join(pairs, slim_a, "url_a", "url", num_parts=np_parts)
+    # left_dedupe: multi-band duplicate pairs collapse here (global
+    # distinct — duplicates share url_a, hence the partition)
+    j1 = hash_join(pairs, slim_a, "url_a", "url", num_parts=np_parts,
+                   left_dedupe=["url_a", "url_b"])
     slim_b = _rename(slim, {"tshash": "tshash_b", "simhash": "simhash_b",
                             "shingle_count": "count_b"})
     return hash_join(j1, slim_b, "url_b", "url", num_parts=np_parts)
