@@ -322,6 +322,13 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return _round_cols(out, {"jaccard": 6})
 
 
+def _q_doc_quality_scores(sf_dir: str):
+    from gencore_ray.ops.textstats import text_stats
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return text_stats(docs).select_columns(["doc_id", "quality"])
+
+
 def _q_events_sessions(sf_dir: str):
     import ray.data as rd
 
@@ -424,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "doc_quality_scores": _q_doc_quality_scores,
         "events_sessions": _q_events_sessions,
         "events_value_buckets": _q_events_value_buckets,
         "user_running_totals": _q_user_running_totals,
@@ -499,6 +507,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 6) AS cos_sim "
             "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "doc_quality_scores": (
+            "WITH t AS (SELECT doc_id, text, "
+            "regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents) "
+            "SELECT doc_id, CASE WHEN length(text) = 0 OR len(toks) = 0 THEN 0.0 "
+            "ELSE round(0.4 * least(length(text) / 2000.0, 1.0) "
+            "+ 0.4 * (length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) * 1.0 "
+            "/ length(text)) "
+            "+ 0.2 * least((length(array_to_string(toks, '')) * 1.0 / len(toks)) "
+            "/ 8.0, 1.0), 6) END AS quality FROM t"
         ),
         "events_sessions": (
             "WITH d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "

@@ -44,22 +44,44 @@ def score_members(df: pd.DataFrame, cfg: DedupConfig) -> np.ndarray:
 def _elect_partition(df: pd.DataFrame, cfg: DedupConfig, cluster_col: str) -> pd.DataFrame:
     """Vectorised election over ALL complete clusters of one partition.
 
-    Sort by (cluster, -score, url); the first row of each cluster run
-    is the representative — the same arg-max + min-url tie-break as a
-    per-group scan, with no per-group Python call.
+    Clusters are ordered by their uint64 hash (string lexsort over
+    millions of rows is the classic hidden cost); the arg-max is the
+    first row of each run, and EXACT score ties fall back to a min-url
+    sort over just the tied rows — same semantics as a per-group scan
+    (arg-max, ties -> min url), no per-group Python call.
     """
+    from pandas.util import hash_pandas_object
+
     scores = np.round(score_members(df, cfg), 12)  # kill float jitter before argmax
-    cl = df[cluster_col].to_numpy()
-    urls = df["url"].to_numpy()
-    order = np.lexsort((urls, -scores, cl))
+    chash = hash_pandas_object(df[cluster_col], index=False).to_numpy()
+    order = np.lexsort((-scores, chash))
     df = df.iloc[order].copy()
-    cl = cl[order]
-    is_first = np.r_[True, cl[1:] != cl[:-1]]
+    scores = scores[order]
+    chash = chash[order]
+    cl = df[cluster_col].to_numpy()
+    # run boundary: hash change, or (collision guard) cluster change
+    is_first = np.r_[True, (chash[1:] != chash[:-1]) | (cl[1:] != cl[:-1])]
     group_id = np.cumsum(is_first) - 1
+    first_idx = np.flatnonzero(is_first)
     sizes = np.bincount(group_id)
+
+    rep_pos = first_idx
+    top_score = scores[first_idx][group_id]
+    tied = scores == top_score
+    if tied.sum() > len(first_idx):  # some cluster has a tie at the top
+        urls = df["url"].to_numpy()
+        pos = np.flatnonzero(tied)
+        tdf = pd.DataFrame({"g": group_id[pos], "url": urls[pos], "pos": pos})
+        rep_pos = (
+            tdf.sort_values(["g", "url"], kind="mergesort")
+            .drop_duplicates("g")["pos"].to_numpy()
+        )
+    is_rep = np.zeros(len(df), dtype=bool)
+    is_rep[rep_pos] = True
+
     df["cluster_size"] = sizes[group_id].astype(np.int64)
-    df["is_representative"] = is_first
-    df["rep_score"] = scores[order]
+    df["is_representative"] = is_rep
+    df["rep_score"] = scores
     return df
 
 

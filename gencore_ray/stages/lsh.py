@@ -70,16 +70,19 @@ def _simhash_combo_keys(sim: np.ndarray, hamming_max: int) -> list[np.ndarray]:
 
 
 def explode_keys(batch: pa.Table, include_simhash_keys: bool = True) -> pa.Table:
-    """(url, band_key, ckeys, simhash) -> (bkey, url, sort64) rows.
+    """(uhash, band_key, ckeys, simhash) -> (bkey, uh, sort64) rows.
 
     Emits one row per (doc, bucket key):
       * all LSH band keys           (band_key fixed list — already mixed)
       * all containment sketch keys (ckeys list)
-      * 4x 16-bit SimHash chunk keys (docs within Hamming<=3 of each
-        other share at least one chunk — pigeonhole over 4 chunks)
+      * C(6,3) SimHash block-combination keys (guaranteed collision for
+        fingerprints within Hamming<=3 — Manku et al., see above)
+
+    Rows are three fixed-width uint64s — url strings never ride the
+    explode; pairs are resolved back to urls by the verify joins.
     """
     n = batch.num_rows
-    urls = batch["url"]
+    uh = batch["uhash"].to_numpy(zero_copy_only=False).astype(U64)
     sim = batch["simhash"].to_numpy(zero_copy_only=False).astype(U64)
 
     keys: list[np.ndarray] = []
@@ -111,7 +114,7 @@ def explode_keys(batch: pa.Table, include_simhash_keys: bool = True) -> pa.Table
     return pa.table(
         {
             "bkey": pa.array(all_keys),
-            "url": urls.take(pa.array(all_idx)),
+            "uh": pa.array(uh[all_idx]),
             "sort64": pa.array(sim[all_idx]),
         }
     )
@@ -134,27 +137,28 @@ def _pairs_in_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     are paired in one numpy shot via cached triangular index templates.
     """
     empty = pd.DataFrame(
-        {"url_a": pd.Series(dtype=object), "url_b": pd.Series(dtype=object),
+        {"ha": pd.Series(dtype=np.uint64), "hb": pd.Series(dtype=np.uint64),
          "pair_hash": pd.Series(dtype=np.uint64),
          "capped": pd.Series(dtype=np.int64)}
     )
     if len(df) < 2:
         return empty
-    # drop duplicate (bkey, url) membership (one url can reach a bucket
-    # through several key sources)
-    df = df.drop_duplicates(subset=["bkey", "url"])
     bkey = df["bkey"].to_numpy().astype(np.uint64)
-    urls = df["url"].to_numpy()
+    uhash = df["uh"].to_numpy().astype(np.uint64)
     sort64 = df["sort64"].to_numpy().astype(np.uint64)
 
-    # deterministic int sort key for urls (string lexsort is ~10x
-    # slower; any stable deterministic order preserves the adjacency
-    # property that identical docs sort next to each other)
-    from pandas.util import hash_pandas_object
-
-    uhash = hash_pandas_object(df["url"], index=False).to_numpy()
+    # pure uint64 path: docs are their uhash here; urls rejoin later.
+    # uhash ordering is deterministic and keeps identical docs adjacent
+    # (equal sort64, consecutive hashes of equal members impossible —
+    # members are distinct urls).
     order = np.lexsort((uhash, sort64, bkey))
-    bkey, urls, sort64 = bkey[order], urls[order], sort64[order]
+    bkey, sort64, uhash = bkey[order], sort64[order], uhash[order]
+    # drop duplicate (bkey, doc) membership (one doc can reach a bucket
+    # through several key sources): consecutive after the sort
+    dup = np.r_[False, (bkey[1:] == bkey[:-1]) & (uhash[1:] == uhash[:-1])]
+    if dup.any():
+        keepm = ~dup
+        bkey, sort64, uhash = bkey[keepm], sort64[keepm], uhash[keepm]
     # bucket boundaries
     starts = np.flatnonzero(np.r_[True, bkey[1:] != bkey[:-1]])
     sizes = np.diff(np.r_[starts, len(bkey)])
@@ -188,27 +192,24 @@ def _pairs_in_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
         return empty
     ia = np.concatenate(ia_parts)
     ib = np.concatenate(ib_parts)
-    a, b = urls[ia], urls[ib]
+    a, b = uhash[ia], uhash[ib]
     swap = a > b
-    out = pd.DataFrame(
-        {"url_a": np.where(swap, b, a), "url_b": np.where(swap, a, b)}
-    ).drop_duplicates()
-    # vectorised uint64 pair key: the global pair-dedupe exchange keys
-    # on this instead of re-hashing url strings (deterministic across
-    # processes — pandas hash_pandas_object has a fixed hash key)
-    from pandas.util import hash_pandas_object
-
-    ha = hash_pandas_object(out["url_a"], index=False).to_numpy()
-    hb = hash_pandas_object(out["url_b"], index=False).to_numpy()
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
     with np.errstate(over="ignore"):
-        out["pair_hash"] = splitmix64((ha * np.uint64(0x100000001B3)) ^ hb)
-    out["capped"] = np.int64(0)
+        ph = splitmix64((a2 * np.uint64(0x100000001B3)) ^ b2)
+    # within-partition dedupe on the uint64 pair key (vectorised)
+    uniq_idx = np.unique(ph, return_index=True)[1]
+    out = pd.DataFrame(
+        {"ha": a2[uniq_idx], "hb": b2[uniq_idx], "pair_hash": ph[uniq_idx],
+         "capped": np.zeros(len(uniq_idx), dtype=np.int64)}
+    )
     if capped_total:
         # sentinel row carries the cap count (no silent drops): its
         # pair_hash is unique per partition so pair-dedupe keeps it, and
-        # the empty urls match nothing in the verify joins
+        # ha=hb=0 matches nothing in the verify joins
         sentinel = pd.DataFrame(
-            {"url_a": [""], "url_b": [""],
+            {"ha": [np.uint64(0)], "hb": [np.uint64(0)],
              "pair_hash": [np.uint64(splitmix64(np.uint64(int(bkey[0]) ^ capped_total)))],
              "capped": [np.int64(capped_total)]}
         )

@@ -180,9 +180,16 @@ def hash_join(
     if overlap:
         raise ValueError(f"hash_join column overlap: {sorted(overlap)} — rename first")
 
+    # keys keep their native type (int keys hash/factorize ~10x faster
+    # than strings); both sides must agree
+    kt_l, kt_r = lschema.field(left_key).type, rschema.field(right_key).type
+    if kt_l != kt_r:
+        raise ValueError(f"hash_join key type mismatch: {kt_l} vs {kt_r}")
+
     def tag_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        t = t.append_column("__key", t[left_key].cast(pa.string()))
+        t = t.append_column("__key", t[left_key].combine_chunks()
+                            if isinstance(t[left_key], pa.ChunkedArray) else t[left_key])
         t = t.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
         for name in rcols:
             t = t.append_column(name, pa.nulls(n, rschema.field(name).type))
@@ -190,7 +197,8 @@ def hash_join(
 
     def tag_right(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        t = t.append_column("__key", t[right_key].cast(pa.string()))
+        t = t.append_column("__key", t[right_key].combine_chunks()
+                            if isinstance(t[right_key], pa.ChunkedArray) else t[right_key])
         t = t.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
         for name in lcols:
             t = t.append_column(name, pa.nulls(n, lschema.field(name).type))

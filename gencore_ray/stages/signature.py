@@ -51,10 +51,12 @@ class SignatureStage:
         cfg: DedupConfig | None = None,
         keep_cols: tuple[str, ...] = ("warc_ts",),
         extract_from: str | None = None,
+        keep_minhash: bool = False,
     ):
         self.cfg = cfg or DedupConfig()
         self.keep_cols = keep_cols
         self.extract_from = extract_from
+        self.keep_minhash = keep_minhash
         self.minhasher = MinHasher(self.cfg.num_perm, self.cfg.seed)
         # independent permutation family for the containment sketch
         self.cperm_a, self.cperm_b = minhash_perms(
@@ -107,7 +109,19 @@ class SignatureStage:
                 bkey_mat[i] = 0
                 ckeys_list.append(np.empty(0, dtype=U64))
 
+        import pandas as pd
+        from pandas.util import hash_pandas_object
+
         cols: dict[str, pa.Array] = {"url": batch["url"]}
+        # stable uint64 stand-in for the url: every downstream exchange
+        # (explode, pairing, verify joins) moves this 8-byte key, never
+        # the url string. Collision odds n^2/2^64 — switch to a 128-bit
+        # pair for corpora beyond ~10^9 docs.
+        cols["uhash"] = pa.array(
+            hash_pandas_object(
+                batch["url"].to_pandas(), index=False
+            ).to_numpy().astype(U64)
+        )
         for c in self.keep_cols:
             if c in batch.column_names:
                 cols[c] = batch[c]
@@ -116,9 +130,12 @@ class SignatureStage:
         cols["shingle_count"] = pa.array(shingle_count)
         cols["text_hash"] = pa.array(text_hash)
         cols["simhash"] = pa.array(simhashes)
-        cols["minhash"] = pa.FixedSizeListArray.from_arrays(
-            pa.array(minhash_mat.ravel()), cfg.num_perm
-        )
+        if self.keep_minhash:
+            # raw signatures are derivable (band keys already encode the
+            # banded view) — 1 KB/row, so off by default at scale
+            cols["minhash"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(minhash_mat.ravel()), cfg.num_perm
+            )
         cols["band_key"] = pa.FixedSizeListArray.from_arrays(
             pa.array(bkey_mat.ravel()), cfg.bands
         )

@@ -40,25 +40,28 @@ def _rename(ds: rd.Dataset, mapping: dict[str, str]) -> rd.Dataset:
 def attach_signatures(
     pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig
 ) -> rd.Dataset:
-    """pairs ⋈ sig on url_a, then on url_b (hash-partitioned joins)."""
+    """pairs(ha,hb) ⋈ sig on the uint64 doc hash, twice.
+
+    Int-keyed hash-partitioned joins; the url strings re-enter the
+    pipeline here from the signature side."""
     from gencore_ray.stages.shuffle import hash_join
 
-    slim = sig.select_columns(["url", "tshash", "simhash", "shingle_count"])
+    slim = sig.select_columns(["uhash", "url", "tshash", "simhash", "shingle_count"])
     import ray as _ray
 
     np_parts = cfg.join_num_partitions or int(
         _ray.cluster_resources().get("CPU", 8)
     )
 
-    slim_a = _rename(slim, {"tshash": "tshash_a", "simhash": "simhash_a",
-                            "shingle_count": "count_a"})
+    slim_a = _rename(slim, {"url": "url_a", "tshash": "tshash_a",
+                            "simhash": "simhash_a", "shingle_count": "count_a"})
     # left_dedupe: multi-band duplicate pairs collapse here (global
-    # distinct — duplicates share url_a, hence the partition)
-    j1 = hash_join(pairs, slim_a, "url_a", "url", num_parts=np_parts,
-                   left_dedupe=["url_a", "url_b"])
-    slim_b = _rename(slim, {"tshash": "tshash_b", "simhash": "simhash_b",
-                            "shingle_count": "count_b"})
-    return hash_join(j1, slim_b, "url_b", "url", num_parts=np_parts)
+    # distinct — duplicates share ha, hence the partition)
+    j1 = hash_join(pairs, slim_a, "ha", "uhash", num_parts=np_parts,
+                   left_dedupe=["ha", "hb"])
+    slim_b = _rename(slim, {"url": "url_b", "tshash": "tshash_b",
+                            "simhash": "simhash_b", "shingle_count": "count_b"})
+    return hash_join(j1, slim_b, "hb", "uhash", num_parts=np_parts)
 
 
 def _verify_batch(t: pa.Table, cfg: DedupConfig) -> pa.Table:
@@ -117,7 +120,7 @@ EDGE_SCHEMA = pa.schema(
 def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     if pairs.schema() is None:  # no candidates at all (all-unique corpus)
         return rd.from_arrow(EDGE_SCHEMA.empty_table())
-    withsig = attach_signatures(pairs.select_columns(["url_a", "url_b"]), sig, cfg)
+    withsig = attach_signatures(pairs.select_columns(["ha", "hb"]), sig, cfg)
     return withsig.map_batches(
         lambda t: _verify_batch(t, cfg), batch_format="pyarrow", zero_copy_batch=True
     )
