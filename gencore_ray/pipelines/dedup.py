@@ -1,19 +1,20 @@
 """The flagship near-dup pipeline (SURVEY §3 "Our pipeline lifecycle").
 
-    pages --SignatureStage--> signatures
-          --exact_edges------------------------\\
-          --candidate_pairs--> verified_edges --+--> connected components
-                                                      |
-    signatures(features) <---- labels ----------------/
+    pages --SignatureStage--> signatures (incl. uint64 doc hash)
+          --candidate_pairs (LSH explode -> bucket exchange, capped)
+          --verified_edges  (2 int-keyed joins + exact jaccard/
+                             containment/hamming; pair dedupe in-join)
+          --> connected components (driver union-find | distributed
+              large-star/small-star)
+    signatures(features) + labels
           --elect_representatives--> clusters(url, cluster_id,
                                               cluster_size,
                                               is_representative, rep_score)
 
-Everything is lazy Ray Data until a checkpoint or the final sink; the
-only all-to-all exchanges are: the band-bucket groupby, the exact-hash
-groupby, the pair-dedupe groupby, two pair⋈signature joins, the label
-join and the cluster-id groupby — each keyed and justified in its
-stage module.  gencore file refs live in the stage modules.
+Exchanges: bucket exchange (bkey), two verify joins (doc hash), the
+cluster-id election exchange — each keyed, slim, and justified in its
+stage module.  Stage outputs are materialized (or checkpointed) and
+coalesced; gencore file refs live in the stage modules.
 """
 
 from __future__ import annotations

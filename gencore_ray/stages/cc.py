@@ -14,9 +14,11 @@ Two implementations, equal by construction (tested against each other):
   this is the default up to ~10M edges.
 * ``distributed_cc`` — alternating large-star / small-star over the
   edges Dataset (Kiveris et al., "Connected Components in MapReduce
-  and Beyond", SoCC'14): each round is one groupby shuffle keyed by
-  node; converges in O(log n) rounds.  The scale path for 10^12-doc
-  corpora where even the edge set exceeds driver memory.
+  and Beyond", SoCC'14): each round is one partition-wise exchange
+  keyed by node; converges in O(log n) rounds.  The scale path for
+  10^12-doc corpora where even the edge set exceeds driver memory.
+  Star steps are vectorised per partition (hash-primary sort + run
+  boundaries), never per-group Python.
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+from pandas.util import hash_pandas_object
 
 from gencore_ray.oracle import union_find_clusters
 
@@ -44,52 +47,70 @@ def driver_cc(edges: rd.Dataset) -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
-# distributed large-star / small-star
+# distributed large-star / small-star (vectorised)
 # ---------------------------------------------------------------------------
+
+
+def _runs(keys_hash: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Group ids for pre-sorted rows; hash boundary with collision guard."""
+    new = np.r_[True, (keys_hash[1:] != keys_hash[:-1]) | (keys[1:] != keys[:-1])]
+    return np.cumsum(new) - 1
+
+
+def _star_partition(df: pd.DataFrame, large: bool) -> pd.DataFrame:
+    """One star step over all complete node-groups of a partition.
+
+    Input rows (k, n): ``k`` the grouping endpoint, ``n`` a neighbor.
+    large-star: attach neighbors > k to m = min(neighborhood ∪ {k});
+    small-star: attach neighbors (all <= k by construction) and k to m.
+    """
+    if not len(df):
+        return pd.DataFrame({"u": pd.Series(dtype=object), "v": pd.Series(dtype=object)})
+    kh = hash_pandas_object(df["k"], index=False).to_numpy()
+    order = np.argsort(kh, kind="stable")
+    df = df.iloc[order]
+    kh = kh[order]
+    k = df["k"].to_numpy()
+    n = df["n"].to_numpy()
+    g = _runs(kh, k)
+    # per-run min over neighbors, then vs k itself (string mins)
+    m_n = pd.Series(n).groupby(g, sort=False).min().to_numpy()
+    k_first = k[np.r_[True, g[1:] != g[:-1]]]
+    m = np.minimum(m_n, k_first)
+    m_row = m[g]
+    if large:
+        keep = n > k
+        return pd.DataFrame({"u": m_row[keep], "v": n[keep]})
+    # small-star: attach all neighbors != m, plus k itself where k != m
+    keep = n != m_row
+    out_u = [m_row[keep]]
+    out_v = [n[keep]]
+    k_keep = k_first != m
+    out_u.append(m[k_keep])
+    out_v.append(k_first[k_keep])
+    return pd.DataFrame(
+        {"u": np.concatenate(out_u), "v": np.concatenate(out_v)}
+    ).drop_duplicates()
 
 
 def _canon(t: pa.Table) -> pa.Table:
     """Canonicalise an edge table: u < v, no self-loops, columns (u, v)."""
-    u = t["u"].to_pandas()
-    v = t["v"].to_pandas()
+    u = t["u"].to_pandas().to_numpy()
+    v = t["v"].to_pandas().to_numpy()
     lo = np.minimum(u, v)
     hi = np.maximum(u, v)
     keep = lo != hi
     return pa.table({"u": pa.array(lo[keep]), "v": pa.array(hi[keep])})
 
 
-def _large_star(df: pd.DataFrame) -> pd.DataFrame:
-    """Group = all edges touching node ``k``; attach strict-greater
-    neighbors to the minimum of the neighborhood (incl. k)."""
-    k = df["k"].iloc[0]
-    nbrs = df["n"].to_numpy()
-    m = min(k, nbrs.min())
-    big = nbrs[nbrs > k]
-    if len(big) == 0:
-        return pd.DataFrame({"u": pd.Series(dtype=object), "v": pd.Series(dtype=object)})
-    return pd.DataFrame({"u": np.full(len(big), m), "v": big})
-
-
-def _small_star(df: pd.DataFrame) -> pd.DataFrame:
-    """Group = edges (v<=k) for node k; attach all small neighbors + k
-    to the minimum."""
-    k = df["k"].iloc[0]
-    nbrs = df["n"].to_numpy()
-    m = min(k, nbrs.min())
-    targets = np.unique(np.append(nbrs[nbrs != m], k))
-    targets = targets[targets != m]
-    if len(targets) == 0:
-        return pd.DataFrame({"u": pd.Series(dtype=object), "v": pd.Series(dtype=object)})
-    return pd.DataFrame({"u": np.full(len(targets), m), "v": targets})
-
-
 def _expand_both(t: pa.Table) -> pa.Table:
     """(u,v) -> rows (k=u,n=v) and (k=v,n=u) for large-star grouping."""
-    u, v = t["u"], t["v"]
+    u = t["u"].combine_chunks() if isinstance(t["u"], pa.ChunkedArray) else t["u"]
+    v = t["v"].combine_chunks() if isinstance(t["v"], pa.ChunkedArray) else t["v"]
     return pa.table(
         {
-            "k": pa.chunked_array([u, v]).combine_chunks(),
-            "n": pa.chunked_array([v, u]).combine_chunks(),
+            "k": pa.concat_arrays([u, v]),
+            "n": pa.concat_arrays([v, u]),
         }
     )
 
@@ -99,24 +120,28 @@ def _expand_small(t: pa.Table) -> pa.Table:
     return pa.table({"k": t["v"], "n": t["u"]})
 
 
-def _edge_checksum(edges: rd.Dataset) -> tuple[int, int]:
-    """(count, hash-sum) fingerprint used for convergence detection."""
-    import hashlib
+def _edge_fingerprint(edges: rd.Dataset) -> tuple[int, int]:
+    """(count, hash-sum) — convergence detector, fully vectorised."""
 
-    def per_batch(t: pa.Table) -> pa.Table:
-        h = np.uint64(0)
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            hash_pandas_object(df["u"], index=False).to_numpy()
+            ^ hash_pandas_object(df["v"], index=False).to_numpy()
+        )
         with np.errstate(over="ignore"):
-            for a, b in zip(t["u"].to_pylist(), t["v"].to_pylist()):
-                d = hashlib.blake2b(f"{a}|{b}".encode(), digest_size=8).digest()
-                h = (h + np.uint64(int.from_bytes(d, "little"))) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
-                         "h": pa.array([int(h)], pa.uint64())})
+            s = np.uint64(h.sum(dtype=np.uint64))
+        return pd.DataFrame({"n": [len(df)], "h": [np.uint64(s)]})
 
-    agg = edges.map_batches(per_batch, batch_format="pyarrow").to_pandas()
-    return int(agg["n"].sum()), int(np.uint64(agg["h"].to_numpy().astype(np.uint64).sum()))
+    agg = edges.map_batches(per_batch, batch_format="pandas").to_pandas()
+    with np.errstate(over="ignore"):
+        return int(agg["n"].sum()), int(
+            np.uint64(agg["h"].to_numpy().astype(np.uint64).sum(dtype=np.uint64))
+        )
 
 
-def distributed_cc(edges: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
+def distributed_cc(
+    edges: rd.Dataset, max_rounds: int = 50, num_parts: int | None = None
+) -> rd.Dataset:
     """Edges (url_a,url_b) -> labels Dataset (url, label).
 
     Alternates large-star/small-star until the canonical edge multiset
@@ -124,34 +149,42 @@ def distributed_cc(edges: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
     min url, which IS the (url, label) mapping for non-root members;
     roots label themselves.
     """
+    from gencore_ray.stages.shuffle import grouped_map
+
+    if num_parts is None:
+        import ray as _ray
+
+        num_parts = int(_ray.cluster_resources().get("CPU", 8))
+
     cur = edges.map_batches(
         lambda t: pa.table({"u": t["url_a"], "v": t["url_b"]}),
         batch_format="pyarrow", zero_copy_batch=True,
-    ).map_batches(_canon, batch_format="pyarrow")
+    ).map_batches(_canon, batch_format="pyarrow").materialize()
 
     prev_fp = None
     for _ in range(max_rounds):
-        # large-star
-        ls = (
-            cur.map_batches(_expand_both, batch_format="pyarrow")
-            .groupby("k")
-            .map_groups(_large_star, batch_format="pandas")
+        ls = grouped_map(
+            cur.map_batches(_expand_both, batch_format="pyarrow"),
+            "k", lambda df: _star_partition(df, large=True), num_parts=num_parts,
         )
-        union = ls.union(cur.map_batches(_canon, batch_format="pyarrow"))
-        # small-star
-        ss = (
-            union.map_batches(_canon, batch_format="pyarrow")
-            .map_batches(_expand_small, batch_format="pyarrow")
-            .groupby("k")
-            .map_groups(_small_star, batch_format="pandas")
+        union = (
+            ls.map_batches(lambda t: t, batch_format="pyarrow")
+            .union(cur)
+            .map_batches(_canon, batch_format="pyarrow")
+        )
+        ss = grouped_map(
+            union.map_batches(_expand_small, batch_format="pyarrow"),
+            "k", lambda df: _star_partition(df, large=False), num_parts=num_parts,
         )
         cur = (
-            ss.map_batches(_canon, batch_format="pyarrow")
-            .groupby("u")  # dedupe identical edges cheaply within groups
-            .map_groups(lambda df: df.drop_duplicates(), batch_format="pandas")
+            grouped_map(
+                ss.map_batches(_canon, batch_format="pyarrow"),
+                "u", lambda df: df.drop_duplicates(), num_parts=num_parts,
+            )
+            .map_batches(lambda t: t, batch_format="pyarrow")
             .materialize()
         )
-        fp = _edge_checksum(cur)
+        fp = _edge_fingerprint(cur)
         if fp == prev_fp:
             break
         prev_fp = fp

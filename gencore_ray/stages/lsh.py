@@ -19,9 +19,10 @@ Skew handling (gencore's low-complexity-cluster skip analogue,
        hard_cap before neighbor-linking; the drop is COUNTED (capped
        column) — no silent truncation.
 
-The shuffle payload is deliberately slim: (bkey, url, sort64) — three
-fixed-width columns; shingle arrays never ride the explode (they are
-joined back only for the much smaller verified-candidate set).
+The shuffle payload is deliberately slim: (bkey, uh, sort64) — three
+uint64 columns, 24 bytes/row; neither url strings nor shingle arrays
+ride the explode (both are joined back only for the much smaller
+verified-candidate set).
 """
 
 from __future__ import annotations

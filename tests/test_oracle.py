@@ -58,3 +58,27 @@ def test_oracle_min_shingles_bypass():
     cfg = DedupConfig()
     edges = oracle_edges(["e1", "e2"], ["", ""], cfg)
     assert edges == []
+
+
+def test_distributed_cc_random_graphs(ray_session):
+    """Vectorised large-star/small-star equals union-find on random graphs."""
+    import numpy as np
+    import ray.data as rd
+
+    from gencore_ray.stages.cc import distributed_cc
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        n, m = 200, 150
+        nodes = [f"n{i:04d}" for i in range(n)]
+        ea = rng.randint(0, n, size=m)
+        eb = rng.randint(0, n, size=m)
+        edges = [(nodes[a], nodes[b]) for a, b in zip(ea, eb) if a != b]
+        ds = rd.from_items([{"url_a": a, "url_b": b} for a, b in edges])
+        labels = distributed_cc(ds, num_parts=4).to_pandas()
+        got = dict(zip(labels["url"], labels["label"]))
+        want = union_find_clusters(nodes, [(a, b, 1.0) for a, b in edges])
+        # distributed labels cover only nodes that appear in edges
+        touched = {x for e in edges for x in e}
+        for u in touched:
+            assert got.get(u, u) == want[u], (trial, u)
