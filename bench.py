@@ -128,9 +128,14 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=8 then 32."""
+    """Same job, fresh processes, num_cpus=8 then 32.
+
+    Defaults to a 200k-page corpus (vs 60k for the plain run): large
+    enough that compute dominates the fixed per-exchange latency at
+    both levels, small enough to generate and run in minutes."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env.setdefault("GRAFT_BENCH_PAGES", "200000")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,

@@ -24,13 +24,15 @@ import ray.data as rd
 
 
 def _batch_matrix(t: pa.Table, col: str) -> np.ndarray:
-    """(n, d) float64 matrix from a list<float> column."""
+    """(n, d) float64 matrix from a list<float> / tensor-extension column."""
     arr = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
-    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    if hasattr(arr, "flatten"):  # ListArray / FixedSizeListArray
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    # Ray ArrowTensorArray (from_pandas of ndarray cells) -> (n, d) directly
+    mat = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.float64)
+    return mat.reshape(n, -1) if n else mat.reshape(0, 0)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

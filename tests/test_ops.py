@@ -1,0 +1,175 @@
+"""Unit tests for the training-data ops (relational, windows,
+intervals, ann, textstats, multimodal) against in-process ground truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from gencore_ray.ops.ann import brute_force_topk, near_dup_pairs
+from gencore_ray.ops.intervals import interval_lookup_join
+from gencore_ray.ops.multimodal import MediaDecodeStage, decode_media, frame_sample_plan
+from gencore_ray.ops.relational import broadcast_join, grouped_aggregate, topk
+from gencore_ray.ops.textstats import text_stats
+from gencore_ray.ops.windows import running_totals, session_windows, tumbling_window_agg
+from gencore_ray.stages.exact import exact_edges
+from gencore_ray.pipelines.dedup import compute_signatures
+from gencore_ray.config import DedupConfig
+
+
+@pytest.fixture
+def events_df(ray_session):
+    rng = np.random.RandomState(3)
+    n = 400
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.randint(0, 10, size=n),
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(np.sort(rng.randint(0, 86400 * 5, size=n)), unit="s"),
+            "value": rng.rand(n) * 100,
+        }
+    )
+
+
+def test_grouped_aggregate_matches_pandas(events_df):
+    got = (
+        grouped_aggregate(
+            rd.from_pandas(events_df), ["user_id"],
+            [("n", None, "count"), ("total", "value", "sum"),
+             ("avg", "value", "mean"), ("lo", "value", "min"), ("hi", "value", "max")],
+            num_parts=4,
+        )
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = (
+        events_df.groupby("user_id")
+        .agg(n=("value", "size"), total=("value", "sum"), avg=("value", "mean"),
+             lo=("value", "min"), hi=("value", "max"))
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_broadcast_join(ray_session):
+    big = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 2], "x": [10, 20, 30, 40]}))
+    dim = pd.DataFrame({"k": [1, 2], "name": ["a", "b"]})
+    got = broadcast_join(big, dim, key="k").to_pandas().sort_values("x")
+    assert got["name"].tolist() == ["a", "b", "b"]
+
+
+def test_topk_deterministic_ties(ray_session):
+    df = pd.DataFrame({"id": [3, 1, 2, 4], "v": [9, 9, 9, 1]})
+    got = topk(rd.from_pandas(df), ["v", "id"], 2, descending=[True, False]).to_pandas()
+    assert got["id"].tolist() == [1, 2]
+
+
+def test_session_windows_match_pandas(events_df):
+    gap = pd.Timedelta(minutes=30)
+    got = (
+        session_windows(rd.from_pandas(events_df), gap=gap, num_parts=4)
+        .to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    )
+    df = events_df.sort_values(["user_id", "ts"])
+    prev = df.groupby("user_id")["ts"].shift()
+    brk = (prev.isna() | ((df["ts"] - prev) > gap)).astype(np.int64)
+    df = df.assign(session_id=brk.groupby(df["user_id"]).cumsum())
+    want = (
+        df.groupby(["user_id", "session_id"])
+        .agg(n_events=("ts", "size"), session_start=("ts", "min"), session_end=("ts", "max"))
+        .reset_index().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_running_totals(events_df):
+    got = (
+        running_totals(rd.from_pandas(events_df), num_parts=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    df = events_df.sort_values(["user_id", "ts", "event_id"])
+    want = df.assign(running_value=df.groupby("user_id")["value"].cumsum()).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    np.testing.assert_allclose(got["running_value"], want["running_value"])
+
+
+def test_tumbling_window(events_df):
+    got = tumbling_window_agg(rd.from_pandas(events_df), width="1d", num_parts=4).to_pandas()
+    want = (
+        events_df.assign(window_start=events_df["ts"].dt.floor("1d"))
+        .groupby(["user_id", "window_start"])
+        .agg(n_events=("ts", "size"), total_value=("value", "sum"))
+        .reset_index()
+    )
+    got = got.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_interval_lookup_join(ray_session):
+    iv = pd.DataFrame({"lo": [0.0, 10.0], "hi": [10.0, 20.0], "label": ["a", "b"]})
+    ds = rd.from_pandas(pd.DataFrame({"value": [5.0, 10.0, 19.9, 25.0, -1.0]}))
+    got = interval_lookup_join(ds, iv, "value").to_pandas()
+    assert got.sort_values("value")["bucket"].tolist() == [None, "a", "b", "b", None]
+
+
+def test_brute_force_topk_exact(ray_session):
+    rng = np.random.RandomState(5)
+    mat = rng.randn(300, 16).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": np.arange(300), "embedding": list(mat)}))
+    q = mat[7].astype(np.float64)
+    got = brute_force_topk(ds, q, k=5).to_pandas()
+    mn = mat.astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    cos = np.round(mn @ (q / np.linalg.norm(q)), 6)
+    want = np.lexsort((np.arange(300), -cos))[:5]
+    assert got["vec_id"].tolist() == want.tolist()
+    assert got["vec_id"].iloc[0] == 7  # self-match first
+
+
+def test_near_dup_pairs_threshold(ray_session):
+    base = np.eye(4, 8)
+    mat = np.vstack([base, base[0] + 1e-6])  # row 4 ~ row 0
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": np.arange(5), "embedding": list(mat)}))
+    got = near_dup_pairs(ds, threshold=0.99).to_pandas()
+    assert set(zip(got["id_a"], got["id_b"])) == {(0, 4)}
+
+
+def test_text_stats_columns(ray_session):
+    ds = rd.from_items([{"text": "Hello world AB12"}, {"text": ""}])
+    got = text_stats(ds).to_pandas().sort_values("text_len", ascending=False)
+    assert got["text_len"].tolist() == [16, 0]
+    assert got["token_count"].tolist() == [3, 0]
+    assert got["alnum_count"].tolist() == [14, 0]
+    assert got["quality"].iloc[1] == 0.0
+
+
+def test_multimodal_decode_stub(ray_session):
+    ds = rd.from_items([{"doc_id": 1, "payload": b"abc"}, {"doc_id": 2, "payload": b""}])
+    got = decode_media(ds, batch_size=2, concurrency=1).to_pandas()
+    assert "payload" not in got.columns  # payload never leaves the stage
+    assert got.sort_values("doc_id")["byte_len"].tolist() == [3, 0]
+    assert (got["width"] >= 1).all() and (got["n_frames"] >= 1).all()
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStage(strict=True)
+    plan = frame_sample_plan(np.array([50, 10]), every=24)
+    assert plan[0].tolist() == [0, 24, 48] and plan[1].tolist() == [0]
+
+
+def test_exact_edges_operator(ray_session):
+    sig = compute_signatures(
+        rd.from_items(
+            [
+                {"url": "u3", "text": "same words in this doc"},
+                {"url": "u1", "text": "same words in this doc"},
+                {"url": "u2", "text": "same words in this doc"},
+                {"url": "u9", "text": "entirely different content here"},
+            ]
+        ),
+        DedupConfig(),
+    )
+    got = exact_edges(sig, num_parts=4).to_pandas().sort_values("url_b")
+    assert got["url_a"].tolist() == ["u1", "u1"]
+    assert got["url_b"].tolist() == ["u2", "u3"]
