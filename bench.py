@@ -152,7 +152,7 @@ def run_scaling() -> dict:
         "pages_per_sec_8": thr_lo,
         "pages_per_sec_32": thr_hi,
         "scaling_efficiency": round(eff, 3),
-        "pages": BENCH_PAGES,
+        "pages": lo["pages"],
     }
 
 
