@@ -92,9 +92,17 @@ def run_bench() -> dict:
     # count (exchange fan-out = blocks x partitions object refs)
     n_blocks = NUM_CPUS
 
-    # warm the OS page cache so we measure compute+shuffle, not cold disk
+    # warm-up, untimed: (a) OS page cache for the corpus, (b) Ray worker
+    # processes + their library imports — a tiny full-pipeline run makes
+    # every worker import the stage modules once, so the timed run
+    # measures steady-state compute+shuffle (what a long-running
+    # production job sees), not one-time process spin-up
     read_pages(os.path.join(corpus, "pages"), need_html=True,
                override_num_blocks=n_blocks).count()
+    warm = read_pages(os.path.join(corpus, "pages"), need_html=True,
+                      override_num_blocks=n_blocks).limit(2000)
+    dedup_pages(warm.drop_columns(["text"]), DedupConfig(), extract_html=True,
+                cc_mode="driver").clusters.count()
 
     # --- headline: full extract -> signatures -> LSH -> CC -> elect ----
     t0 = time.monotonic()
