@@ -1,0 +1,137 @@
+"""CLI entry point — EP1/EP2/EP3 parity with the reference binary.
+
+The reference's single real entry point is `gencore <args>`
+(/root/reference/src/main.cpp:29-89: cmdline parse -> Options ->
+consensus run -> stderr/JSON reports), plus `gencore test` unit
+vectors (src/main.cpp:18-22) and `gencore -v` (src/main.cpp:24-27).
+
+    python -m gencore_ray dedup  -i corpus/pages -o /tmp/clusters \
+        [--checkpoint-dir D] [--extract-html] [--cc driver|distributed] \
+        [--jaccard 0.7] [--bands 32] [--rows 4] [--num-cpus N] ...
+    python -m gencore_ray test       # reference-style builtin vectors
+    python -m gencore_ray -v
+
+Owns its Ray session (the ONLY library-adjacent code that may call
+ray.init, per the driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_dedup(args: argparse.Namespace) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = not args.quiet
+
+    from gencore_ray.config import DedupConfig
+    from gencore_ray.pipelines.dedup import dedup_pages
+    from gencore_ray.sources import read_pages
+
+    cfg = DedupConfig(
+        shingle_k=args.shingle_k,
+        bands=args.bands,
+        rows_per_band=args.rows,
+        num_perm=args.bands * args.rows,
+        jaccard_threshold=args.jaccard,
+        simhash_hamming_max=args.hamming,
+        containment_threshold=args.containment,
+        min_cluster_size=args.min_cluster_size,
+        seed=args.seed,
+    )
+    t0 = time.monotonic()
+    pages = read_pages(args.input, need_html=args.extract_html)
+    res = dedup_pages(
+        pages, cfg,
+        extract_html=args.extract_html,
+        cc_mode=args.cc,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    res.clusters.write_parquet(args.output)
+    wall = time.monotonic() - t0
+    report = {"counters": res.counters, "wall_sec": round(wall, 2),
+              "output": args.output, "config_fingerprint": cfg.fingerprint()}
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
+def _cmd_test(_args: argparse.Namespace) -> int:
+    """Builtin unit vectors, reference-style (prints PASSED/FAILED)."""
+    import numpy as np
+
+    from gencore_ray.extract import extract_text
+    from gencore_ray.functions.hashing import popcount64
+    from gencore_ray.functions.text import (
+        MinHasher, shingle_hashes, token_hashes_for_batch, tokenize,
+    )
+    from gencore_ray.oracle import union_find_clusters
+
+    ok = True
+    ok &= tokenize("Hello, World!") == ["hello", "world"]
+    ok &= extract_text("<p>AT&amp;T</p>") == "AT&T"
+    ths = token_hashes_for_batch(["a b c d e f", "a b c d e f"])
+    mh = MinHasher(32, 42)
+    ok &= bool(
+        (mh.signature(shingle_hashes(ths[0], 5))
+         == mh.signature(shingle_hashes(ths[1], 5))).all()
+    )
+    ok &= int(popcount64(np.uint64(0b1011))[0]) == 3
+    lab = union_find_clusters(list("abc"), [("a", "b", 1.0)])
+    ok &= lab == {"a": "a", "b": "a", "c": "c"}
+    print("PASSED" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] in ("-v", "--version"):
+        from gencore_ray import __version__
+
+        print(f"gencore_ray {__version__}")
+        return 0
+
+    p = argparse.ArgumentParser(prog="gencore_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dedup", help="near-duplicate detection + clustering")
+    d.add_argument("-i", "--input", required=True, help="pages parquet file/dir")
+    d.add_argument("-o", "--output", required=True, help="clusters output dir")
+    d.add_argument("--checkpoint-dir", default=None)
+    d.add_argument("--extract-html", action="store_true")
+    d.add_argument("--cc", choices=["driver", "distributed"], default="driver")
+    d.add_argument("--shingle-k", type=int, default=5)
+    d.add_argument("--bands", type=int, default=32)
+    d.add_argument("--rows", type=int, default=4)
+    d.add_argument("--jaccard", type=float, default=0.7)
+    d.add_argument("--hamming", type=int, default=3)
+    d.add_argument("--containment", type=float, default=0.9)
+    d.add_argument("--min-cluster-size", type=int, default=1)
+    d.add_argument("--seed", type=int, default=42)
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.add_argument("--quiet", action="store_true", default=True)
+    d.set_defaults(fn=_cmd_dedup)
+
+    t = sub.add_parser("test", help="builtin unit vectors (reference EP2)")
+    t.set_defaults(fn=_cmd_test)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -94,7 +94,7 @@ def ivf_topk(
     query: np.ndarray,
     k: int = 10,
     n_clusters: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,

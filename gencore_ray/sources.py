@@ -50,10 +50,25 @@ def read_pages(
     the extraction stage should ever ask for it (need_html=True).
     """
     if columns is None:
-        columns = ["url", "warc_ts", "text", "lang"]
         if need_html:
-            columns.insert(2, "html")
-    validate_columns(path, set(columns))
+            # extraction derives text from html — text need not exist
+            columns = ["url", "warc_ts", "html", "lang"]
+        else:
+            columns = ["url", "warc_ts", "text", "lang"]
+        # warc_ts/lang are optional metadata; require only the essentials
+        import pyarrow.parquet as _pq
+
+        validate_columns(path, {"url", "html" if need_html else "text"})
+        import glob as _glob
+        import os as _os
+
+        probe = path
+        if _os.path.isdir(path):
+            probe = sorted(_glob.glob(_os.path.join(path, "*.parquet")))[0]
+        present = set(_pq.ParquetFile(probe).schema_arrow.names)
+        columns = [c for c in columns if c in present]
+    else:
+        validate_columns(path, set(columns))
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 
