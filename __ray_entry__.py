@@ -410,7 +410,6 @@ def _q_pages_dedup_pipeline(sf_dir: str):
     if not os.path.exists(os.path.join(cache, "pages.parquet")):
         write_pages_corpus(cache, n_pages=n, seed=42)
     pages = read_pages(os.path.join(cache, "pages.parquet"), need_html=True)
-    pages = pages.drop_columns(["text"])  # force extraction
     res = dedup_pages(pages, DedupConfig(), extract_html=True, cc_mode="driver")
     return res.clusters.select_columns(
         ["url", "cluster_id", "cluster_size", "is_representative"]

@@ -101,14 +101,13 @@ def run_bench() -> dict:
                override_num_blocks=n_blocks).count()
     warm = read_pages(os.path.join(corpus, "pages"), need_html=True,
                       override_num_blocks=n_blocks).limit(2000)
-    dedup_pages(warm.drop_columns(["text"]), DedupConfig(), extract_html=True,
+    dedup_pages(warm, DedupConfig(), extract_html=True,
                 cc_mode="driver").clusters.count()
 
     # --- headline: full extract -> signatures -> LSH -> CC -> elect ----
     t0 = time.monotonic()
     pages = read_pages(os.path.join(corpus, "pages"), need_html=True,
                        override_num_blocks=n_blocks)
-    pages = pages.drop_columns(["text"])
     res = dedup_pages(pages, DedupConfig(), extract_html=True, cc_mode="driver")
     n_out = res.clusters.count()
     headline = time.monotonic() - t0
