@@ -22,7 +22,6 @@ import numpy as np
 from gencore_ray.config import DedupConfig
 from gencore_ray.functions.hashing import U64, popcount64
 from gencore_ray.functions.text import (
-    MinHasher,
     shingle_hashes,
     simhash64,
     token_hashes_for_batch,

@@ -22,15 +22,12 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
 from gencore_ray.config import DedupConfig
-from gencore_ray.extract import ExtractStage
 from gencore_ray.stages.cc import distributed_cc, driver_cc
-from gencore_ray.stages.exact import exact_edges
 from gencore_ray.stages.elect import elect_representatives
 from gencore_ray.stages.lsh import candidate_pairs
 from gencore_ray.stages.signature import SignatureStage

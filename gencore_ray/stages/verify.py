@@ -12,17 +12,17 @@ verification is exact too — no estimate survives into an edge:
 A pair becomes a verified edge iff
     jaccard >= tau  OR  containment >= c  OR  hamming <= k.
 
-Dataflow: pairs(url_a,url_b) is joined twice against the slim
-signature projection (url, tshash, simhash, shingle_count) — two
-hash-partitioned joins on url — then a stateless vectorised
-map_batches computes the three metrics.  The shingle arrays ride only
-this (small) pair table, never the LSH explode.
+Dataflow: pairs(ha,hb — uint64 doc hashes) are joined twice against
+the slim signature projection (uhash, url, tshash, simhash,
+shingle_count) — two int-keyed hash-partitioned joins — then a
+stateless vectorised map_batches computes the three metrics.  The
+shingle arrays (and the url strings) ride only this small pair table,
+never the LSH explode.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
