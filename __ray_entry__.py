@@ -279,6 +279,21 @@ def _q_dedup_docs_pipeline(sf_dir: str):
     )
 
 
+def _q_cluster_size_histogram(sf_dir: str):
+    """Duplication-level histogram (gencore's supporting-reads
+    histogram analogue, /root/reference/src/stats.h:15): how many
+    clusters exist at each cluster size."""
+    from gencore_ray.ops.relational import grouped_aggregate
+
+    clusters = _q_dedup_docs_pipeline(sf_dir)
+    reps = clusters.filter(expr="is_representative == True").select_columns(
+        ["cluster_size"]
+    )
+    return grouped_aggregate(
+        reps, ["cluster_size"], [("n_clusters", None, "count")], num_parts=4
+    )
+
+
 def _q_text_quality_profile(sf_dir: str):
     from gencore_ray.ops.textstats import text_stats
 
@@ -441,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "containment_pairs": _q_containment_pairs,
+        "cluster_size_histogram": _q_cluster_size_histogram,
         "text_quality_profile": _q_text_quality_profile,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,

@@ -153,3 +153,42 @@ def test_rep_election_tiebreaks(ray_session):
     out = elect_representatives(members, CFG, num_parts=4).to_pandas()
     reps = out[out["is_representative"]].set_index("cluster_id")["url"].to_dict()
     assert reps == {"c1": "a", "c2": "m"}
+
+
+def test_manifest_has_per_partition_lineage(corpus, tmp_path):
+    """north rule: per-partition lineage + metrics in the checkpoint."""
+    import json
+
+    pages_tbl, _ = corpus
+    pages = rd.from_arrow(pages_tbl.slice(0, 120).select(["url", "warc_ts", "text", "lang"]))
+    ck = str(tmp_path / "ckpt3")
+    dedup_pages(pages, CFG, checkpoint_dir=ck).clusters.count()
+    recs = [json.loads(l) for l in open(os.path.join(ck, "manifest.jsonl"))]
+    stages = {r["stage"] for r in recs}
+    assert {"signatures", "candidate_pairs", "verified_edges", "clusters"} <= stages
+    for r in recs:
+        assert r["partitions"], r["stage"]
+        for p in r["partitions"]:
+            assert os.path.exists(p["path"]) and p["rows"] >= 0
+        assert r["rows_out"] == sum(p["rows"] for p in r["partitions"])
+        assert r["fingerprint"] == CFG.fingerprint()
+    report = json.load(open(os.path.join(ck, "report.json")))
+    assert report["counters"]["pages_in"] == 120
+
+
+def test_cluster_parity_midscale(ray_session):
+    """Parity + recall at 800 pages (hot bucket ~66 members exercises
+    the capped-pairing path harder than the 300-page fixture)."""
+    import ray.data as rd2
+
+    pages_tbl, _ = generate_pages(800, 43, with_truth=True)  # different seed too
+    pages = rd2.from_arrow(pages_tbl.select(["url", "warc_ts", "text", "lang"]))
+    out = dedup_pages(pages, CFG, cc_mode="driver").clusters.to_pandas()
+    ids = pages_tbl["url"].to_pylist()
+    texts = pages_tbl["text"].to_pylist()
+    oclust = union_find_clusters(ids, oracle_edges(ids, texts, CFG))
+    eng = dict(zip(out["url"], out["cluster_id"]))
+    assert [u for u in ids if eng.get(u) != oclust[u]] == []
+    jp = oracle_jaccard_pairs(ids, texts, CFG)
+    hits = sum(1 for a, b, _ in jp if eng[a] == eng[b])
+    assert hits / max(1, len(jp)) >= 0.99
