@@ -83,8 +83,14 @@ def _q_exact_dedup_docs(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         from gencore_ray.functions.hashing import U64, hash_bytes_u64
 
+        # NULL text hashes a distinct sentinel (prefix byte disambiguates
+        # it from every real text) — matches SQL GROUP BY keeping NULL as
+        # its own group instead of merging NULL with ""
         hashes = np.fromiter(
-            (hash_bytes_u64((x or "").encode()) for x in t["text"].to_pylist()),
+            (
+                hash_bytes_u64(b"\x00" if x is None else b"\x01" + x.encode())
+                for x in t["text"].to_pylist()
+            ),
             dtype=U64, count=t.num_rows,
         )
         return pa.table({"doc_id": t["doc_id"], "text_hash": pa.array(hashes)})
@@ -537,8 +543,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
             "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
-            "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id "
-            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM d) "
+            "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM d) "
             "SELECT user_id, session_id, count(*) AS n_events, "
             "min(ts) AS session_start, max(ts) AS session_end "
             "FROM s GROUP BY user_id, session_id"

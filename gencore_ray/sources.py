@@ -20,22 +20,29 @@ class SchemaError(ValueError):
 
 
 def validate_columns(path: str, required: set[str]) -> None:
-    """Fail fast (before any task runs) if required columns are missing."""
+    """Fail fast (before any task runs) if required columns are missing.
+
+    Every footer is checked (metadata-only reads, no data I/O), so a
+    directory with heterogeneous schemas names the offending file here
+    instead of silently losing columns mid-pipeline.
+    """
     import pyarrow.parquet as pq
     import glob
     import os
 
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        probe = files[0] if files else None
     else:
-        probe = path
-    if probe is None:
+        files = [path]
+    if not files:
         raise SchemaError(f"no parquet files under {path}")
-    names = set(pq.ParquetFile(probe).schema_arrow.names)
-    missing = required - names
-    if missing:
-        raise SchemaError(f"{path} missing required columns {sorted(missing)}; has {sorted(names)}")
+    for f in files:
+        names = set(pq.ParquetFile(f).schema_arrow.names)
+        missing = required - names
+        if missing:
+            raise SchemaError(
+                f"{f} missing required columns {sorted(missing)}; has {sorted(names)}"
+            )
 
 
 def read_pages(

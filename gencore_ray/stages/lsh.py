@@ -199,8 +199,12 @@ def _pairs_in_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     b2 = np.where(swap, a, b)
     with np.errstate(over="ignore"):
         ph = splitmix64((a2 * np.uint64(0x100000001B3)) ^ b2)
-    # within-partition dedupe on the uint64 pair key (vectorised)
-    uniq_idx = np.unique(ph, return_index=True)[1]
+    # within-partition dedupe on the (ha, hb) TUPLE (vectorised lexsort):
+    # pair_hash stays a partition key only — a 64-bit collision between
+    # two distinct pairs must not drop a real candidate
+    po = np.lexsort((b2, a2))
+    first = np.r_[True, (a2[po][1:] != a2[po][:-1]) | (b2[po][1:] != b2[po][:-1])]
+    uniq_idx = np.sort(po[first])
     out = pd.DataFrame(
         {"ha": a2[uniq_idx], "hb": b2[uniq_idx], "pair_hash": ph[uniq_idx],
          "capped": np.zeros(len(uniq_idx), dtype=np.int64)}
@@ -247,9 +251,15 @@ def candidate_pairs(
     )
     if not dedupe:
         return pairs
-    return grouped_map(
-        pairs,
-        "pair_hash",
-        lambda df: df.drop_duplicates(subset=["pair_hash"]),
-        num_parts=num_parts,
-    )
+
+    def _dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        # dedupe on the (ha, hb) tuple (pair_hash is only the partition
+        # key); capped sentinel rows (ha=hb=0, counter payload) pass
+        # through undeduped so cap counts are never collapsed
+        sent = df["capped"] > 0
+        return pd.concat(
+            [df[~sent].drop_duplicates(subset=["ha", "hb"]), df[sent]],
+            ignore_index=True,
+        )
+
+    return grouped_map(pairs, "pair_hash", _dedupe, num_parts=num_parts)
