@@ -26,6 +26,9 @@ from gencore_ray.functions.hashing import (
 )
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+# ASCII alphanumerics, stripped in one C pass — the exact complement of
+# the SQL oracle's regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')
+_NON_ALNUM_RE = re.compile(r"[^a-zA-Z0-9]")
 
 # polynomial base for order-sensitive shingle hashing (FNV prime)
 _POLY = np.uint64(0x100000001B3)
@@ -36,27 +39,78 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
-def token_hashes_for_batch(texts, seed: int = 42) -> list[np.ndarray]:
-    """Per-text arrays of token hashes, hashing each *unique* token once.
+class TextFeatures:
+    """One-tokenise-pass batch features (signature + textstats input).
 
-    Token vocabularies repeat heavily across a batch of web pages, so
-    we hash the unique tokens once (Python loop) and gather per text
-    (numpy fancy-indexing) — the batch-level hot path stays vectorised.
+    Everything derived from the token stream is computed here exactly
+    once per batch: the per-text token-hash arrays (each *unique* token
+    of the batch hashed once, gathered by factorised codes), plus the
+    scalar columns (text_len, alnum_count, token_count, quality).  No
+    per-character or per-token Python loops — tokenisation is one C
+    regex call per text, the vocabulary is one pd.factorize hashtable
+    pass, and every downstream reduction is a cumsum-segment gather.
     """
-    vocab: dict[str, int] = {}
-    idx_lists: list[np.ndarray] = []
-    for t in texts:
-        toks = tokenize(t)
-        idx = np.empty(len(toks), dtype=np.int64)
-        for j, w in enumerate(toks):
-            k = vocab.get(w)
-            if k is None:
-                k = len(vocab)
-                vocab[w] = k
-            idx[j] = k
-        idx_lists.append(idx)
-    uniq_hashes = hash_str_array_u64(list(vocab.keys()), seed=seed)
-    return [uniq_hashes[ix] if len(ix) else np.empty(0, dtype=U64) for ix in idx_lists]
+
+    __slots__ = ("tok_lists", "tok_hashes", "text_len", "alnum_count",
+                 "token_count", "mean_word_len", "quality")
+
+    def __init__(self, texts, seed: int = 42, need_hashes: bool = True):
+        import itertools
+
+        import pandas as pd
+
+        n = len(texts)
+        tok_lists = [_TOKEN_RE.findall((t or "").lower()) for t in texts]
+        counts = np.fromiter(map(len, tok_lists), dtype=np.int64, count=n)
+        offsets = np.empty(n + 1, dtype=np.int64)
+        offsets[0] = 0
+        np.cumsum(counts, out=offsets[1:])
+
+        if offsets[-1]:
+            flat = np.array(
+                list(itertools.chain.from_iterable(tok_lists)), dtype=object
+            )
+            codes, uniques = pd.factorize(flat, sort=False)
+            uniq_lens = np.fromiter(map(len, uniques), dtype=np.int64,
+                                    count=len(uniques))
+            cs = np.empty(offsets[-1] + 1, dtype=np.int64)
+            cs[0] = 0
+            np.cumsum(uniq_lens[codes], out=cs[1:])
+            sum_wl = cs[offsets[1:]] - cs[offsets[:-1]]
+            if need_hashes:
+                uniq_hashes = hash_str_array_u64(list(uniques), seed=seed)
+                tok_hash_flat = uniq_hashes[codes]
+            else:
+                tok_hash_flat = np.empty(0, dtype=U64)
+                offsets = np.zeros(n + 1, dtype=np.int64)
+        else:
+            tok_hash_flat = np.empty(0, dtype=U64)
+            sum_wl = np.zeros(n, dtype=np.int64)
+
+        self.tok_lists = tok_lists
+        self.tok_hashes = [
+            tok_hash_flat[offsets[i]: offsets[i + 1]] for i in range(n)
+        ]
+        self.text_len = np.fromiter(
+            (len(t or "") for t in texts), dtype=np.int64, count=n
+        )
+        self.alnum_count = np.fromiter(
+            (len(_NON_ALNUM_RE.sub("", t or "")) for t in texts),
+            dtype=np.int64, count=n,
+        )
+        self.token_count = counts
+        denom = np.maximum(counts, 1)
+        self.mean_word_len = sum_wl / denom
+        len_term = np.minimum(self.text_len / 2000.0, 1.0)
+        alnum_term = self.alnum_count / np.maximum(self.text_len, 1)
+        wl_term = np.minimum(self.mean_word_len / 8.0, 1.0)
+        q = np.round(0.4 * len_term + 0.4 * alnum_term + 0.2 * wl_term, 6)
+        self.quality = np.where((self.text_len == 0) | (counts == 0), 0.0, q)
+
+
+def token_hashes_for_batch(texts, seed: int = 42) -> list[np.ndarray]:
+    """Per-text arrays of token hashes (compat shim over TextFeatures)."""
+    return TextFeatures(texts, seed=seed).tok_hashes
 
 
 def shingle_hashes(tok_hashes: np.ndarray, k: int) -> np.ndarray:
@@ -166,19 +220,10 @@ def quality_score(text: str) -> float:
 
     Mirrors gencore's coarse qual->score thresholds
     (/root/reference/src/pair.cpp:70-86): cheap, monotone heuristics.
+    Scalar convenience over the vectorised ``TextFeatures`` batch path
+    (alnum is the ASCII class, matching the SQL oracle exactly).
     """
-    n = len(text)
-    if n == 0:
-        return 0.0
-    alnum = sum(c.isalnum() for c in text)
-    toks = tokenize(text)
-    if not toks:
-        return 0.0
-    mean_wl = sum(len(t) for t in toks) / len(toks)
-    len_term = min(n / 2000.0, 1.0)
-    alnum_term = alnum / n
-    wl_term = min(mean_wl / 8.0, 1.0)
-    return round(0.4 * len_term + 0.4 * alnum_term + 0.2 * wl_term, 6)
+    return float(TextFeatures([text]).quality[0])
 
 
 def detect_lang(tokens: list[str]) -> str:

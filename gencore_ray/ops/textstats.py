@@ -15,13 +15,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from gencore_ray.functions.hashing import U64
-from gencore_ray.functions.text import (
-    detect_lang,
-    doc_fingerprint,
-    quality_score,
-    token_hashes_for_batch,
-    tokenize,
-)
+from gencore_ray.functions.text import TextFeatures, detect_lang, doc_fingerprint
 
 
 class TextStatsStage:
@@ -37,32 +31,25 @@ class TextStatsStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch[self.text_col].to_pylist()]
         n = len(texts)
-        text_len = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
-        alnum = np.fromiter(
-            (sum(c.isalnum() for c in t) for t in texts), dtype=np.int64, count=n
-        )
-        tok_lists = [tokenize(t) for t in texts]
-        token_count = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+        feats = TextFeatures(texts, seed=self.seed,
+                             need_hashes=self.with_heuristics)
         batch = (
-            batch.append_column("text_len", pa.array(text_len))
-            .append_column("alnum_count", pa.array(alnum))
-            .append_column("token_count", pa.array(token_count))
+            batch.append_column("text_len", pa.array(feats.text_len))
+            .append_column("alnum_count", pa.array(feats.alnum_count))
+            .append_column("token_count", pa.array(feats.token_count))
         )
         if self.with_heuristics:
-            toks = token_hashes_for_batch(texts, seed=self.seed)
             batch = (
-                batch.append_column(
-                    "quality",
-                    pa.array(np.fromiter((quality_score(t) for t in texts),
-                                         dtype=np.float64, count=n)),
-                )
+                batch.append_column("quality", pa.array(feats.quality))
                 .append_column(
-                    "lang_pred", pa.array([detect_lang(tl) for tl in tok_lists], pa.string())
+                    "lang_pred",
+                    pa.array([detect_lang(tl) for tl in feats.tok_lists], pa.string()),
                 )
                 .append_column(
                     "fingerprint",
-                    pa.array(np.fromiter((doc_fingerprint(th) for th in toks),
-                                         dtype=U64, count=n)),
+                    pa.array(np.fromiter(
+                        (doc_fingerprint(th) for th in feats.tok_hashes),
+                        dtype=U64, count=n)),
                 )
             )
         return batch

@@ -36,12 +36,11 @@ from gencore_ray.config import DedupConfig
 from gencore_ray.functions.hashing import U64, hash_bytes_u64, minhash_perms
 from gencore_ray.functions.text import (
     MinHasher,
+    TextFeatures,
     band_keys,
     bottom_m_sketch,
-    quality_score,
     shingle_hashes,
     simhash64,
-    token_hashes_for_batch,
 )
 
 
@@ -75,10 +74,12 @@ class SignatureStage:
         else:
             texts = batch["text"].to_pylist()
         n = len(texts)
-        toks = token_hashes_for_batch(texts, seed=cfg.seed)
+        # ONE tokenise pass feeds hashing AND the quality/len columns
+        feats = TextFeatures(texts, seed=cfg.seed)
+        toks = feats.tok_hashes
 
-        text_len = np.fromiter((len(t or "") for t in texts), dtype=np.int64, count=n)
-        quality = np.fromiter((quality_score(t or "") for t in texts), dtype=np.float64, count=n)
+        text_len = feats.text_len
+        quality = feats.quality
         text_hash = np.fromiter(
             (hash_bytes_u64((t or "").encode("utf-8", "surrogatepass"), seed=cfg.seed) for t in texts),
             dtype=U64, count=n,
