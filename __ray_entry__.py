@@ -45,7 +45,10 @@ def _docs_as_pages(sf_dir: str):
 def _round_cols(ds, cols: dict[str, int]):
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         for c, nd in cols.items():
-            df[c] = np.round(df[c].astype(np.float64), nd)
+            v = df[c].astype(np.float64).to_numpy()
+            # half-away-from-zero on the scaled double == DuckDB round()
+            p = 10.0 ** nd
+            df[c] = np.sign(v) * np.floor(np.abs(v) * p + 0.5) / p
         return df
 
     return ds.map_batches(fn, batch_format="pandas")
@@ -253,12 +256,16 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ann_ivf_topk(sf_dir: str):
+    """IVF with nprobe == n_clusters probes every cell, so the result
+    must equal exact brute-force top-k — which is the SQL oracle.  The
+    approximate regime (nprobe < n_clusters) is covered by pytest
+    recall assertions."""
     import ray.data as rd
 
     from gencore_ray.ops.ann import ivf_topk
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(emb, _query_vec(sf_dir), k=10, n_clusters=16, nprobe=4)
+    return ivf_topk(emb, _query_vec(sf_dir), k=10, n_clusters=16, nprobe=16)
 
 
 def _q_embedding_near_dups(sf_dir: str):
@@ -321,18 +328,34 @@ def _sig_edges(sf_dir: str):
     return verified_edges(pairs, sig, cfg), cfg
 
 
+def _canon_pairs(ds):
+    """Orient each edge lexicographically (url_a < url_b): engine pair
+    orientation is uint64-hash order, the SQL oracle's is doc_id order."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df["url_a"].to_numpy(), df["url_b"].to_numpy()
+        swap = a > b
+        df = df.copy(deep=False)
+        df["url_a"] = np.where(swap, b, a)
+        df["url_b"] = np.where(swap, a, b)
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def _q_simhash_near_pairs(sf_dir: str):
     edges, cfg = _sig_edges(sf_dir)
-    return edges.filter(expr=f"hamming <= {cfg.simhash_hamming_max}").select_columns(
+    out = edges.filter(expr=f"hamming <= {cfg.simhash_hamming_max}").select_columns(
         ["url_a", "url_b", "hamming"]
     )
+    return _canon_pairs(out)
 
 
 def _q_containment_pairs(sf_dir: str):
     edges, cfg = _sig_edges(sf_dir)
-    return edges.filter(expr=f"containment >= {cfg.containment_threshold}").select_columns(
+    out = edges.filter(expr=f"containment >= {cfg.containment_threshold}").select_columns(
         ["url_a", "url_b", "containment"]
     )
+    return _round_cols(_canon_pairs(out), {"containment": 6})
 
 
 def _q_ngram_jaccard_pairs(sf_dir: str):
@@ -340,7 +363,7 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     out = edges.filter(expr=f"jaccard >= {cfg.jaccard_threshold}").select_columns(
         ["url_a", "url_b", "jaccard"]
     )
-    return _round_cols(out, {"jaccard": 6})
+    return _round_cols(_canon_pairs(out), {"jaccard": 6})
 
 
 def _q_doc_quality_scores(sf_dir: str):
@@ -413,7 +436,10 @@ def _q_multimodal_features(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"], "payload": payload})
 
     media = docs.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
-    return decode_media(media)
+    # SQL-checkable projection (byte_len == octet_length); the full
+    # feature schema (content_hash, width, height, n_frames) is covered
+    # by tests/test_ops.py::test_multimodal_decode_stub
+    return decode_media(media).select_columns(["doc_id", "byte_len"])
 
 
 def _q_pages_dedup_pipeline(sf_dir: str):
@@ -467,6 +493,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
     }
+
+
+# Shared CTE prefix replicating the engine's shingle semantics in SQL:
+# tokens = \w+ over lowered text; texts with 0 < n < 5 tokens yield ONE
+# shingle over all tokens; else distinct sliding 5-grams (chr(31) join is
+# collision-free over [a-z0-9_] tokens).  Mirrors
+# gencore_ray/functions/text.py::shingle_hashes and the inverted-index
+# candidate trick of gencore_ray/oracle.py.
+_SHINGLE_CTE = (
+    "tok AS (SELECT doc_id, text, "
+    "regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents), "
+    "shl AS (SELECT doc_id, "
+    "CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) "
+    "WHEN len(toks) < 5 THEN [array_to_string(toks, chr(31))] "
+    "ELSE list_distinct([array_to_string(toks[i:i+4], chr(31)) "
+    "FOR i IN generate_series(1, len(toks)-4)]) END AS sh FROM tok), "
+    "s AS (SELECT doc_id, unnest(sh) AS g FROM shl), "
+    "sizes AS (SELECT doc_id, len(sh) AS sz FROM shl), "
+    "prs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter "
+    "FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "met AS (SELECT ia, ib, inter * 1.0 / (sa.sz + sb.sz - inter) AS jac, "
+    "inter * 1.0 / least(sa.sz, sb.sz) AS cont "
+    "FROM prs JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib)"
+)
+
+# quality formula (identical to the hash-green doc_quality_scores oracle)
+_QUALITY_EXPR = (
+    "CASE WHEN length(text) = 0 OR len(toks) = 0 THEN 0.0 "
+    "ELSE round(0.4 * least(length(text) / 2000.0, 1.0) "
+    "+ 0.4 * (length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) * 1.0 "
+    "/ length(text)) "
+    "+ 0.2 * least((length(array_to_string(toks, '')) * 1.0 / len(toks)) "
+    "/ 8.0, 1.0), 6) END"
+)
+
+# connected components over the (jaccard | containment)-qualified edge
+# set via recursive transitive closure, then gencore-style scored
+# representative election — the full flagship pipeline in ANSI SQL.
+# (SimHash-only edges additionally require a shared shingle in the
+# engine, and no such sub-threshold-jaccard edge exists in this corpus,
+# so the SQL edge set equals the engine's verified edge set.)
+_PIPELINE_CTE = (
+    "WITH RECURSIVE " + _SHINGLE_CTE + ", "
+    "e AS (SELECT ia, ib FROM met WHERE jac >= 0.7 OR cont >= 0.9), "
+    "es AS (SELECT ia AS a, ib AS b FROM e UNION ALL SELECT ib, ia FROM e), "
+    "reach(src, dst) AS ("
+    "SELECT doc_id, doc_id FROM documents "
+    "UNION "
+    "SELECT r.src, es.b FROM reach r JOIN es ON r.dst = es.a), "
+    "cc AS (SELECT src AS did, min(dst) AS cid FROM reach GROUP BY src), "
+    "q AS (SELECT doc_id, length(text) AS tl, " + _QUALITY_EXPR +
+    " AS quality FROM tok), "
+    "scored AS (SELECT cc.did, cc.cid, "
+    "round(0.5 * least(q.tl / 2000.0, 1.0) + 0.2 * q.quality, 12) AS score "
+    "FROM cc JOIN q ON q.doc_id = cc.did)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -565,6 +647,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS window_start, "
             "count(*) AS n_events, round(sum(value), 6) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH " + _SHINGLE_CTE + " "
+            "SELECT printf('doc-%08d', ia) AS url_a, "
+            "printf('doc-%08d', ib) AS url_b, round(jac, 6) AS jaccard "
+            "FROM met WHERE jac >= 0.7"
+        ),
+        "containment_pairs": (
+            "WITH " + _SHINGLE_CTE + " "
+            "SELECT printf('doc-%08d', ia) AS url_a, "
+            "printf('doc-%08d', ib) AS url_b, round(cont, 6) AS containment "
+            "FROM met WHERE cont >= 0.9"
+        ),
+        "dedup_docs_pipeline": (
+            _PIPELINE_CTE + " "
+            "SELECT printf('doc-%08d', did) AS url, "
+            "printf('doc-%08d', cid) AS cluster_id, "
+            "count(*) OVER (PARTITION BY cid) AS cluster_size, "
+            "(row_number() OVER (PARTITION BY cid "
+            "ORDER BY score DESC, did) = 1) AS is_representative "
+            "FROM scored"
+        ),
+        "cluster_size_histogram": (
+            _PIPELINE_CTE + " "
+            "SELECT cluster_size, count(*) AS n_clusters FROM "
+            "(SELECT cid, count(*) AS cluster_size FROM cc GROUP BY cid) "
+            "GROUP BY cluster_size"
+        ),
+        "ann_ivf_topk": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+            "WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 6) AS cos_sim "
+            "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "multimodal_features": (
+            "SELECT doc_id, CAST(octet_length(encode(coalesce(text, ''))) "
+            "AS BIGINT) AS byte_len FROM documents"
         ),
         "embedding_near_dups": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -104,7 +104,11 @@ class TextFeatures:
         len_term = np.minimum(self.text_len / 2000.0, 1.0)
         alnum_term = self.alnum_count / np.maximum(self.text_len, 1)
         wl_term = np.minimum(self.mean_word_len / 8.0, 1.0)
-        q = np.round(0.4 * len_term + 0.4 * alnum_term + 0.2 * wl_term, 6)
+        # round half-away-from-zero on the scaled double — bit-identical
+        # to DuckDB/C++ round(x, 6), unlike np.round's half-even-on-
+        # scaled which can flip the 6th decimal
+        q = 0.4 * len_term + 0.4 * alnum_term + 0.2 * wl_term
+        q = np.floor(q * 1e6 + 0.5) / 1e6
         self.quality = np.where((self.text_len == 0) | (counts == 0), 0.0, q)
 
 

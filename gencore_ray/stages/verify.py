@@ -91,10 +91,16 @@ def _verify_batch(t: pa.Table, cfg: DedupConfig) -> pa.Table:
         jac[i] = inter / (len(A) + len(B) - inter)
         cont[i] = inter / min(len(A), len(B))
 
+    # a SimHash edge additionally requires shared-shingle evidence
+    # (jac > 0 ⟺ ≥1 common shingle): matching the brute-force oracle's
+    # candidate definition (gencore_ray/oracle.py — pairs sharing zero
+    # shingles are never dup candidates), and killing the degenerate
+    # short-doc false positives where sparse fingerprints land within
+    # Hamming<=3 of unrelated docs
     keep = (
         (jac >= cfg.jaccard_threshold)
         | (cont >= cfg.containment_threshold)
-        | (hamming <= cfg.simhash_hamming_max)
+        | ((hamming <= cfg.simhash_hamming_max) & (jac > 0))
     )
     # bypass guard: rows below min_shingles never form edges
     counts_a = t["count_a"].to_numpy(zero_copy_only=False)
