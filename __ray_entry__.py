@@ -282,6 +282,21 @@ def _q_embedding_near_dups(sf_dir: str):
     return near_dup_pairs(emb, threshold=0.45)
 
 
+def _q_embedding_lsh_near_dups(sf_dir: str):
+    """Random-hyperplane LSH near-dup pairs, amplified for the corpus's
+    low (0.45) threshold so recall is 1.0 — verified against the exact
+    all-pairs SQL oracle.  At web-scale thresholds (>=0.8) the defaults
+    (24 tables x 12 bits) prune far harder; see ops/ann.py."""
+    import ray.data as rd
+
+    from gencore_ray.ops.ann import lsh_near_dup_pairs
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return lsh_near_dup_pairs(emb, threshold=0.45, n_tables=48, bits=4)
+
+
 def _q_dedup_docs_pipeline(sf_dir: str):
     from gencore_ray.config import DedupConfig
     from gencore_ray.pipelines.dedup import dedup_pages
@@ -477,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "embedding_lsh_near_dups": _q_embedding_lsh_near_dups,
         "doc_quality_scores": _q_doc_quality_scores,
         "events_sessions": _q_events_sessions,
         "events_value_buckets": _q_events_value_buckets,
@@ -647,6 +663,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS window_start, "
             "count(*) AS n_events, round(sum(value), 6) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "embedding_lsh_near_dups": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.45"
         ),
         "ngram_jaccard_pairs": (
             "WITH " + _SHINGLE_CTE + " "

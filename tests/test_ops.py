@@ -137,6 +137,73 @@ def test_near_dup_pairs_threshold(ray_session):
     assert set(zip(got["id_a"], got["id_b"])) == {(0, 4)}
 
 
+def _planted_near_dups(n=120, d=16, n_dups=10, seed=9):
+    """Random unit vectors + planted near-identical pairs (cos ~0.999)."""
+    rng = np.random.RandomState(seed)
+    mat = rng.randn(n, d)
+    for i in range(n_dups):
+        mat[n - n_dups + i] = mat[i] + 0.02 * rng.randn(d)
+    return mat
+
+
+def test_lsh_near_dup_matches_brute(ray_session):
+    from gencore_ray.ops.ann import lsh_near_dup_pairs
+
+    mat = _planted_near_dups()
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(len(mat)), "embedding": list(mat)})
+    )
+    bf = near_dup_pairs(ds, threshold=0.9).to_pandas()
+    lsh = lsh_near_dup_pairs(ds, threshold=0.9).to_pandas()
+    assert len(bf) >= 10
+    bs = set(zip(bf["id_a"], bf["id_b"]))
+    ls = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert ls <= bs                 # exact verify -> no false positives
+    assert len(bs & ls) / len(bs) >= 0.99   # recall at cos>=0.9
+    merged = lsh.merge(bf, on=["id_a", "id_b"], suffixes=("_l", "_b"))
+    assert (merged["cos_sim_l"] == merged["cos_sim_b"]).all()
+
+
+def test_near_dup_pairs_no_driver_matrix(ray_session):
+    """Block-pair tasks must cover every cross-block pair: force many
+    small blocks and check the result is identical to one block."""
+    mat = _planted_near_dups(n=60, n_dups=6)
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(len(mat)), "embedding": list(mat)})
+    )
+    one = near_dup_pairs(ds, threshold=0.9, num_blocks=1).to_pandas()
+    many = near_dup_pairs(ds, threshold=0.9, num_blocks=7).to_pandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        one.sort_values(key).reset_index(drop=True),
+        many.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_ivf_random_sample_unbiased(ray_session):
+    """ivf with nprobe == n_clusters equals exact brute force even on an
+    adversarially SORTED input (limit()-based sampling would train all
+    centroids on one cluster and mis-assign the rest)."""
+    from gencore_ray.ops.ann import ivf_topk
+
+    rng = np.random.RandomState(11)
+    a = rng.randn(200, 8) + 4.0      # cluster A first in storage order
+    b = rng.randn(200, 8) - 4.0
+    mat = np.vstack([a, b])
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(len(mat)), "embedding": list(mat)})
+    )
+    q = mat[350]
+    exact = brute_force_topk(ds, q, k=5).to_pandas()
+    ivf_all = ivf_topk(ds, q, k=5, n_clusters=4, nprobe=4,
+                       sample_size=64).to_pandas()
+    assert ivf_all["vec_id"].tolist() == exact["vec_id"].tolist()
+    # approximate regime still finds the true top hit
+    ivf_1 = ivf_topk(ds, q, k=5, n_clusters=4, nprobe=1,
+                     sample_size=64).to_pandas()
+    assert ivf_1["vec_id"].iloc[0] == exact["vec_id"].iloc[0]
+
+
 def test_text_stats_columns(ray_session):
     ds = rd.from_items([{"text": "Hello world AB12"}, {"text": ""}])
     got = text_stats(ds).to_pandas().sort_values("text_len", ascending=False)
