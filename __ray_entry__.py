@@ -65,7 +65,7 @@ def entry() -> Any:
     from gencore_ray.pipelines.dedup import dedup_pages
 
     pages = _docs_as_pages(TESTDATA_SMOKE)
-    res = dedup_pages(pages, DedupConfig(), cc_mode="driver")
+    res = dedup_pages(pages, DedupConfig())
     return res.clusters.select_columns(
         ["url", "cluster_id", "cluster_size", "is_representative", "rep_score"]
     )
@@ -301,7 +301,7 @@ def _q_dedup_docs_pipeline(sf_dir: str):
     from gencore_ray.config import DedupConfig
     from gencore_ray.pipelines.dedup import dedup_pages
 
-    res = dedup_pages(_docs_as_pages(sf_dir), DedupConfig(), cc_mode="driver")
+    res = dedup_pages(_docs_as_pages(sf_dir), DedupConfig())
     return res.clusters.select_columns(
         ["url", "cluster_id", "cluster_size", "is_representative"]
     )
@@ -472,7 +472,7 @@ def _q_pages_dedup_pipeline(sf_dir: str):
     if not os.path.exists(os.path.join(cache, "pages.parquet")):
         write_pages_corpus(cache, n_pages=n, seed=42)
     pages = read_pages(os.path.join(cache, "pages.parquet"), need_html=True)
-    res = dedup_pages(pages, DedupConfig(), extract_html=True, cc_mode="driver")
+    res = dedup_pages(pages, DedupConfig(), extract_html=True)
     return res.clusters.select_columns(
         ["url", "cluster_id", "cluster_size", "is_representative"]
     )

@@ -102,13 +102,13 @@ def run_bench() -> dict:
     warm = read_pages(os.path.join(corpus, "pages"), need_html=True,
                       override_num_blocks=n_blocks).limit(2000)
     dedup_pages(warm, DedupConfig(), extract_html=True,
-                cc_mode="driver").clusters.count()
+                ).clusters.count()
 
     # --- headline: full extract -> signatures -> LSH -> CC -> elect ----
     t0 = time.monotonic()
     pages = read_pages(os.path.join(corpus, "pages"), need_html=True,
                        override_num_blocks=n_blocks)
-    res = dedup_pages(pages, DedupConfig(), extract_html=True, cc_mode="driver")
+    res = dedup_pages(pages, DedupConfig(), extract_html=True)
     n_out = res.clusters.count()
     headline = time.monotonic() - t0
 

@@ -72,8 +72,9 @@ def dedup_pages(
     pages: rd.Dataset,
     cfg: DedupConfig | None = None,
     extract_html: bool = False,
-    cc_mode: str = "driver",          # "driver" | "distributed"
+    cc_mode: str = "auto",            # "auto" | "driver" | "distributed"
     checkpoint_dir: str | None = None,
+    cc_driver_max_edges: int = 5_000_000,
 ) -> DedupResult:
     """Full near-dup detection + clustering + representative election."""
     cfg = cfg or DedupConfig()
@@ -141,6 +142,15 @@ def dedup_pages(
     all_edges = ver_edges.select_columns(["url_a", "url_b"])
 
     # --- connected components --------------------------------------
+    # auto: collected edges are orders of magnitude smaller than the
+    # corpus, so the vectorised driver CC wins below the threshold; the
+    # caller never needs to know (gencore's analogous internal switch:
+    # low-complexity clusters take the cheap path, src/group.cpp:142-175)
+    if cc_mode == "auto":
+        cc_mode = (
+            "driver" if counters["verified_edges"] <= cc_driver_max_edges
+            else "distributed"
+        )
     features = sig.select_columns(
         [c for c in ["url", "warc_ts", "text_len", "quality"] if c in sig.columns()]
     )
@@ -174,8 +184,8 @@ def dedup_pages(
 
         def assign(t: pa.Table) -> pa.Table:
             m = _ray.get(map_ref)
-            urls = t["url"].to_pylist()
-            lab = [m.get(u, u) for u in urls]
+            urls = t["url"].to_pandas()
+            lab = urls.map(m).fillna(urls)     # vectorised dict lookup
             return t.append_column("cluster_id", pa.array(lab, pa.string()))
 
         members = features.map_batches(assign, batch_format="pyarrow")
@@ -186,9 +196,17 @@ def dedup_pages(
     if cc_mode == "driver":
         counters["dup_pages"] = len(label_map)               # pages in multi-clusters
         counters["dup_clusters"] = len(set(label_map.values()))
-        counters["clusters_total"] = (
-            counters["pages_out"] - counters["dup_pages"] + counters["dup_clusters"]
+    else:
+        # same counters from the materialised clusters table (two cheap
+        # metadata-backed passes; no driver-side label map exists here)
+        counters["dup_pages"] = clusters.filter(expr="cluster_size > 1").count()
+        counters["dup_clusters"] = (
+            clusters.filter(expr="cluster_size > 1")
+            .filter(expr="is_representative == True").count()
         )
+    counters["clusters_total"] = (
+        counters["pages_out"] - counters["dup_pages"] + counters["dup_clusters"]
+    )
     if ckpt.enabled:
         ckpt.write_report(counters)
     if cfg.min_cluster_size > 1:

@@ -9,9 +9,11 @@ order" determinism).
 
 Two implementations, equal by construction (tested against each other):
 
-* ``driver_cc``      — union-find on collected edges.  Edges are the
-  verified dup pairs, orders of magnitude smaller than the corpus, so
-  this is the default up to ~10M edges.
+* ``driver_cc``      — vectorised min-label CC (numpy hooking +
+  pointer-jumping) on collected edges.  Edges are the verified dup
+  pairs, orders of magnitude smaller than the corpus, so this is the
+  default up to ``cc_driver_max_edges`` (the pipeline auto-switches
+  to the distributed path above it).
 * ``distributed_cc`` — alternating large-star / small-star over the
   edges Dataset (Kiveris et al., "Connected Components in MapReduce
   and Beyond", SoCC'14): each round is one partition-wise exchange
@@ -29,21 +31,52 @@ import pyarrow as pa
 import ray.data as rd
 from pandas.util import hash_pandas_object
 
-from gencore_ray.oracle import union_find_clusters
+
+def _min_label_cc(u: np.ndarray, v: np.ndarray, n: int,
+                  max_iters: int = 64) -> np.ndarray:
+    """Vectorised CC over int edge arrays: parent[i] = min node index of
+    i's component.  Hooking (np.minimum.at) + pointer-jumping; no
+    per-edge Python loop.  Converges in O(log n) rounds."""
+    parent = np.arange(n, dtype=np.int64)
+    for _ in range(max_iters):
+        pu, pv = parent[u], parent[v]
+        if len(pu) == 0 or (pu == pv).all():
+            return parent
+        mn = np.minimum(pu, pv)
+        mx = np.maximum(pu, pv)
+        np.minimum.at(parent, mx, mn)
+        while True:                       # full path compression
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+    raise RuntimeError("min-label CC failed to converge")  # pragma: no cover
 
 
 def driver_cc(edges: rd.Dataset) -> dict[str, str]:
-    """Stream (url_a,url_b) edges to the driver, union-find -> url->label."""
-    ids: set[str] = set()
-    pair_list: list[tuple[str, str, float]] = []
+    """Collect (url_a,url_b) edges, vectorised CC -> url->label (min url).
+
+    Batches arrive as Arrow string arrays and are factorised against the
+    SORTED unique-url table (np.searchsorted), so the numeric component
+    minimum IS the lexicographic min url — no per-row Python loop
+    anywhere.  Matches ``union_find_clusters`` (the test oracle) exactly.
+    """
+    ua: list[np.ndarray] = []
+    ub: list[np.ndarray] = []
     for t in edges.select_columns(["url_a", "url_b"]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
-        for x, y in zip(t["url_a"].to_pylist(), t["url_b"].to_pylist()):
-            ids.add(x)
-            ids.add(y)
-            pair_list.append((x, y, 1.0))
-    return union_find_clusters(sorted(ids), pair_list)
+        ua.append(t["url_a"].to_pandas().to_numpy())
+        ub.append(t["url_b"].to_pandas().to_numpy())
+    if not ua:
+        return {}
+    a = np.concatenate(ua)
+    b = np.concatenate(ub)
+    uniq = np.unique(np.concatenate([a, b]))
+    cu = np.searchsorted(uniq, a)
+    cv = np.searchsorted(uniq, b)
+    parent = _min_label_cc(cu, cv, len(uniq))
+    return dict(zip(uniq.tolist(), uniq[parent].tolist()))
 
 
 # ---------------------------------------------------------------------------
