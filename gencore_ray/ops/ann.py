@@ -189,10 +189,15 @@ def near_dup_pairs(
     self-cross-join.  For corpora where O(n^2) is prohibitive, use
     ``lsh_near_dup_pairs`` (same output schema, approximate recall).
     """
+    mat = ds.select_columns([id_col, vec_col]).materialize()
     if num_blocks is None:
-        num_blocks = max(4, min(32, int(ray.cluster_resources().get("CPU", 8))))
-    slim = ds.select_columns([id_col, vec_col])
-    blocks = slim.repartition(num_blocks).to_arrow_refs()
+        # ~8k vectors per block: task count B(B+1)/2 stays sane for small
+        # inputs, per-task memory stays bounded (2 blocks) for large ones
+        num_blocks = int(np.clip((mat.count() + 8191) // 8192, 1,
+                                 4 * int(ray.cluster_resources().get("CPU", 8))))
+    if mat.num_blocks() > 2 * num_blocks:   # only coalesce when it pays
+        mat = mat.repartition(num_blocks).materialize()
+    blocks = mat.to_arrow_refs()
     outs = [
         _block_pair_task.remote(
             blocks[i], blocks[j], i == j, threshold, id_col, vec_col, round_to

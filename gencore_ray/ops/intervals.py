@@ -32,17 +32,16 @@ def interval_lookup_join(
     labels = iv["label"].to_numpy()
     ref = ray.put((los, his, labels))
 
-    class Labeler:
-        def __init__(self):
-            self.los, self.his, self.labels = ray.get(ref)
+    # stateless tasks over the broadcast ref (local-store hit per node;
+    # no actor-pool spawn ramp for state this cheap)
+    def label_batch(df: pd.DataFrame) -> pd.DataFrame:
+        blos, bhis, blabels = ray.get(ref)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        idx = np.searchsorted(blos, v, side="right") - 1
+        ok = (idx >= 0) & (v < bhis[np.clip(idx, 0, len(bhis) - 1)])
+        out = np.where(ok, blabels[np.clip(idx, 0, len(blabels) - 1)], None)
+        df = df.copy(deep=False)
+        df[label_col] = out
+        return df
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            v = df[value_col].to_numpy(dtype=np.float64)
-            idx = np.searchsorted(self.los, v, side="right") - 1
-            ok = (idx >= 0) & (v < self.his[np.clip(idx, 0, len(self.his) - 1)])
-            out = np.where(ok, self.labels[np.clip(idx, 0, len(self.labels) - 1)], None)
-            df = df.copy(deep=False)
-            df[label_col] = out
-            return df
-
-    return ds.map_batches(Labeler, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(label_batch, batch_format="pandas")

@@ -52,6 +52,13 @@ def _elect_partition(df: pd.DataFrame, cfg: DedupConfig, cluster_col: str) -> pd
     """
     from pandas.util import hash_pandas_object
 
+    if not len(df):                 # empty exchange partition: typed empty out
+        df = df.copy()
+        df["cluster_size"] = np.int64(0)
+        df["is_representative"] = False
+        df["rep_score"] = np.float64(0.0)
+        return df
+
     scores = np.round(score_members(df, cfg), 12)  # kill float jitter before argmax
     chash = hash_pandas_object(df[cluster_col], index=False).to_numpy()
     order = np.lexsort((-scores, chash))

@@ -76,15 +76,11 @@ def _exchange_map(block: pa.Table, key: str, num_parts: int):
 
 
 @_ray.remote
-def _exchange_nrows(t: pa.Table) -> int:
-    return t.num_rows
-
-
-@_ray.remote
-def _exchange_reduce(*tables) -> pa.Table:
+def _exchange_reduce(schema: pa.Schema, *tables) -> pa.Table:
     tables = [t for t in tables if t is not None]
     if not tables:
-        return pa.table({})  # filtered out downstream by the nrows check
+        # every input block was column-less; rebuild from the dataset schema
+        return schema.empty_table()
     # empty inputs still carry the schema, so an all-empty partition
     # reduces to a schema-correct empty block
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
@@ -103,10 +99,15 @@ def hash_exchange(ds: rd.Dataset, key: str, num_parts: int) -> rd.Dataset:
     tasks concat per partition (a textbook 2-round shuffle; the object
     store spills as needed).  Choose num_parts so a partition fits a
     worker's heap.
+
+    Empty partitions flow through as SCHEMA-CORRECT empty blocks (every
+    grouped fn is empty-safe) — no extra driver round counting rows, so
+    the only driver sync is from_arrow_refs' metadata fetch.
     """
     block_refs = [ref for ref in ds.to_arrow_refs()]
     if not block_refs:
         return ds
+    schema = ds.schema().base_schema
     map_out = [
         _exchange_map.options(num_returns=num_parts).remote(ref, key, num_parts)
         for ref in block_refs
@@ -114,20 +115,12 @@ def hash_exchange(ds: rd.Dataset, key: str, num_parts: int) -> rd.Dataset:
     if num_parts == 1:
         map_out = [[r] for r in map_out]
     reduced = [
-        _exchange_reduce.remote(*[mo[p] for mo in map_out])
+        _exchange_reduce.remote(schema, *[mo[p] for mo in map_out])
         for p in range(num_parts)
     ]
     import ray.data as _rd
 
-    # drop empty partitions — Ray renders them as column-less blocks
-    # downstream, which poisons schema inference (only row counts cross
-    # to the driver; blocks stay in the object store)
-    counts = _ray.get([_exchange_nrows.remote(r) for r in reduced])
-    keep = [r for r, n in zip(reduced, counts) if n]
-    if not keep:
-        schema = ds.schema().base_schema
-        return _rd.from_arrow(schema.empty_table())
-    return _rd.from_arrow_refs(keep)
+    return _rd.from_arrow_refs(reduced)
 
 
 def grouped_map(
