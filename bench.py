@@ -87,10 +87,11 @@ def run_bench() -> dict:
 
     corpus = _corpus_dir()
 
-    # one read block per core: the fused read->extract->signature chain
-    # then emits ~ncpu signature blocks, matching the exchange map-task
-    # count (exchange fan-out = blocks x partitions object refs)
-    n_blocks = NUM_CPUS
+    # two read blocks per core: the fused read->extract->signature chain
+    # load-balances across stragglers (measured: 2x blocks shaves the
+    # signature-stage tail at 32 cpus); run_stage coalesces the
+    # materialized output back to ~ncpu blocks for the exchanges
+    n_blocks = 2 * NUM_CPUS
 
     # warm-up, untimed: (a) OS page cache for the corpus, (b) Ray worker
     # processes + their library imports — a tiny full-pipeline run makes

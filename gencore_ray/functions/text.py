@@ -153,15 +153,23 @@ class MinHasher:
         return permuted.min(axis=1)
 
 
-def band_keys(signature: np.ndarray, bands: int, rows: int) -> np.ndarray:
-    """(bands,) uint64 bucket keys; band index mixed in so bands don't collide."""
-    mat = signature.reshape(bands, rows)
-    acc = np.zeros(bands, dtype=U64)
+def band_keys_batch(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n, bands) uint64 bucket keys for a (n, bands*rows) signature
+    matrix; band index mixed in so bands don't collide.  One numpy shot
+    across the whole batch (rows is tiny, so the inner loop is O(rows))."""
+    n = len(sigs)
+    mat = sigs.reshape(n, bands, rows)
+    acc = np.zeros((n, bands), dtype=U64)
     with np.errstate(over="ignore"):
         for r in range(rows):
-            acc = (acc * _POLY + mat[:, r]) & _MASK
-        acc = (acc * _POLY + np.arange(bands, dtype=U64)) & _MASK
+            acc = (acc * _POLY + mat[:, :, r]) & _MASK
+        acc = (acc * _POLY + np.arange(bands, dtype=U64)[None, :]) & _MASK
     return splitmix64(acc)
+
+
+def band_keys(signature: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(bands,) uint64 bucket keys for ONE signature (batch path above)."""
+    return band_keys_batch(signature[None, :], bands, rows)[0]
 
 
 def simhash64(tok_hashes: np.ndarray) -> int:

@@ -191,7 +191,9 @@ def dedup_pages(
         members = features.map_batches(assign, batch_format="pyarrow")
 
     _t("cc+assign", t_cc)
-    clusters = run_stage("clusters", lambda: elect_representatives(members, cfg))
+    clusters = run_stage(
+        "clusters", lambda: elect_representatives(members, cfg, num_parts=ncpu)
+    )
     counters["pages_out"] = clusters.count()
     if cc_mode == "driver":
         counters["dup_pages"] = len(label_map)               # pages in multi-clusters

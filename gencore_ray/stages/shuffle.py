@@ -75,15 +75,67 @@ def _exchange_map(block: pa.Table, key: str, num_parts: int):
     )
 
 
-@_ray.remote
-def _exchange_reduce(schema: pa.Schema, *tables) -> pa.Table:
+@_ray.remote(num_returns=2)
+def _exchange_reduce(schema: pa.Schema, *tables):
     tables = [t for t in tables if t is not None]
     if not tables:
         # every input block was column-less; rebuild from the dataset schema
-        return schema.empty_table()
-    # empty inputs still carry the schema, so an all-empty partition
-    # reduces to a schema-correct empty block
-    return pa.concat_tables(tables, promote_options="default").combine_chunks()
+        out = schema.empty_table()
+    else:
+        # empty inputs still carry the schema, so an all-empty partition
+        # reduces to a schema-correct empty block
+        out = pa.concat_tables(tables, promote_options="default").combine_chunks()
+    # emit the block metadata HERE: the driver assembles the Dataset from
+    # (block, metadata) ref pairs without from_arrow_refs' extra
+    # one-task-per-block metadata round after the exchange
+    from ray.data._internal.util import get_table_block_metadata_schema
+
+    return out, get_table_block_metadata_schema(out)
+
+
+def _dataset_from_reduced(block_refs, meta_refs) -> rd.Dataset:
+    """MaterializedDataset over exchange outputs (mirrors
+    ray.data.from_arrow_refs, minus its per-block metadata task round —
+    the metadata was computed inside the reduce tasks)."""
+    from ray.data._internal.logical.interfaces import LogicalPlan
+    from ray.data._internal.logical.operators.from_operators import FromArrow
+    from ray.data._internal.plan import ExecutionPlan
+    from ray.data._internal.stats import DatasetStats
+    from ray.data.context import DataContext
+    from ray.data.dataset import MaterializedDataset
+
+    metadata_schema = _ray.get(meta_refs)
+    execution_plan = ExecutionPlan(
+        DatasetStats(metadata={"FromArrow": metadata_schema}, parent=None),
+        DataContext.get_current().copy(),
+    )
+    logical_plan = LogicalPlan(
+        FromArrow(block_refs, metadata_schema), execution_plan._context
+    )
+    return MaterializedDataset(execution_plan, logical_plan)
+
+
+def exchange_refs(ds: rd.Dataset, key: str, num_parts: int):
+    """The exchange as raw refs: returns (block_refs, meta_refs) — one
+    (block, metadata) pair per partition, still pending.  Lets callers
+    chain several exchanges/joins as ONE task graph with no driver sync
+    between rounds (``_dataset_from_reduced`` assembles the final
+    Dataset).  Returns (None, None) for an empty input."""
+    block_refs = [ref for ref in ds.to_arrow_refs()]
+    if not block_refs:
+        return None, None
+    schema = ds.schema().base_schema
+    map_out = [
+        _exchange_map.options(num_returns=num_parts).remote(ref, key, num_parts)
+        for ref in block_refs
+    ]
+    if num_parts == 1:
+        map_out = [[r] for r in map_out]
+    reduced = [
+        _exchange_reduce.remote(schema, *[mo[p] for mo in map_out])
+        for p in range(num_parts)
+    ]
+    return [r[0] for r in reduced], [r[1] for r in reduced]
 
 
 def hash_exchange(ds: rd.Dataset, key: str, num_parts: int) -> rd.Dataset:
@@ -101,26 +153,13 @@ def hash_exchange(ds: rd.Dataset, key: str, num_parts: int) -> rd.Dataset:
     worker's heap.
 
     Empty partitions flow through as SCHEMA-CORRECT empty blocks (every
-    grouped fn is empty-safe) — no extra driver round counting rows, so
-    the only driver sync is from_arrow_refs' metadata fetch.
+    grouped fn is empty-safe) — no extra driver round counting rows; the
+    only driver sync is the metadata gather at Dataset assembly.
     """
-    block_refs = [ref for ref in ds.to_arrow_refs()]
-    if not block_refs:
+    blocks, metas = exchange_refs(ds, key, num_parts)
+    if blocks is None:
         return ds
-    schema = ds.schema().base_schema
-    map_out = [
-        _exchange_map.options(num_returns=num_parts).remote(ref, key, num_parts)
-        for ref in block_refs
-    ]
-    if num_parts == 1:
-        map_out = [[r] for r in map_out]
-    reduced = [
-        _exchange_reduce.remote(schema, *[mo[p] for mo in map_out])
-        for p in range(num_parts)
-    ]
-    import ray.data as _rd
-
-    return _rd.from_arrow_refs(reduced)
+    return _dataset_from_reduced(blocks, metas)
 
 
 def grouped_map(

@@ -92,23 +92,31 @@ class SignatureStage:
         tshash_list: list[np.ndarray] = []
         ckeys_list: list[np.ndarray] = []
 
+        active = np.zeros(n, dtype=bool)
         for i in range(n):
             sh = shingle_hashes(toks[i], cfg.shingle_k)
             shingle_count[i] = len(sh)
             tshash_list.append(sh)
             simhashes[i] = simhash64(toks[i])
-            sig = self.minhasher.signature(sh)
-            minhash_mat[i] = sig
+            minhash_mat[i] = self.minhasher.signature(sh)
             if len(sh) >= cfg.min_shingles:
-                bkey_mat[i] = band_keys(sig, cfg.bands, cfg.rows_per_band)
+                active[i] = True
                 ckeys_list.append(
                     bottom_m_sketch(sh, self.cperm_a, self.cperm_b, cfg.containment_bottom_m)
                 )
             else:
                 # bypass rows (gencore unmapped bypass, src/gencore.cpp:254-266):
                 # no bucket keys -> never shuffled into LSH
-                bkey_mat[i] = 0
                 ckeys_list.append(np.empty(0, dtype=U64))
+        # band keys in one numpy shot over the whole batch; bypass rows
+        # keep all-zero keys (never shuffled into LSH)
+        bkey_mat[:] = 0
+        if active.any():
+            from gencore_ray.functions.text import band_keys_batch
+
+            bkey_mat[active] = band_keys_batch(
+                minhash_mat[active], cfg.bands, cfg.rows_per_band
+            )
 
         import pandas as pd
         from pandas.util import hash_pandas_object

@@ -12,56 +12,84 @@ verification is exact too — no estimate survives into an edge:
 A pair becomes a verified edge iff
     jaccard >= tau  OR  containment >= c  OR  hamming <= k.
 
-Dataflow: pairs(ha,hb — uint64 doc hashes) are joined twice against
-the slim signature projection (uhash, url, tshash, simhash,
-shingle_count) — two int-keyed hash-partitioned joins — then a
-stateless vectorised map_batches computes the three metrics.  The
-shingle arrays (and the url strings) ride only this small pair table,
-never the LSH explode.
+Dataflow: pairs(ha,hb — uint64 doc hashes) need the slim signature
+projection (uhash, url, tshash, simhash, shingle_count) attached on
+BOTH sides.  The signature table is hash-partitioned by uhash exactly
+ONCE and those partitions are reused for both attaches — the A-side
+attach, the re-exchange of the (much smaller) pair rows by hb, and the
+fused B-side attach + metric computation all run as a single raw-Ray
+task graph with no driver synchronisation between rounds.  The shingle
+arrays (and the url strings) ride only the pair rows, never the LSH
+explode, and the big signature payload crosses the wire once, not
+twice.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from gencore_ray.config import DedupConfig
 from gencore_ray.functions.hashing import U64, popcount64
 
 
-def _rename(ds: rd.Dataset, mapping: dict[str, str]) -> rd.Dataset:
-    def fn(t: pa.Table) -> pa.Table:
-        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+_SLIM_COLS = ["uhash", "url", "tshash", "simhash", "shingle_count"]
+_RENAME_A = {"url": "url_a", "tshash": "tshash_a",
+             "simhash": "simhash_a", "shingle_count": "count_a"}
+_RENAME_B = {"url": "url_b", "tshash": "tshash_b",
+             "simhash": "simhash_b", "shingle_count": "count_b"}
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+def _join_part(left: pa.Table, right: pa.Table, lkey: str, rkey: str,
+               rename: dict[str, str]) -> pa.Table:
+    """Inner-join two co-partitioned Arrow tables on an int key; right
+    payload columns are renamed, the right key is dropped.  Vectorised
+    (factorised codes + Arrow take); payloads stay in Arrow buffers."""
+    rcols = [(c, rename.get(c, c)) for c in right.column_names if c != rkey]
+    if left.num_rows == 0 or right.num_rows == 0:
+        out = pa.schema(
+            list(left.schema)
+            + [pa.field(rn, right.schema.field(c).type) for c, rn in rcols]
+        )
+        return out.empty_table()
+    lk = left[lkey].to_numpy(zero_copy_only=False)
+    rk = right[rkey].to_numpy(zero_copy_only=False)
+    codes, _ = pd.factorize(np.concatenate([lk, rk]))
+    ldf = pd.DataFrame({"c": codes[: len(lk)], "li": np.arange(len(lk))})
+    rdf = pd.DataFrame({"c": codes[len(lk):], "ri": np.arange(len(rk))})
+    m = ldf.merge(rdf, on="c", how="inner")
+    out = left.take(pa.array(m["li"].to_numpy()))
+    rtaken = right.take(pa.array(m["ri"].to_numpy()))
+    for c, rn in rcols:
+        out = out.append_column(rn, rtaken[c])
+    return out
 
 
-def attach_signatures(
-    pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig
-) -> rd.Dataset:
-    """pairs(ha,hb) ⋈ sig on the uint64 doc hash, twice.
+@ray.remote
+def _attach_a(pairs_t: pa.Table, slim_t: pa.Table) -> pa.Table:
+    """Partition-local (ha,hb) distinct (rows sharing ha colocate here,
+    so this is a GLOBAL distinct) + A-side signature attach."""
+    if pairs_t.num_rows:
+        ha = pairs_t["ha"].to_numpy(zero_copy_only=False)
+        hb = pairs_t["hb"].to_numpy(zero_copy_only=False)
+        po = np.lexsort((hb, ha))
+        first = np.r_[True, (ha[po][1:] != ha[po][:-1]) | (hb[po][1:] != hb[po][:-1])]
+        pairs_t = pairs_t.take(pa.array(np.sort(po[first])))
+    return _join_part(pairs_t, slim_t, "ha", "uhash", _RENAME_A)
 
-    Int-keyed hash-partitioned joins; the url strings re-enter the
-    pipeline here from the signature side."""
-    from gencore_ray.stages.shuffle import hash_join
 
-    slim = sig.select_columns(["uhash", "url", "tshash", "simhash", "shingle_count"])
-    import ray as _ray
+@ray.remote(num_returns=2)
+def _attach_b_verify(j1_t: pa.Table, slim_t: pa.Table, cfg: DedupConfig):
+    """Fused B-side attach + exact metric verification; emits the final
+    edge block plus its Dataset metadata (no extra metadata round)."""
+    from ray.data._internal.util import get_table_block_metadata_schema
 
-    np_parts = cfg.join_num_partitions or int(
-        _ray.cluster_resources().get("CPU", 8)
-    )
-
-    slim_a = _rename(slim, {"url": "url_a", "tshash": "tshash_a",
-                            "simhash": "simhash_a", "shingle_count": "count_a"})
-    # left_dedupe: multi-band duplicate pairs collapse here (global
-    # distinct — duplicates share ha, hence the partition)
-    j1 = hash_join(pairs, slim_a, "ha", "uhash", num_parts=np_parts,
-                   left_dedupe=["ha", "hb"])
-    slim_b = _rename(slim, {"url": "url_b", "tshash": "tshash_b",
-                            "simhash": "simhash_b", "shingle_count": "count_b"})
-    return hash_join(j1, slim_b, "hb", "uhash", num_parts=np_parts)
+    joined = _join_part(j1_t, slim_t, "hb", "uhash", _RENAME_B)
+    out = _verify_batch(joined, cfg)
+    return out, get_table_block_metadata_schema(out)
 
 
 def _verify_batch(t: pa.Table, cfg: DedupConfig) -> pa.Table:
@@ -124,9 +152,51 @@ EDGE_SCHEMA = pa.schema(
 
 
 def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+    """One task graph: exchange(sig by uhash) ∥ exchange(pairs by ha) →
+    attach A → exchange(pair rows by hb) → fused attach B + verify.
+
+    The signature partitions are computed once and consumed by BOTH
+    attach rounds; only the slim pair rows are re-exchanged."""
+    from gencore_ray.stages.shuffle import (
+        _dataset_from_reduced,
+        _exchange_map,
+        _exchange_reduce,
+        exchange_refs,
+        to_arrow_blocks,
+    )
+
     if pairs.schema() is None:  # no candidates at all (all-unique corpus)
         return rd.from_arrow(EDGE_SCHEMA.empty_table())
-    withsig = attach_signatures(pairs.select_columns(["ha", "hb"]), sig, cfg)
-    return withsig.map_batches(
-        lambda t: _verify_batch(t, cfg), batch_format="pyarrow", zero_copy_batch=True
+    P = cfg.join_num_partitions or int(ray.cluster_resources().get("CPU", 8))
+
+    slim = sig.select_columns(_SLIM_COLS)
+    slim_blocks, _ = exchange_refs(to_arrow_blocks(slim), "uhash", P)
+    pair_blocks, _ = exchange_refs(
+        to_arrow_blocks(pairs.select_columns(["ha", "hb"])), "ha", P
     )
+    if slim_blocks is None or pair_blocks is None:
+        return rd.from_arrow(EDGE_SCHEMA.empty_table())
+
+    j1 = [_attach_a.remote(pair_blocks[p], slim_blocks[p]) for p in range(P)]
+
+    # re-exchange the attached pair rows by hb (schema known statically)
+    slim_schema = slim.schema().base_schema
+    j1_schema = pa.schema(
+        [("ha", pa.uint64()), ("hb", pa.uint64())]
+        + [pa.field(_RENAME_A.get(f.name, f.name), f.type)
+           for f in slim_schema if f.name != "uhash"]
+    )
+    maps = [
+        _exchange_map.options(num_returns=P).remote(j1[p], "hb", P)
+        for p in range(P)
+    ]
+    if P == 1:
+        maps = [[r] for r in maps]
+    j1b = [
+        _exchange_reduce.remote(j1_schema, *[maps[q][p] for q in range(P)])
+        for p in range(P)
+    ]
+    outs = [
+        _attach_b_verify.remote(j1b[p][0], slim_blocks[p], cfg) for p in range(P)
+    ]
+    return _dataset_from_reduced([o[0] for o in outs], [o[1] for o in outs])
