@@ -79,7 +79,37 @@ def dedup_pages(
     """Full near-dup detection + clustering + representative election."""
     cfg = cfg or DedupConfig()
     ckpt = CheckpointManager(checkpoint_dir, enabled=checkpoint_dir is not None)
-    fp = cfg.fingerprint()
+
+    # --- stage fingerprints: chained, covering config AND input identity
+    # AND the extract flag AND the upstream stage (a resume with the same
+    # config but a different corpus or toggled extract_html must MISS,
+    # not silently reload stale parquet)
+    import hashlib as _hl
+    import json as _json
+
+    def _chain(*parts: str) -> str:
+        return _hl.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+    try:
+        in_files = sorted(pages.input_files() or [])
+    except Exception:
+        in_files = []
+    try:
+        in_schema = ",".join(pages.schema().base_schema.names)
+    except Exception:
+        in_schema = "?"
+    in_rows = ""
+    if not in_files:
+        # in-memory input: no files to identify it; fold in the row count
+        # when it is free (already-materialized datasets only)
+        if isinstance(pages, rd.dataset.MaterializedDataset):
+            in_rows = str(pages.count())
+    input_id = _chain(_json.dumps(in_files), in_schema, in_rows)
+    fps: dict[str, str] = {}
+    prev = _chain(cfg.fingerprint(), input_id, f"extract={extract_html}")
+    for _stage in ("signatures", "candidate_pairs", "verified_edges", "clusters"):
+        prev = fps[_stage] = _chain(prev, _stage)
+
     counters: dict[str, int] = {}
 
     import ray as _ray
@@ -105,7 +135,7 @@ def dedup_pages(
         by per-block dispatch, not bytes (measured: a 5M-row groupby is
         0.4s from 32 blocks, 2.2s from 180)."""
         t0 = time.monotonic()
-        ds = ckpt.stage(name, fp, build)
+        ds = ckpt.stage(name, fps[name], build)
         if ckpt.enabled:
             _t(name, t0)
             return ds

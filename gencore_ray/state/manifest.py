@@ -11,9 +11,11 @@ atomically (tmp dir + rename), and appends one manifest record
      counters, wall_sec, completed_at_ord}
 
 to ``manifest.jsonl``.  Resume = if a stage's (name, fingerprint)
-pair — fingerprint covers the DedupConfig and the input stage
-fingerprints — already has a completed record whose files still
-exist, read the parquet back instead of recomputing.
+pair — the fingerprint chain covers the DedupConfig, the input
+identity (source files + schema), the extract_html flag, and every
+upstream stage's fingerprint (see ``dedup_pages``) — already has a
+completed record whose files still exist, read the parquet back
+instead of recomputing.
 """
 
 from __future__ import annotations

@@ -124,6 +124,28 @@ def test_resume_after_partial_failure(corpus, tmp_path):
     )
 
 
+def test_checkpoint_not_reused_for_different_input(corpus, tmp_path):
+    """Same checkpoint_dir + same config but a DIFFERENT corpus must
+    recompute, not reload stale parquet (fingerprints cover input
+    identity — ADVICE round 1)."""
+    import pyarrow.parquet as pq
+
+    pages_tbl, _ = corpus
+    a = pages_tbl.slice(0, 100).select(["url", "warc_ts", "text", "lang"])
+    b = pages_tbl.slice(100, 100).select(["url", "warc_ts", "text", "lang"])
+    pa_dir, pb_dir = tmp_path / "in_a", tmp_path / "in_b"
+    pa_dir.mkdir(), pb_dir.mkdir()
+    pq.write_table(a, str(pa_dir / "pages.parquet"))
+    pq.write_table(b, str(pb_dir / "pages.parquet"))
+    ck = str(tmp_path / "ckpt3")
+    d_a = dedup_pages(rd.read_parquet(str(pa_dir)), CFG,
+                      checkpoint_dir=ck).clusters.to_pandas()
+    d_b = dedup_pages(rd.read_parquet(str(pb_dir)), CFG,
+                      checkpoint_dir=ck).clusters.to_pandas()
+    assert set(d_b["url"]) == set(b["url"].to_pylist())   # not corpus A's rows
+    assert set(d_a["url"]) != set(d_b["url"])
+
+
 def test_exact_dedup_operator(ray_session):
     sig = compute_signatures(
         rd.from_items(
@@ -171,7 +193,11 @@ def test_manifest_has_per_partition_lineage(corpus, tmp_path):
         for p in r["partitions"]:
             assert os.path.exists(p["path"]) and p["rows"] >= 0
         assert r["rows_out"] == sum(p["rows"] for p in r["partitions"])
-        assert r["fingerprint"] == CFG.fingerprint()
+    # fingerprints are CHAINED per stage (config + input + upstream) —
+    # all distinct, none equal to the bare config fingerprint
+    fps = [r["fingerprint"] for r in recs]
+    assert len(set(fps)) == len(fps)
+    assert CFG.fingerprint() not in fps
     report = json.load(open(os.path.join(ck, "report.json")))
     assert report["counters"]["pages_in"] == 120
 
