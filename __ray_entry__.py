@@ -307,6 +307,24 @@ def _q_dedup_docs_pipeline(sf_dir: str):
     )
 
 
+def _q_cluster_consensus(sf_dir: str):
+    """G6 parity: one SYNTHESIZED record per cluster (gencore's
+    quality-weighted consensus, /root/reference/src/group.cpp:320-526).
+    The SQL-checked projection covers the merged metadata; the voted
+    consensus_text itself is pytest-verified (tests/test_pipeline.py)."""
+    from gencore_ray.config import DedupConfig
+    from gencore_ray.pipelines.dedup import dedup_pages
+    from gencore_ray.stages.consensus import synthesize_clusters
+
+    pages = _docs_as_pages(sf_dir)
+    res = dedup_pages(pages, DedupConfig())
+    cons = synthesize_clusters(pages, res.clusters)
+    return cons.select_columns(
+        ["cluster_id", "cluster_size", "rep_url", "max_quality",
+         "max_text_len", "total_text_len"]
+    )
+
+
 def _q_cluster_size_histogram(sf_dir: str):
     """Duplication-level histogram (gencore's supporting-reads
     histogram analogue, /root/reference/src/stats.h:15): how many
@@ -505,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "containment_pairs": _q_containment_pairs,
         "cluster_size_histogram": _q_cluster_size_histogram,
+        "cluster_consensus": _q_cluster_consensus,
         "text_quality_profile": _q_text_quality_profile,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
@@ -561,7 +580,7 @@ _PIPELINE_CTE = (
     "cc AS (SELECT src AS did, min(dst) AS cid FROM reach GROUP BY src), "
     "q AS (SELECT doc_id, length(text) AS tl, " + _QUALITY_EXPR +
     " AS quality FROM tok), "
-    "scored AS (SELECT cc.did, cc.cid, "
+    "scored AS (SELECT cc.did, cc.cid, q.quality, q.tl, "
     "round(0.5 * least(q.tl / 2000.0, 1.0) + 0.2 * q.quality, 12) AS score "
     "FROM cc JOIN q ON q.doc_id = cc.did)"
 )
@@ -692,6 +711,18 @@ def oracle_sql() -> dict[str, str]:
             "(row_number() OVER (PARTITION BY cid "
             "ORDER BY score DESC, did) = 1) AS is_representative "
             "FROM scored"
+        ),
+        "cluster_consensus": (
+            _PIPELINE_CTE + ", "
+            "r AS (SELECT cid, did, quality, tl, row_number() OVER "
+            "(PARTITION BY cid ORDER BY score DESC, did) AS rk FROM scored) "
+            "SELECT printf('doc-%08d', cid) AS cluster_id, "
+            "count(*) AS cluster_size, "
+            "printf('doc-%08d', min(CASE WHEN rk = 1 THEN did END)) AS rep_url, "
+            "max(quality) AS max_quality, "
+            "CAST(max(tl) AS BIGINT) AS max_text_len, "
+            "CAST(sum(tl) AS BIGINT) AS total_text_len "
+            "FROM r GROUP BY cid"
         ),
         "cluster_size_histogram": (
             _PIPELINE_CTE + " "

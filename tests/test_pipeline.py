@@ -124,6 +124,50 @@ def test_resume_after_partial_failure(corpus, tmp_path):
     )
 
 
+def test_consensus_synthesis_vote(ray_session):
+    """G6: per-position quality-weighted token vote over cluster members
+    (hand-computed fixture mirroring gencore's consensus semantics)."""
+    from gencore_ray.stages.consensus import synthesize_clusters
+
+    clusters = rd.from_items([
+        # majority cluster: 2 of 3 agree at position 1
+        {"url": "m1", "cluster_id": "m1", "cluster_size": 3,
+         "is_representative": True, "quality": 0.5, "text_len": 5},
+        {"url": "m2", "cluster_id": "m1", "cluster_size": 3,
+         "is_representative": False, "quality": 0.5, "text_len": 5},
+        {"url": "m3", "cluster_id": "m1", "cluster_size": 3,
+         "is_representative": False, "quality": 0.5, "text_len": 5},
+        # weighted cluster: one high-quality member outvotes two low
+        {"url": "w1", "cluster_id": "w1", "cluster_size": 3,
+         "is_representative": True, "quality": 0.9, "text_len": 5},
+        {"url": "w2", "cluster_id": "w1", "cluster_size": 3,
+         "is_representative": False, "quality": 0.2, "text_len": 5},
+        {"url": "w3", "cluster_id": "w1", "cluster_size": 3,
+         "is_representative": False, "quality": 0.2, "text_len": 5},
+        # singleton passthrough
+        {"url": "s1", "cluster_id": "s1", "cluster_size": 1,
+         "is_representative": True, "quality": 0.3, "text_len": 3},
+    ])
+    pages = rd.from_items([
+        {"url": "m1", "text": "a b c"}, {"url": "m2", "text": "a b c"},
+        {"url": "m3", "text": "a X c"},
+        {"url": "w1", "text": "a Y c"}, {"url": "w2", "text": "a b c"},
+        {"url": "w3", "text": "a b c"},
+        {"url": "s1", "text": "solo page"},
+    ])
+    out = synthesize_clusters(pages, clusters, CFG, num_parts=4).to_pandas()
+    out = out.set_index("cluster_id")
+    assert out.loc["m1", "consensus_text"] == "a b c"          # majority wins
+    assert abs(out.loc["m1", "vote_agreement"] - 2 / 3) < 1e-6
+    assert out.loc["w1", "consensus_text"] == "a Y c"          # weight wins
+    assert out.loc["s1", "consensus_text"] == "solo page"
+    assert out.loc["s1", "content_src"] == "single"
+    assert out.loc["m1", "content_src"] == "consensus_vote"
+    assert out.loc["m1", "rep_url"] == "m1"
+    assert int(out.loc["w1", "total_text_len"]) == 15
+    assert len(out) == 3                                       # one row per cluster
+
+
 def test_checkpoint_not_reused_for_different_input(corpus, tmp_path):
     """Same checkpoint_dir + same config but a DIFFERENT corpus must
     recompute, not reload stale parquet (fingerprints cover input
