@@ -486,7 +486,7 @@ def _q_pages_dedup_pipeline(sf_dir: str):
     from gencore_ray.sources import read_pages
 
     n = 1500 if "0.01" in sf_dir else 400
-    cache = f"/tmp/gencore_pages_{n}_s42"
+    cache = f"/tmp/gencore_pages_{n}_s42_v2"
     if not os.path.exists(os.path.join(cache, "pages.parquet")):
         write_pages_corpus(cache, n_pages=n, seed=42)
     pages = read_pages(os.path.join(cache, "pages.parquet"), need_html=True)

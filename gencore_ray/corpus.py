@@ -58,6 +58,16 @@ def _make_vocab(rng: np.random.RandomState) -> list[str]:
     return vocab
 
 
+def _lang_vocab(vocab: list[str], lang: str) -> list[str]:
+    """Vocab with the language's function words mixed in at realistic
+    density (~25% of tokens), so the `lang` label is reflected in the
+    text itself and language-ID has a real signal to recover."""
+    from gencore_ray.functions.text import _STOPWORDS
+
+    stops = sorted(_STOPWORDS.get(lang, frozenset()))
+    return vocab + [w for w in stops for _ in range(10)]
+
+
 def _sentence(rng: np.random.RandomState, vocab: list[str]) -> list[str]:
     n = rng.randint(5, 16)
     idx = rng.randint(0, len(vocab), size=n)
@@ -141,26 +151,27 @@ def generate_pages(
 
     # --- exact-dup clusters ---
     for _ in range(n_exact_c):
-        base = _base_text(rng, vocab)
-        size = min(10, 2 + rng.geometric(0.5))
         lang = pick_lang()
+        base = _base_text(rng, _lang_vocab(vocab, lang))
+        size = min(10, 2 + rng.geometric(0.5))
         for _ in range(size):
             add([list(p) for p in base], "exact", cluster_id, lang)
         cluster_id += 1
 
     # --- near-dup clusters (1-3 word swaps per copy; Jaccard >= ~.9) ---
     for _ in range(n_near_c):
-        base = _base_text(rng, vocab)
-        size = min(10, 2 + rng.geometric(0.5))
         lang = pick_lang()
+        base = _base_text(rng, _lang_vocab(vocab, lang))
+        size = min(10, 2 + rng.geometric(0.5))
         add(base, "near", cluster_id, lang)
         for _ in range(size - 1):
             add(_mutate(rng, base, vocab, int(rng.randint(1, 4))), "near", cluster_id, lang)
         cluster_id += 1
 
     # --- borderline clusters (swap ~12-20% of words -> Jaccard near tau) ---
+    envoc = _lang_vocab(vocab, "en")
     for _ in range(n_border_c):
-        base = _base_text(rng, vocab)
+        base = _base_text(rng, envoc)
         total = sum(len(p) for p in base)
         add(base, "borderline", cluster_id)
         n_swap = max(2, int(total * (0.12 + 0.08 * rng.rand())))
@@ -169,9 +180,9 @@ def generate_pages(
 
     # --- substring containment (short page = >=half the long page's paras) ---
     for _ in range(n_substr_c):
-        base = _base_text(rng, vocab)
+        base = _base_text(rng, envoc)
         while len(base) < 3:
-            base.append(_sentence(rng, vocab))
+            base.append(_sentence(rng, envoc))
         add(base, "substring", cluster_id)
         keep = max(2, (len(base) + 1) // 2)
         start = rng.randint(0, len(base) - keep + 1)
@@ -180,9 +191,9 @@ def generate_pages(
 
     # --- simhash-only boilerplate (short template, one field differs) ---
     for _ in range(n_simhash_c):
-        tmpl = _base_text(rng, vocab)[:1]  # one paragraph template
+        tmpl = _base_text(rng, envoc)[:1]  # one paragraph template
         while len(tmpl[0]) < 24:
-            tmpl[0].extend(_sentence(rng, vocab))
+            tmpl[0].extend(_sentence(rng, envoc))
         add(tmpl, "simhash", cluster_id)
         var = [list(tmpl[0])]
         var[0][rng.randint(0, len(var[0]))] = vocab[rng.randint(0, len(vocab))]
@@ -190,7 +201,7 @@ def generate_pages(
         cluster_id += 1
 
     # --- hot bucket: one boilerplate instantiated many times ---
-    hot_tmpl = _base_text(rng, vocab)
+    hot_tmpl = _base_text(rng, envoc)
     hot_cluster = cluster_id
     cluster_id += 1
     for _ in range(n_hot):
@@ -208,7 +219,8 @@ def generate_pages(
 
     # --- singletons to fill up to n_pages ---
     while len(rows) < n_pages:
-        add(_base_text(rng, vocab), "singleton", cluster_id, pick_lang())
+        lang = pick_lang()
+        add(_base_text(rng, _lang_vocab(vocab, lang)), "singleton", cluster_id, lang)
         cluster_id += 1
     rows = rows[:n_pages]
 

@@ -224,6 +224,22 @@ _STOPWORDS = {
         "le de la et les des en un du une est que dans qui par pour sur au plus "
         "pas ce ne se sont avec son ses mais comme ou si leur elle".split()
     ),
+    "es": frozenset(
+        "el la de que y en los del se las por un para con no una su al lo como "
+        "más pero sus le ya este porque esta entre cuando muy sin sobre también".split()
+    ),
+    "it": frozenset(
+        "il di che e la per una in del non sono con si da come anche più nel "
+        "alla gli dei delle questo essere ha può loro quando nella sono stato".split()
+    ),
+    "pt": frozenset(
+        "o a de que e do da em um para é com não uma os no se na por mais as "
+        "dos como mas foi ao ele das tem seu sua pelo pela isso ela".split()
+    ),
+    "nl": frozenset(
+        "de het een en van ik te dat die in is zij niet met aan er om ook als "
+        "dan maar bij nog naar dit toch heeft worden zijn deze wel geen".split()
+    ),
 }
 
 
