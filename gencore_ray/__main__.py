@@ -113,7 +113,7 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("-o", "--output", required=True, help="clusters output dir")
     d.add_argument("--checkpoint-dir", default=None)
     d.add_argument("--extract-html", action="store_true")
-    d.add_argument("--cc", choices=["driver", "distributed"], default="driver")
+    d.add_argument("--cc", choices=["auto", "driver", "distributed"], default="auto")
     d.add_argument("--shingle-k", type=int, default=5)
     d.add_argument("--bands", type=int, default=32)
     d.add_argument("--rows", type=int, default=4)

@@ -240,7 +240,19 @@ def dedup_pages(
         counters["pages_out"] - counters["dup_pages"] + counters["dup_clusters"]
     )
     if ckpt.enabled:
-        ckpt.write_report(counters)
+        # duplication-level histogram for the reports (gencore's
+        # supporting-reads histogram, src/stats.h:15): one small
+        # pre-aggregated exchange over the representatives
+        from gencore_ray.ops.relational import grouped_aggregate
+
+        reps = clusters.filter(expr="is_representative == True").select_columns(
+            ["cluster_size"]
+        )
+        hdf = grouped_aggregate(
+            reps, ["cluster_size"], [("n", None, "count")], num_parts=4
+        ).to_pandas()
+        hist = dict(zip(hdf["cluster_size"].astype(int), hdf["n"].astype(int)))
+        ckpt.write_report(counters, histogram=hist)
     if cfg.min_cluster_size > 1:
         n = cfg.min_cluster_size
         clusters = clusters.filter(expr=f"cluster_size >= {n}")

@@ -132,19 +132,82 @@ class CheckpointManager:
     def counters(self) -> dict[str, dict[str, int]]:
         return {rec["stage"]: rec.get("counters", {}) for rec in self._records.values()}
 
-    def write_report(self, counters: dict[str, int]) -> None:
+    def write_report(
+        self,
+        counters: dict[str, int],
+        histogram: dict[int, int] | None = None,
+    ) -> None:
         """Final JSON report (gencore JSON reporter analogue,
         /root/reference/src/jsonreporter.cpp:11-42): run counters plus
-        the per-stage lineage summary."""
+        the per-stage lineage summary.  Also renders ``report.html``
+        (S7 — the human-readable summary gencore's HTML reporter emits,
+        /root/reference/src/htmlreporter.cpp:56-485), including the
+        duplication-level histogram when provided."""
         if not self.enabled:
             return
-        report = {
-            "counters": counters,
-            "stages": [
-                {"stage": r["stage"], "rows_out": r["rows_out"],
-                 "partitions": len(r["partitions"]), "wall_sec": r["wall_sec"]}
-                for r in self._records.values()
-            ],
-        }
+        stages = [
+            {"stage": r["stage"], "rows_out": r["rows_out"],
+             "partitions": len(r["partitions"]), "wall_sec": r["wall_sec"]}
+            for r in self._records.values()
+        ]
+        report: dict[str, Any] = {"counters": counters, "stages": stages}
+        if histogram:
+            report["cluster_size_histogram"] = {
+                str(k): v for k, v in sorted(histogram.items())
+            }
         with open(os.path.join(self.run_dir, "report.json"), "w") as f:
             json.dump(report, f, indent=2)
+        with open(os.path.join(self.run_dir, "report.html"), "w") as f:
+            f.write(_render_html_report(counters, stages, histogram))
+
+
+def _render_html_report(
+    counters: dict[str, int],
+    stages: list[dict],
+    histogram: dict[int, int] | None,
+) -> str:
+    """Static single-file HTML summary (no external assets — the same
+    self-contained style as the reference's HTML reporter)."""
+    import html as _h
+
+    def table(headers: list[str], rows: list[list[Any]]) -> str:
+        head = "".join(f"<th>{_h.escape(str(h))}</th>" for h in headers)
+        body = "".join(
+            "<tr>" + "".join(f"<td>{_h.escape(str(c))}</td>" for c in row) + "</tr>"
+            for row in rows
+        )
+        return f"<table><tr>{head}</tr>{body}</table>"
+
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        "<title>gencore_ray dedup report</title><style>",
+        "body{font-family:sans-serif;margin:2em;max-width:60em}",
+        "table{border-collapse:collapse;margin:1em 0}",
+        "td,th{border:1px solid #999;padding:.3em .8em;text-align:left}",
+        "th{background:#eee}.bar{background:#4a7;display:inline-block;",
+        "height:1em;vertical-align:middle}</style></head><body>",
+        "<h1>gencore_ray dedup report</h1>",
+        "<h2>Run counters</h2>",
+        table(["counter", "value"], [[k, v] for k, v in counters.items()]),
+        "<h2>Stage lineage</h2>",
+        table(
+            ["stage", "rows out", "partitions", "wall (s)"],
+            [[s["stage"], s["rows_out"], s["partitions"], s["wall_sec"]]
+             for s in stages],
+        ),
+    ]
+    if histogram:
+        mx = max(histogram.values())
+        rows = []
+        for size, n in sorted(histogram.items()):
+            bar = f"<span class='bar' style='width:{220 * n // mx}px'></span>"
+            rows.append(
+                f"<tr><td>{size}</td><td>{n}</td><td>{bar}</td></tr>"
+            )
+        parts += [
+            "<h2>Duplication-level histogram</h2>",
+            "<table><tr><th>cluster size</th><th>clusters</th><th></th></tr>",
+            *rows, "</table>",
+        ]
+    parts.append("</body></html>")
+    return "".join(parts)

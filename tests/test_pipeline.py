@@ -168,6 +168,27 @@ def test_consensus_synthesis_vote(ray_session):
     assert len(out) == 3                                       # one row per cluster
 
 
+def test_html_report_emitted(corpus, tmp_path):
+    """S7: checkpointed runs emit a self-contained report.html with
+    counters, stage lineage, and the duplication-level histogram."""
+    pages_tbl, _ = corpus
+    pages = rd.from_arrow(pages_tbl.slice(0, 120).select(["url", "warc_ts", "text", "lang"]))
+    ck = str(tmp_path / "ckpt_html")
+    dedup_pages(pages, CFG, checkpoint_dir=ck).clusters.count()
+    html_path = os.path.join(ck, "report.html")
+    assert os.path.exists(html_path)
+    html = open(html_path).read()
+    for needle in ("Run counters", "Stage lineage", "Duplication-level histogram",
+                   "pages_in", "signatures", "clusters"):
+        assert needle in html, needle
+    import json as _json
+
+    rep = _json.load(open(os.path.join(ck, "report.json")))
+    hist = {int(k): v for k, v in rep["cluster_size_histogram"].items()}
+    assert sum(hist.values()) == rep["counters"]["clusters_total"]
+    assert sum(k * v for k, v in hist.items()) == 120
+
+
 def test_checkpoint_not_reused_for_different_input(corpus, tmp_path):
     """Same checkpoint_dir + same config but a DIFFERENT corpus must
     recompute, not reload stale parquet (fingerprints cover input
