@@ -457,6 +457,43 @@ def _q_events_daily_user(sf_dir: str):
     return _round_cols(out, {"total_value": 6})
 
 
+def _q_token_profile(sf_dir: str):
+    """Token counting the way a training-data pipeline needs it:
+    whitespace tokens AND a BPE-ish (GPT-2-shape) pre-token count."""
+    from gencore_ray.functions.text import bpe_token_counts, ws_token_counts
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "bpe_tokens": pa.array(bpe_token_counts(texts)),
+            "ws_tokens": pa.array(ws_token_counts(texts)),
+        })
+
+    return docs.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_top_ngrams(sf_dir: str):
+    from gencore_ray.ops.relational import top_ngrams
+
+    docs = _docs(sf_dir).select_columns(["text"])
+    return top_ngrams(docs, n=5, k=20)
+
+
+def _q_events_value_quantiles(sf_dir: str):
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import grouped_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantiles(
+        ev, ["event_type"], "value",
+        [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)], num_parts=8,
+    )
+
+
 def _q_multimodal_features(sf_dir: str):
     from gencore_ray.ops.multimodal import decode_media
 
@@ -516,6 +553,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_buckets": _q_events_value_buckets,
         "user_running_totals": _q_user_running_totals,
         "events_daily_user": _q_events_daily_user,
+        "token_profile": _q_token_profile,
+        "top_ngrams": _q_top_ngrams,
+        "events_value_quantiles": _q_events_value_quantiles,
         # engine-only (rows-only check)
         "dedup_docs_pipeline": _q_dedup_docs_pipeline,
         "pages_dedup_pipeline": _q_pages_dedup_pipeline,
@@ -682,6 +722,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS window_start, "
             "count(*) AS n_events, round(sum(value), 6) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "token_profile": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(coalesce(text, ''), "
+            "' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+')) AS BIGINT) "
+            "AS bpe_tokens, "
+            "CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT) "
+            "AS ws_tokens FROM documents"
+        ),
+        "top_ngrams": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents), "
+            "g AS (SELECT unnest([array_to_string(toks[i:i+4], ' ') "
+            "FOR i IN generate_series(1, len(toks)-4)]) AS ngram FROM tok) "
+            "SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY ngram "
+            "ORDER BY n_occurrences DESC, ngram LIMIT 20"
+        ),
+        "events_value_quantiles": (
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.95), 6) AS p95, "
+            "round(quantile_cont(value, 0.99), 6) AS p99 "
+            "FROM events GROUP BY event_type"
         ),
         "embedding_lsh_near_dups": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

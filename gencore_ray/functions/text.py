@@ -254,6 +254,31 @@ def quality_score(text: str) -> float:
     return float(TextFeatures([text]).quality[0])
 
 
+# GPT-2-style pre-tokenizer shape, ASCII classes so the Python re and
+# the SQL oracle's RE2 agree byte-for-byte: runs of letters, runs of
+# digits, runs of other non-space, each with an optional leading space;
+# residual whitespace runs count as tokens too (as in the original).
+_BPE_RE = re.compile(r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+")
+BPE_PATTERN_SQL = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+_WS_TOKEN_RE = re.compile(r"\S+")
+
+
+def bpe_token_counts(texts) -> "np.ndarray":
+    """Per-text BPE-ish pre-token counts (one C regex pass per text)."""
+    return np.fromiter(
+        (len(_BPE_RE.findall(t or "")) for t in texts),
+        dtype=np.int64, count=len(texts),
+    )
+
+
+def ws_token_counts(texts) -> "np.ndarray":
+    """Per-text whitespace-delimited token counts."""
+    return np.fromiter(
+        (len(_WS_TOKEN_RE.findall(t or "")) for t in texts),
+        dtype=np.int64, count=len(texts),
+    )
+
+
 def detect_lang(tokens: list[str]) -> str:
     """Tiny stopword-voting language ID over {en, de, fr}; '' if no signal."""
     if not tokens:

@@ -96,6 +96,93 @@ def broadcast_join(
     return ds.map_batches(join_batch, batch_format="pandas")
 
 
+def grouped_quantiles(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    value_col: str,
+    qs: Sequence[tuple[str, float]],
+    num_parts: int = 16,
+    round_to: int | None = 6,
+) -> rd.Dataset:
+    """EXACT per-group quantiles (linear interpolation — matches both
+    numpy 'linear' and SQL quantile_cont).
+
+    Quantiles don't decompose into partials, so the exchange moves the
+    (key, value) pairs — prune to those two columns first.  Each
+    partition holds complete key-groups; the percentile call is one
+    numpy shot per group."""
+    import numpy as np
+
+    slim = ds.select_columns([*keys, value_col])
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for kv, g in df.groupby(list(keys), sort=False):
+            vals = g[value_col].to_numpy(dtype=np.float64)
+            row = dict(zip(keys, kv if isinstance(kv, tuple) else (kv,)))
+            for name, q in qs:
+                v = float(np.percentile(vals, q * 100.0, method="linear"))
+                row[name] = round(v, round_to) if round_to is not None else v
+            out_rows.append(row)
+        if not out_rows:
+            return pd.DataFrame(
+                {**{k: pd.Series(dtype=object) for k in keys},
+                 **{name: pd.Series(dtype=np.float64) for name, _ in qs}}
+            )
+        return pd.DataFrame(out_rows)
+
+    return grouped_map(slim, keys[0], per_partition, num_parts=num_parts)
+
+
+def top_ngrams(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 20,
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """Global top-k token n-grams by occurrence count.
+
+    Partial counts inside each batch (one pandas value_counts over the
+    batch's sliding windows), ONE slim exchange of (ngram, count)
+    partials, merge, then deterministic top-k (count desc, ngram asc).
+    Docs with fewer than n tokens contribute nothing."""
+    import numpy as np
+
+    from gencore_ray.functions.text import _TOKEN_RE
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        grams: list[str] = []
+        for t in df[text_col]:
+            toks = _TOKEN_RE.findall((t or "").lower())
+            if len(toks) < n:
+                continue
+            grams.extend(
+                " ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)
+            )
+        if not grams:
+            return pd.DataFrame({"ngram": pd.Series(dtype=object),
+                                 "n_occurrences": pd.Series(dtype=np.int64)})
+        vc = pd.Series(grams).value_counts()
+        return pd.DataFrame(
+            {"ngram": vc.index.to_numpy(), "n_occurrences": vc.to_numpy()}
+        )
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ngram", sort=False)["n_occurrences"].sum().reset_index()
+        # per-partition prune: only each partition's top-k reach the sort
+        return g.sort_values(["n_occurrences", "ngram"],
+                             ascending=[False, True], kind="mergesort").head(k)
+
+    merged = grouped_map(partials, "ngram", merge, num_parts=num_parts)
+    return merged.sort(["n_occurrences", "ngram"],
+                       descending=[True, False]).limit(k)
+
+
 def topk(
     ds: rd.Dataset, by: list[str], k: int, descending: list[bool] | bool = True
 ) -> rd.Dataset:

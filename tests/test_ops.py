@@ -204,6 +204,41 @@ def test_ivf_random_sample_unbiased(ray_session):
     assert ivf_1["vec_id"].iloc[0] == exact["vec_id"].iloc[0]
 
 
+def test_grouped_quantiles_exact(ray_session):
+    from gencore_ray.ops.relational import grouped_quantiles
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], 500),
+                       "v": rng.rand(500) * 100})
+    ds = rd.from_pandas(df)
+    got = grouped_quantiles(ds, ["k"], "v", [("p50", 0.5), ("p90", 0.9)],
+                            num_parts=4).to_pandas().set_index("k")
+    for k, g in df.groupby("k"):
+        assert got.loc[k, "p50"] == round(float(np.percentile(g["v"], 50)), 6)
+        assert got.loc[k, "p90"] == round(float(np.percentile(g["v"], 90)), 6)
+
+
+def test_top_ngrams(ray_session):
+    from gencore_ray.ops.relational import top_ngrams
+
+    ds = rd.from_items([
+        {"text": "one two three four five six"},     # 2 distinct 5-grams
+        {"text": "one two three four five"},          # repeats the first
+        {"text": "too short"},
+    ])
+    got = top_ngrams(ds, n=5, k=10).to_pandas()
+    assert got.iloc[0]["ngram"] == "one two three four five"
+    assert got.iloc[0]["n_occurrences"] == 2
+    assert len(got) == 2
+
+
+def test_bpe_token_counts():
+    from gencore_ray.functions.text import bpe_token_counts, ws_token_counts
+
+    assert bpe_token_counts(["Hello world, it's 42!"]).tolist() == [8]
+    assert ws_token_counts(["Hello world, it's 42!", "", None]).tolist() == [4, 0, 0]
+
+
 def test_text_stats_columns(ray_session):
     ds = rd.from_items([{"text": "Hello world AB12"}, {"text": ""}])
     got = text_stats(ds).to_pandas().sort_values("text_len", ascending=False)
