@@ -61,7 +61,16 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
         cc_mode=args.cc,
         checkpoint_dir=args.checkpoint_dir,
     )
-    res.clusters.write_parquet(args.output)
+    if args.output_partitions:
+        from gencore_ray.state.sink import write_partitioned
+
+        sink = write_partitioned(
+            res.clusters, args.output, "url", num_parts=args.output_partitions
+        )
+        res.counters["sink_partitions_written"] = sink["written"]
+        res.counters["sink_partitions_skipped"] = sink["skipped"]
+    else:
+        res.clusters.write_parquet(args.output)
     wall = time.monotonic() - t0
     report = {"counters": res.counters, "wall_sec": round(wall, 2),
               "output": args.output, "config_fingerprint": cfg.fingerprint()}
@@ -112,6 +121,9 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("-i", "--input", required=True, help="pages parquet file/dir")
     d.add_argument("-o", "--output", required=True, help="clusters output dir")
     d.add_argument("--checkpoint-dir", default=None)
+    d.add_argument("--output-partitions", type=int, default=0,
+                   help="write the output as N resumable hash-partitioned "
+                        "parquet files (0 = plain write_parquet)")
     d.add_argument("--extract-html", action="store_true")
     d.add_argument("--cc", choices=["auto", "driver", "distributed"], default="auto")
     d.add_argument("--shingle-k", type=int, default=5)

@@ -168,6 +168,30 @@ def test_consensus_synthesis_vote(ray_session):
     assert len(out) == 3                                       # one row per cluster
 
 
+def test_partitioned_sink_resume(corpus, tmp_path, ray_session):
+    """S5 scale form: atomic per-partition files; a re-run skips every
+    completed partition and only fills holes."""
+    import pyarrow.parquet as pq
+
+    from gencore_ray.state.sink import read_partitioned, write_partitioned
+
+    pages_tbl, _ = corpus
+    ds = rd.from_arrow(pages_tbl.slice(0, 150).select(["url", "text"]))
+    out = str(tmp_path / "sink")
+    r1 = write_partitioned(ds, out, "url", num_parts=8)
+    assert r1 == {"partitions": 8, "rows": 150, "skipped": 0, "written": 8}
+    # full re-run: everything skipped, nothing rewritten
+    r2 = write_partitioned(ds, out, "url", num_parts=8)
+    assert r2["skipped"] == 8 and r2["written"] == 0 and r2["rows"] == 150
+    # crash simulation: delete two partitions -> only those are rewritten
+    for p in (1, 5):
+        os.remove(os.path.join(out, f"part-{p:05d}.parquet"))
+    r3 = write_partitioned(ds, out, "url", num_parts=8)
+    assert r3["skipped"] == 6 and r3["written"] == 2
+    back = read_partitioned(out).to_pandas()
+    assert sorted(back["url"]) == sorted(pages_tbl.slice(0, 150)["url"].to_pylist())
+
+
 def test_html_report_emitted(corpus, tmp_path):
     """S7: checkpointed runs emit a self-contained report.html with
     counters, stage lineage, and the duplication-level histogram."""
