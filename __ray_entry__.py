@@ -494,6 +494,51 @@ def _q_events_value_quantiles(sf_dir: str):
     )
 
 
+def _q_customers_without_orders(sf_dir: str):
+    """Distributed ANTI join (existence check, right payload never
+    moves) — TPC-H Q22 flavour: customers with no high-value order.
+    The row filter is pushed into the parquet read."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gencore_ray.stages.shuffle import hash_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    big_orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=(pc.field("o_totalprice") > 300000.0),
+    )
+    return hash_join(cust, big_orders, "c_custkey", "o_custkey",
+                     num_parts=8, how="anti")
+
+
+def _q_distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group: global distinct via one
+    user-keyed exchange, then a pre-aggregated count — the two-level
+    shape that survives high-cardinality keys at scale."""
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import grouped_aggregate
+    from gencore_ray.stages.shuffle import dedupe_rows
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    distinct = dedupe_rows(ev, ["user_id", "event_type"], num_parts=16)
+    return grouped_aggregate(
+        distinct, ["event_type"], [("n_users", None, "count")], num_parts=4
+    )
+
+
+def _q_events_hopping_3h(sf_dir: str):
+    import ray.data as rd
+
+    from gencore_ray.ops.windows import hopping_window_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return hopping_window_agg(ev, width_hours=3, hop_hours=1)
+
+
 def _q_multimodal_features(sf_dir: str):
     from gencore_ray.ops.multimodal import decode_media
 
@@ -554,6 +599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_totals": _q_user_running_totals,
         "events_daily_user": _q_events_daily_user,
         "token_profile": _q_token_profile,
+        "customers_without_orders": _q_customers_without_orders,
+        "distinct_users_by_type": _q_distinct_users_by_type,
+        "events_hopping_3h": _q_events_hopping_3h,
         "top_ngrams": _q_top_ngrams,
         "events_value_quantiles": _q_events_value_quantiles,
         # engine-only (rows-only check)
@@ -722,6 +770,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS window_start, "
             "count(*) AS n_events, round(sum(value), 6) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_totalprice > 300000)"
+        ),
+        "distinct_users_by_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"
+        ),
+        "events_hopping_3h": (
+            "SELECT date_trunc('hour', ts) - to_hours(o) AS window_start, "
+            "count(*) AS n_events, round(sum(value), 6) AS total_value "
+            "FROM events CROSS JOIN (VALUES (0), (1), (2)) AS t(o) GROUP BY 1"
         ),
         "token_profile": (
             "SELECT doc_id, "

@@ -73,6 +73,55 @@ def tumbling_window_agg(
     )
 
 
+def hopping_window_agg(
+    events: rd.Dataset,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width_hours: int = 3,
+    hop_hours: int = 1,
+    num_parts: int = 16,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Global hopping (sliding) windows: width ``width_hours``, hop
+    ``hop_hours`` — each event lands in width/hop windows.
+
+    Map-side expansion (one vectorised repeat per batch — no per-row
+    loop), then the standard pre-aggregated exchange: the shuffle moves
+    one partial row per (window, batch), never the expanded events.
+    Output: (window_start, n_events, total_value).
+    """
+    from gencore_ray.ops.relational import grouped_aggregate
+
+    n_win = width_hours // hop_hours
+    offsets = pd.to_timedelta(np.arange(n_win) * hop_hours, unit="h")
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[ts_col].dt.floor(f"{hop_hours}h")
+        n = len(df)
+        return pd.DataFrame({
+            "window_start": np.repeat(base.to_numpy(), n_win)
+            - np.tile(offsets.to_numpy(), n),
+            value_col: np.repeat(df[value_col].to_numpy(), n_win),
+        })
+
+    expanded = events.select_columns([ts_col, value_col]).map_batches(
+        expand, batch_format="pandas"
+    )
+    out = grouped_aggregate(
+        expanded, ["window_start"],
+        [("n_events", None, "count"), ("total_value", value_col, "sum")],
+        num_parts=num_parts,
+    )
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["total_value"].to_numpy(dtype=np.float64)
+        p = 10.0 ** round_to
+        df["total_value"] = np.sign(v) * np.floor(np.abs(v) * p + 0.5) / p
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
 def running_totals(
     events: rd.Dataset,
     key: str = "user_id",

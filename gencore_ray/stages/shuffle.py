@@ -242,7 +242,7 @@ def hash_join(
     )
 
     left_outer = how == "left_outer"
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how}")
 
     def merge(t: pa.Table) -> pa.Table:
@@ -259,6 +259,13 @@ def hash_join(
             kdf = t.select(left_dedupe).take(pa.array(lidx)).to_pandas()
             keep = ~kdf.duplicated().to_numpy()
             lidx = lidx[keep]
+        if how in ("semi", "anti"):
+            # existence check only — left rows kept/dropped by whether
+            # their key appears on the right; right payload never emitted
+            codes, _ = pd.factorize(keys)
+            present = np.isin(codes[lidx], codes[ridx])
+            sel = lidx[present] if how == "semi" else lidx[~present]
+            return t.select(lcols).take(pa.array(sel))
         # match left rows to right rows on the key (first match wins is
         # wrong for 1:N — build full index pairs via pandas merge on
         # integer codes, cheap: keys only)

@@ -204,6 +204,36 @@ def test_ivf_random_sample_unbiased(ray_session):
     assert ivf_1["vec_id"].iloc[0] == exact["vec_id"].iloc[0]
 
 
+def test_semi_anti_join(ray_session):
+    from gencore_ray.stages.shuffle import hash_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "v": list("abcd")}))
+    right = rd.from_pandas(pd.DataFrame({"rk": [2, 2, 4, 9]}))
+    semi = hash_join(left, right, "k", "rk", num_parts=3, how="semi").to_pandas()
+    anti = hash_join(left, right, "k", "rk", num_parts=3, how="anti").to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    assert sorted(anti["k"]) == [1, 3]
+    assert list(semi.columns) == ["k", "v"]       # right payload never emitted
+
+
+def test_hopping_window_agg(ray_session):
+    from gencore_ray.ops.windows import hopping_window_agg
+
+    ev = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:30", "2024-01-01 01:30",
+                              "2024-01-01 05:10"]),
+        "value": [1.0, 2.0, 4.0],
+    })
+    got = hopping_window_agg(rd.from_pandas(ev), width_hours=3, hop_hours=1) \
+        .to_pandas().set_index("window_start").sort_index()
+    # event at 00:30 lands in windows starting 22:00, 23:00, 00:00
+    assert got.loc[pd.Timestamp("2024-01-01 00:00"), "n_events"] == 2
+    assert got.loc[pd.Timestamp("2024-01-01 00:00"), "total_value"] == 3.0
+    assert got.loc[pd.Timestamp("2023-12-31 23:00"), "n_events"] == 2
+    assert got.loc[pd.Timestamp("2024-01-01 05:00"), "total_value"] == 4.0
+    assert got["n_events"].sum() == 9             # 3 events x 3 windows
+
+
 def test_grouped_quantiles_exact(ray_session):
     from gencore_ray.ops.relational import grouped_quantiles
 
