@@ -149,10 +149,12 @@ def _pairs_in_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     sort64 = df["sort64"].to_numpy().astype(np.uint64)
 
     # pure uint64 path: docs are their uhash here; urls rejoin later.
-    # uhash ordering is deterministic and keeps identical docs adjacent
-    # (equal sort64, consecutive hashes of equal members impossible —
-    # members are distinct urls).
-    order = np.lexsort((uhash, sort64, bkey))
+    # TWO-key lexsort only — (bkey, uhash) gives bucket runs plus the
+    # duplicate-membership adjacency; the sort64 (simhash) order is only
+    # needed INSIDE the rare oversize buckets and is applied there
+    # locally (one argsort pass fewer over the whole partition — this
+    # stage is memory-bandwidth-bound at full concurrency).
+    order = np.lexsort((uhash, bkey))
     bkey, sort64, uhash = bkey[order], sort64[order], uhash[order]
     # drop duplicate (bkey, doc) membership (one doc can reach a bucket
     # through several key sources): consecutive after the sort
@@ -176,10 +178,12 @@ def _pairs_in_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
         ia_parts.append((offs[:, None] + ia_t[None, :]).ravel())
         ib_parts.append((offs[:, None] + ib_t[None, :]).ravel())
 
-    # --- large buckets: neighbor-linking in sorted (sort64, url) order
+    # --- large buckets: neighbor-linking in sorted (sort64, uhash) order
     for bi in np.flatnonzero(~small):
         st, s = int(starts[bi]), int(sizes[bi])
         idx = np.arange(st, st + s)
+        # local simhash-primary order: near-identical docs adjacent
+        idx = idx[np.lexsort((uhash[idx], sort64[idx]))]
         if s > cfg.bucket_hard_cap:
             capped_total += s - cfg.bucket_hard_cap
             sel = np.argsort(splitmix64(np.arange(s, dtype=np.uint64)))[: cfg.bucket_hard_cap]
