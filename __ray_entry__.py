@@ -539,6 +539,15 @@ def _q_events_hopping_3h(sf_dir: str):
     return hopping_window_agg(ev, width_hours=3, hop_hours=1)
 
 
+def _q_substring_dup_pairs(sf_dir: str):
+    """Exact substring dups: sketch-containment candidates verified by
+    a true `shorter in longer` check (north_star's suffix-array pass,
+    re-expressed; see ops/substrings.py)."""
+    from gencore_ray.ops.substrings import substring_dup_pairs
+
+    return substring_dup_pairs(_docs_as_pages(sf_dir))
+
+
 def _q_multimodal_features(sf_dir: str):
     from gencore_ray.ops.multimodal import decode_media
 
@@ -602,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "events_hopping_3h": _q_events_hopping_3h,
+        "substring_dup_pairs": _q_substring_dup_pairs,
         "top_ngrams": _q_top_ngrams,
         "events_value_quantiles": _q_events_value_quantiles,
         # engine-only (rows-only check)
@@ -770,6 +780,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS window_start, "
             "count(*) AS n_events, round(sum(value), 6) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "substring_dup_pairs": (
+            "SELECT printf('doc-%08d', a.doc_id) AS url_a, "
+            "printf('doc-%08d', b.doc_id) AS url_b "
+            "FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
+            "WHERE len(regexp_extract_all(lower(a.text), '[a-z0-9_]+')) >= 5 "
+            "AND len(regexp_extract_all(lower(b.text), '[a-z0-9_]+')) >= 5 "
+            "AND a.text <> b.text "
+            "AND (position(a.text IN b.text) > 0 "
+            "OR position(b.text IN a.text) > 0)"
         ),
         "customers_without_orders": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "

@@ -1,0 +1,95 @@
+"""Exact substring-duplicate detection (north_star's "suffix-array
+substring pass", Ray-Data-first).
+
+A distributed suffix array over 10^12 documents is the wrong tool when
+the goal is page-level substring dups: the bottom-m containment sketch
+(gencore_ray/functions/text.py::bottom_m_sketch) already surfaces every
+pair with shingle-containment ~1.0 as an LSH candidate — and a TRUE
+substring pair has containment exactly 1.0 (the shorter text's token
+windows are a contiguous subrange of the longer's).  So:
+
+    sketch candidates (containment >= threshold, from the standard
+    pipeline) -> re-attach the two texts (string-keyed hash joins)
+    -> exact ``shorter in longer`` byte check.
+
+The exact check touches only the candidate pairs, never n^2 texts;
+the reference's analogous exact containment test is the cigar/isPartOf
+check (/root/reference/src/bamutil.cpp:204-255).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from gencore_ray.config import DedupConfig
+
+
+def substring_dup_pairs(
+    pages: rd.Dataset,
+    cfg: DedupConfig | None = None,
+    num_parts: int | None = None,
+) -> rd.Dataset:
+    """pages(url, text) -> (url_a, url_b) where one text is a strict
+    substring of the other (url_a < url_b lexicographically; exact
+    duplicates are NOT substring pairs).
+
+    Contract: both texts must have at least ``cfg.shingle_k`` tokens —
+    micro-texts shorter than one shingle window cannot carry
+    containment evidence (their single whole-text shingle never matches
+    a k-gram) and a 2-word string "contained" in a page is not a dup,
+    it is noise.  The analogue of gencore's short/unmapped-read bypass
+    (/root/reference/src/gencore.cpp:254-266)."""
+    import ray
+
+    from gencore_ray.pipelines.dedup import compute_signatures
+    from gencore_ray.stages.lsh import candidate_pairs
+    from gencore_ray.stages.shuffle import hash_join
+    from gencore_ray.stages.verify import verified_edges
+
+    cfg = cfg or DedupConfig()
+    if num_parts is None:
+        num_parts = int(ray.cluster_resources().get("CPU", 8))
+
+    sig = compute_signatures(pages, cfg).materialize()
+    pairs = candidate_pairs(sig, cfg, num_parts=num_parts, dedupe=False)
+    cands = verified_edges(pairs, sig, cfg).filter(
+        expr=f"containment >= {cfg.containment_threshold}"
+    ).select_columns(["url_a", "url_b"])
+
+    def slim(name: str, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({key: t["url"], name: t["text"]})
+
+        return pages.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    j1 = hash_join(cands, slim("text_a", "pa_"), "url_a", "pa_",
+                   num_parts=num_parts, left_dedupe=["url_a", "url_b"])
+    j2 = hash_join(j1, slim("text_b", "pb_"), "url_b", "pb_",
+                   num_parts=num_parts)
+
+    from gencore_ray.functions.text import _TOKEN_RE
+
+    k = cfg.shingle_k
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"url_a": pd.Series(dtype=object),
+                                 "url_b": pd.Series(dtype=object)})
+        ta = df["text_a"].fillna("")
+        tb = df["text_b"].fillna("")
+        keep = [
+            a != b and (a in b or b in a)
+            and len(_TOKEN_RE.findall(a.lower())) >= k
+            and len(_TOKEN_RE.findall(b.lower())) >= k
+            for a, b in zip(ta, tb)
+        ]
+        out = df.loc[keep, ["url_a", "url_b"]].copy()
+        a, b = out["url_a"].to_numpy(), out["url_b"].to_numpy()
+        swap = a > b
+        out["url_a"], out["url_b"] = np.where(swap, b, a), np.where(swap, a, b)
+        return out
+
+    return j2.map_batches(check, batch_format="pandas")

@@ -124,6 +124,36 @@ def test_resume_after_partial_failure(corpus, tmp_path):
     )
 
 
+def test_substring_dup_pairs_finds_planted(corpus, ray_session):
+    """Every planted substring cluster (one page is a paragraph-slice of
+    another) must yield its exact-substring pair; no false positives
+    against the brute-force text check."""
+    from gencore_ray.ops.substrings import substring_dup_pairs
+
+    pages_tbl, truth = corpus
+    pages = rd.from_arrow(pages_tbl.select(["url", "text"]))
+    got = substring_dup_pairs(pages, CFG).to_pandas()
+    found = set(zip(got["url_a"], got["url_b"]))
+    # brute-force ground truth over the whole corpus
+    urls = pages_tbl["url"].to_pylist()
+    texts = pages_tbl["text"].to_pylist()
+    from gencore_ray.functions.text import tokenize
+
+    ntok = [len(tokenize(t or "")) for t in texts]
+    want = set()
+    for i in range(len(urls)):
+        for j in range(i + 1, len(urls)):
+            a, b = texts[i], texts[j]
+            if (ntok[i] >= CFG.shingle_k and ntok[j] >= CFG.shingle_k
+                    and a != b and (a in b or b in a)):
+                want.add(tuple(sorted((urls[i], urls[j]))))
+    assert found == want
+    # sanity: the planted substring clusters are represented
+    kinds = dict(zip(truth["url"].to_pylist(), truth["kind"].to_pylist()))
+    assert any(kinds.get(a) == "substring" or kinds.get(b) == "substring"
+               for a, b in found)
+
+
 def test_consensus_synthesis_vote(ray_session):
     """G6: per-position quality-weighted token vote over cluster members
     (hand-computed fixture mirroring gencore's consensus semantics)."""
