@@ -37,7 +37,7 @@ from gencore_ray.functions.hashing import U64, hash_bytes_u64, minhash_perms
 from gencore_ray.functions.text import (
     MinHasher,
     TextFeatures,
-    band_keys,
+    band_keys_batch,
     bottom_m_sketch,
     shingle_hashes,
     simhash64,
@@ -115,13 +115,10 @@ class SignatureStage:
         # keep all-zero keys (never shuffled into LSH)
         bkey_mat[:] = 0
         if active.any():
-            from gencore_ray.functions.text import band_keys_batch
-
             bkey_mat[active] = band_keys_batch(
                 minhash_mat[active], cfg.bands, cfg.rows_per_band
             )
 
-        import pandas as pd
         from pandas.util import hash_pandas_object
 
         cols: dict[str, pa.Array] = {"url": batch["url"]}

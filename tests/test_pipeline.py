@@ -12,7 +12,7 @@ import pytest
 import ray.data as rd
 
 from gencore_ray.config import DedupConfig
-from gencore_ray.corpus import generate_pages, write_pages_corpus
+from gencore_ray.corpus import generate_pages
 from gencore_ray.oracle import oracle_edges, oracle_jaccard_pairs, union_find_clusters
 from gencore_ray.pipelines.dedup import compute_signatures, dedup_pages
 from gencore_ray.stages.elect import elect_representatives

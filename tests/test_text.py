@@ -2,7 +2,6 @@
 band keys, simhash, quality, lang, fingerprint)."""
 
 import numpy as np
-import pytest
 
 from gencore_ray.functions.hashing import minhash_perms, popcount64
 from gencore_ray.functions.text import (
