@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the PURE kernels — no Ray.
+
+Each property pins an invariant the distributed stages rely on:
+min-label CC == union-find, partition-local pair generation == brute
+force, the batch text features == their scalar definitions, and the
+partition join == pandas merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from gencore_ray.config import DedupConfig
+from gencore_ray.oracle import union_find_clusters
+from gencore_ray.stages.cc import _min_label_cc
+from gencore_ray.stages.lsh import _pairs_in_partition
+from gencore_ray.stages.verify import _join_part
+from gencore_ray.functions.text import TextFeatures, quality_score, tokenize
+
+CFG = DedupConfig()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(2, 40),
+    edges=st.lists(st.tuples(st.integers(0, 39), st.integers(0, 39)), max_size=80),
+)
+def test_min_label_cc_equals_union_find(n, edges):
+    edges = [(a % n, b % n) for a, b in edges if a % n != b % n]
+    ids = [f"n{i:02d}" for i in range(n)]
+    want = union_find_clusters(ids, [(ids[a], ids[b], 1.0) for a, b in edges])
+    if edges:
+        u = np.array([a for a, _ in edges], dtype=np.int64)
+        v = np.array([b for _, b in edges], dtype=np.int64)
+    else:
+        u = v = np.empty(0, dtype=np.int64)
+    parent = _min_label_cc(u, v, n)
+    got = {ids[i]: ids[parent[i]] for i in range(n)}
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    buckets=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 8)), min_size=1, max_size=12
+    )
+)
+def test_pairs_in_partition_equals_brute_force(buckets):
+    """Small buckets (all under pair_cap): emitted pair set must equal
+    the brute-force all-pairs set per bucket, globally deduped."""
+    rng = np.random.RandomState(7)
+    rows = []
+    bucket_members: dict[int, set[int]] = {}
+    for bk, size in buckets:
+        members = rng.choice(1000, size=size, replace=False) + 1  # avoid uhash 0
+        bucket_members.setdefault(bk, set()).update(int(m) for m in members)
+        for m in members:
+            rows.append((np.uint64(bk * 7919 + 13), np.uint64(m), np.uint64(m % 17)))
+    df = pd.DataFrame(
+        {"bkey": [r[0] for r in rows], "uh": [r[1] for r in rows],
+         "sort64": [r[2] for r in rows]}
+    )
+    out = _pairs_in_partition(df, CFG)
+    got = {(int(a), int(b)) for a, b in zip(out["ha"], out["hb"]) if a != 0 or b != 0}
+    want = set()
+    for members in bucket_members.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                want.add((ms[i], ms[j]))
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200
+), max_size=8))
+def test_text_features_match_scalar_definitions(texts):
+    feats = TextFeatures(texts)
+    for i, t in enumerate(texts):
+        assert feats.token_count[i] == len(tokenize(t))
+        assert feats.text_len[i] == len(t)
+        assert feats.quality[i] == quality_score(t)
+        assert feats.tok_lists[i] == tokenize(t)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lk=st.lists(st.integers(0, 6), min_size=0, max_size=20),
+    rk=st.lists(st.integers(0, 6), min_size=0, max_size=20),
+)
+def test_join_part_equals_pandas_merge(lk, rk):
+    left = pa.table({
+        "k": pa.array(np.array(lk, dtype=np.uint64)),
+        "lv": pa.array(np.arange(len(lk))),
+    })
+    right = pa.table({
+        "rk": pa.array(np.array(rk, dtype=np.uint64)),
+        "pay": pa.array(np.arange(len(rk)) * 10),
+    })
+    got = _join_part(left, right, "k", "rk", {"pay": "pay_r"}).to_pandas()
+    want = (
+        pd.DataFrame({"k": lk, "lv": np.arange(len(lk))})
+        .merge(pd.DataFrame({"k": rk, "pay_r": np.arange(len(rk)) * 10}), on="k")
+    )
+    key = ["k", "lv", "pay_r"]
+    assert sorted(map(tuple, got[key].to_numpy().tolist())) == \
+        sorted(map(tuple, want[key].to_numpy().tolist()))
