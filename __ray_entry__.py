@@ -566,22 +566,50 @@ def _q_multimodal_features(sf_dir: str):
     return decode_media(media).select_columns(["doc_id", "byte_len"])
 
 
+def _pages_cache(sf_dir: str) -> str:
+    """Deterministic synthesized pages corpus cached under /tmp —
+    built on first touch (called from BOTH queries() callables and
+    oracle_sql(), so the parquet exists regardless of which side the
+    driver evaluates first)."""
+    from gencore_ray.corpus import write_pages_corpus
+
+    n = 1500 if "0.01" in sf_dir else 400
+    cache = f"/tmp/gencore_pages_{n}_s42_v3"
+    if not os.path.exists(os.path.join(cache, "pages.parquet")):
+        write_pages_corpus(cache, n_pages=n, seed=42)
+    return cache
+
+
 def _q_pages_dedup_pipeline(sf_dir: str):
     """Full pipeline incl. HTML extraction on the synthesized pages
     corpus (deterministic, cached under /tmp)."""
-    import ray.data as rd
-
     from gencore_ray.config import DedupConfig
-    from gencore_ray.corpus import write_pages_corpus
     from gencore_ray.pipelines.dedup import dedup_pages
     from gencore_ray.sources import read_pages
 
-    n = 1500 if "0.01" in sf_dir else 400
-    cache = f"/tmp/gencore_pages_{n}_s42_v2"
-    if not os.path.exists(os.path.join(cache, "pages.parquet")):
-        write_pages_corpus(cache, n_pages=n, seed=42)
+    cache = _pages_cache(sf_dir)
     pages = read_pages(os.path.join(cache, "pages.parquet"), need_html=True)
     res = dedup_pages(pages, DedupConfig(), extract_html=True)
+    return res.clusters.select_columns(
+        ["url", "cluster_id", "cluster_size", "is_representative"]
+    )
+
+
+def _q_pages_dedup_sql(sf_dir: str):
+    """The SQL-checkable pages pipeline: HTML extraction + signatures +
+    LSH + verify + CC + election with ``simhash_enabled=False`` (the
+    Hamming pass is the one non-SQL-expressible edge source).  The
+    oracle reads the corpus's ground-truth ``text`` column while the
+    engine re-derives text FROM THE HTML — a hash match therefore
+    proves byte-identical extraction through the whole pipeline."""
+    from gencore_ray.config import DedupConfig
+    from gencore_ray.pipelines.dedup import dedup_pages
+    from gencore_ray.sources import read_pages
+
+    cache = _pages_cache(sf_dir)
+    pages = read_pages(os.path.join(cache, "pages.parquet"), need_html=True)
+    cfg = DedupConfig(simhash_enabled=False)
+    res = dedup_pages(pages, cfg, extract_html=True)
     return res.clusters.select_columns(
         ["url", "cluster_id", "cluster_size", "is_representative"]
     )
@@ -617,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # engine-only (rows-only check)
         "dedup_docs_pipeline": _q_dedup_docs_pipeline,
         "pages_dedup_pipeline": _q_pages_dedup_pipeline,
+        "pages_dedup_sql": _q_pages_dedup_sql,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "containment_pairs": _q_containment_pairs,
@@ -684,8 +713,57 @@ _PIPELINE_CTE = (
 )
 
 
+def _pages_pipeline_sql(cache: str) -> str:
+    """Full pages pipeline (extraction proven via hash) in ANSI SQL:
+    same shingle/quality/score formulas as the documents pipeline, but
+    url-keyed, reading the corpus ground-truth text, and with the
+    recency term active (pages carry warc_ts; engine normaliser is
+    (ts - 2000-01-01) / 40 years, stages/elect.py)."""
+    src = os.path.join(cache, "pages.parquet")
+    return (
+        "WITH RECURSIVE "
+        f"pages AS (SELECT url, warc_ts, text FROM read_parquet('{src}')), "
+        "tok AS (SELECT url, text, warc_ts, "
+        "regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM pages), "
+        "shl AS (SELECT url, "
+        "CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) "
+        "WHEN len(toks) < 5 THEN [array_to_string(toks, chr(31))] "
+        "ELSE list_distinct([array_to_string(toks[i:i+4], chr(31)) "
+        "FOR i IN generate_series(1, len(toks)-4)]) END AS sh FROM tok), "
+        "s AS (SELECT url, unnest(sh) AS g FROM shl), "
+        "sizes AS (SELECT url, len(sh) AS sz FROM shl), "
+        "prs AS (SELECT a.url AS ua, b.url AS ub, count(*) AS inter "
+        "FROM s a JOIN s b ON a.g = b.g AND a.url < b.url GROUP BY 1, 2), "
+        "met AS (SELECT ua, ub, inter * 1.0 / (sa.sz + sb.sz - inter) AS jac, "
+        "inter * 1.0 / least(sa.sz, sb.sz) AS cont "
+        "FROM prs JOIN sizes sa ON sa.url = ua JOIN sizes sb ON sb.url = ub), "
+        "e AS (SELECT ua, ub FROM met WHERE jac >= 0.7 OR cont >= 0.9), "
+        "es AS (SELECT ua AS a, ub AS b FROM e UNION ALL SELECT ub, ua FROM e), "
+        "reach(src, dst) AS (SELECT url, url FROM pages UNION "
+        "SELECT r.src, es.b FROM reach r JOIN es ON r.dst = es.a), "
+        "cc AS (SELECT src AS purl, min(dst) AS cid FROM reach GROUP BY src), "
+        "q AS (SELECT url, warc_ts, length(text) AS tl, " + _QUALITY_EXPR +
+        " AS quality FROM tok), "
+        "scored AS (SELECT cc.purl, cc.cid, "
+        "round(0.5 * least(q.tl / 2000.0, 1.0) "
+        "+ 0.3 * least(greatest((epoch_us(q.warc_ts) "
+        "- epoch_us(TIMESTAMP '2000-01-01')) / 1000000.0 / 1261440000.0, 0), 1) "
+        "+ 0.2 * q.quality, 12) AS score "
+        "FROM cc JOIN q ON q.url = cc.purl) "
+        "SELECT purl AS url, cid AS cluster_id, "
+        "count(*) OVER (PARTITION BY cid) AS cluster_size, "
+        "(row_number() OVER (PARTITION BY cid "
+        "ORDER BY score DESC, purl) = 1) AS is_representative "
+        "FROM scored"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
+    # the pages corpus must exist on disk before the driver can run its
+    # SQL (idempotent, cached; ~1 s at the correctness scale)
+    pages_cache_001 = _pages_cache("/root/testdata/sf0.01")
     return {
+        "pages_dedup_sql": _pages_pipeline_sql(pages_cache_001),
         "exact_dedup_docs": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count "
             "FROM documents GROUP BY text"

@@ -29,6 +29,9 @@ class DedupConfig:
     # --- thresholds -------------------------------------------------
     jaccard_threshold: float = 0.7    # ~ gencore umi_diff_threshold (src/main.cpp:45)
     simhash_hamming_max: int = 3      # duplex-merge analogue (src/cluster.cpp:119-168)
+    simhash_enabled: bool = True      # False: no SimHash bucket keys and no
+                                      # Hamming edges (jaccard/containment only —
+                                      # the fully SQL-expressible configuration)
     containment_threshold: float = 0.9  # substring-dup pass (isPartOf analogue,
                                         # src/bamutil.cpp:204-255)
     min_shingles: int = 1         # rows below this bypass dedup entirely

@@ -221,9 +221,12 @@ _STOPWORDS = {
         "the of and to in a is that it was for on are as with his they at be this "
         "have from or had by not but what all were when we there can an your which".split()
     ),
+    # lists are ASCII-folded on purpose: corpus texts built from them
+    # stay byte-parseable by BOTH Python \w+ and the SQL oracles' ASCII
+    # token class, so tokenisation parity holds end to end
     "de": frozenset(
-        "der die das und ist von zu den nicht mit sich des auf für im dem ein eine "
-        "als auch es an werden aus er hat dass sie nach bei um noch wie über".split()
+        "der die das und ist von zu den nicht mit sich des auf im dem ein eine "
+        "als auch es an werden aus er hat dass sie nach bei um noch wie wenn dann".split()
     ),
     "fr": frozenset(
         "le de la et les des en un du une est que dans qui par pour sur au plus "
@@ -231,15 +234,15 @@ _STOPWORDS = {
     ),
     "es": frozenset(
         "el la de que y en los del se las por un para con no una su al lo como "
-        "más pero sus le ya este porque esta entre cuando muy sin sobre también".split()
+        "pero sus le ya este porque esta entre cuando muy sin sobre donde todos".split()
     ),
     "it": frozenset(
-        "il di che e la per una in del non sono con si da come anche più nel "
-        "alla gli dei delle questo essere ha può loro quando nella sono stato".split()
+        "il di che e la per una in del non sono con si da come anche nel "
+        "alla gli dei delle questo essere ha loro quando nella stato quindi dove".split()
     ),
     "pt": frozenset(
-        "o a de que e do da em um para é com não uma os no se na por mais as "
-        "dos como mas foi ao ele das tem seu sua pelo pela isso ela".split()
+        "o a de que e do da em um para com nao uma os no se na por mais as "
+        "dos como mas foi ao ele das tem seu sua pelo pela isso ela depois".split()
     ),
     "nl": frozenset(
         "de het een en van ik te dat die in is zij niet met aan er om ook als "

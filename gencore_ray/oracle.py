@@ -62,7 +62,7 @@ def oracle_edges(
         if (
             jac >= cfg.jaccard_threshold
             or containment >= cfg.containment_threshold
-            or hamming <= cfg.simhash_hamming_max
+            or (cfg.simhash_enabled and hamming <= cfg.simhash_hamming_max)
         ):
             a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
             edges.append((a, b, jac))

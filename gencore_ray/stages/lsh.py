@@ -247,8 +247,10 @@ def candidate_pairs(
         num_parts = cfg.pair_num_partitions or int(
             _ray.cluster_resources().get("CPU", 8)
         )
+    sim_on = cfg.simhash_enabled
     exploded = sig.map_batches(
-        explode_keys, batch_format="pyarrow", zero_copy_batch=True
+        lambda t: explode_keys(t, include_simhash_keys=sim_on),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     pairs = grouped_map(
         exploded, "bkey", lambda df: _pairs_in_partition(df, cfg), num_parts=num_parts

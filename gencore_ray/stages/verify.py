@@ -125,11 +125,9 @@ def _verify_batch(t: pa.Table, cfg: DedupConfig) -> pa.Table:
     # shingles are never dup candidates), and killing the degenerate
     # short-doc false positives where sparse fingerprints land within
     # Hamming<=3 of unrelated docs
-    keep = (
-        (jac >= cfg.jaccard_threshold)
-        | (cont >= cfg.containment_threshold)
-        | ((hamming <= cfg.simhash_hamming_max) & (jac > 0))
-    )
+    keep = (jac >= cfg.jaccard_threshold) | (cont >= cfg.containment_threshold)
+    if cfg.simhash_enabled:
+        keep |= (hamming <= cfg.simhash_hamming_max) & (jac > 0)
     # bypass guard: rows below min_shingles never form edges
     counts_a = t["count_a"].to_numpy(zero_copy_only=False)
     counts_b = t["count_b"].to_numpy(zero_copy_only=False)
