@@ -82,3 +82,141 @@ def read_pages(
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
     """Read one of the driver testdata tables by name."""
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kw)
+
+
+# ---------------------------------------------------------------------------
+# additional source formats (JSONL / CSV / WARC)
+# ---------------------------------------------------------------------------
+
+
+def read_pages_jsonl(path: str, **kwargs) -> rd.Dataset:
+    """Pages from JSON-lines files (one page object per line).
+
+    Ray parallelises per file — shard large corpora.  The html column,
+    if present, must be base64 (JSON has no bytes); it is decoded to
+    binary here so downstream stages see the parquet-identical schema.
+    """
+    import base64
+
+    import pyarrow as pa
+
+    ds = rd.read_json(path, **kwargs)
+
+    def fix(t: pa.Table) -> pa.Table:
+        if "html" in t.column_names and pa.types.is_string(t["html"].type):
+            raw = [
+                base64.b64decode(x) if x is not None else None
+                for x in t["html"].to_pylist()
+            ]
+            t = t.drop_columns(["html"]).append_column(
+                "html", pa.array(raw, pa.binary())
+            )
+        if "warc_ts" in t.column_names and pa.types.is_string(t["warc_ts"].type):
+            import pandas as pd
+
+            ts = pd.to_datetime(t["warc_ts"].to_pylist(), utc=True).tz_localize(None)
+            t = t.drop_columns(["warc_ts"]).append_column(
+                "warc_ts", pa.array(ts, pa.timestamp("us"))
+            )
+        return t
+
+    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_pages_csv(path: str, **kwargs) -> rd.Dataset:
+    """Pages from CSV (text corpora without html payloads)."""
+    return rd.read_csv(path, **kwargs)
+
+
+# --- minimal WARC (Common Crawl's native format) ---------------------------
+
+_WARC_SEP = b"\r\n\r\n"
+
+
+def _parse_warc_bytes(blob: bytes) -> list[dict]:
+    """Parse WARC 'response' records from one file's bytes.
+
+    Implements the subset Common-Crawl WET/WARC pipelines rely on:
+    records delimited by header blocks with a Content-Length, payload =
+    HTTP response whose body is the page html.  Pure function (unit
+    tested); malformed records are skipped, never fatal.
+    """
+    out: list[dict] = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        head_end = blob.find(_WARC_SEP, pos)
+        if head_end < 0:
+            break
+        header = blob[pos:head_end].decode("utf-8", "replace")
+        fields: dict[str, str] = {}
+        for line in header.split("\r\n")[1:]:      # first line: WARC/1.0
+            if ":" in line:
+                k, v = line.split(":", 1)
+                fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        payload = blob[head_end + 4: head_end + 4 + clen]
+        pos = head_end + 4 + clen
+        # consume the record separator (\r\n\r\n) after the payload
+        while pos < n and blob[pos: pos + 2] == b"\r\n":
+            pos += 2
+        if fields.get("warc-type") != "response":
+            continue
+        url = fields.get("warc-target-uri", "")
+        if not url:                                 # malformed: no identity
+            continue
+        ts = fields.get("warc-date", "")
+        # payload is an HTTP response: body starts after its header block
+        body_at = payload.find(_WARC_SEP)
+        html = payload[body_at + 4:] if body_at >= 0 else payload
+        out.append({"url": url, "warc_date": ts, "html": html})
+    return out
+
+
+def read_pages_warc(path: str, **kwargs) -> rd.Dataset:
+    """Pages from WARC files: one read task per file, records exploded
+    with a vectorised flat-map; emits (url, warc_ts, html) matching the
+    parquet pages schema (text is derived by the extract stage)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    files = rd.read_binary_files(path, include_paths=False, **kwargs)
+
+    def explode(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        tss: list = []
+        htmls: list[bytes] = []
+        for blob in t["bytes"].to_pylist():
+            for rec in _parse_warc_bytes(blob):
+                urls.append(rec["url"])
+                tss.append(rec["warc_date"] or None)
+                htmls.append(rec["html"])
+        ts = pd.to_datetime(tss, utc=True, errors="coerce").tz_localize(None)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+        })
+
+    return files.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_warc(records: list[dict], path: str) -> None:
+    """Write (url, warc_ts, html) records as one minimal WARC file
+    (test/reference writer for the parser above)."""
+    with open(path, "wb") as f:
+        for r in records:
+            http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + r["html"]
+            ts = r.get("warc_ts")
+            ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None else ""
+            head = (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {r['url']}\r\n"
+                f"WARC-Date: {ts_s}\r\n"
+                f"Content-Length: {len(http)}\r\n"
+            ).encode()
+            f.write(head + b"\r\n" + http + b"\r\n\r\n")
