@@ -54,7 +54,16 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
         seed=args.seed,
     )
     t0 = time.monotonic()
-    pages = read_pages(args.input, need_html=args.extract_html)
+    if args.format == "warc":
+        from gencore_ray.sources import read_pages_warc
+
+        pages = read_pages_warc(args.input)
+    elif args.format == "jsonl":
+        from gencore_ray.sources import read_pages_jsonl
+
+        pages = read_pages_jsonl(args.input)
+    else:
+        pages = read_pages(args.input, need_html=args.extract_html)
     res = dedup_pages(
         pages, cfg,
         extract_html=args.extract_html,
@@ -121,6 +130,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("-i", "--input", required=True, help="pages parquet file/dir")
     d.add_argument("-o", "--output", required=True, help="clusters output dir")
     d.add_argument("--checkpoint-dir", default=None)
+    d.add_argument("--format", choices=["parquet", "warc", "jsonl"],
+                   default="parquet")
     d.add_argument("--output-partitions", type=int, default=0,
                    help="write the output as N resumable hash-partitioned "
                         "parquet files (0 = plain write_parquet)")
