@@ -39,6 +39,9 @@ QUERY_NAMES = [
     "ann_topk",
     "embedding_near_dups",
     "text_quality_profile",
+    "top_ngrams",
+    "events_value_quantiles",
+    "distinct_users_by_type",
 ]
 
 

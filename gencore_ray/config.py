@@ -47,6 +47,9 @@ class DedupConfig:
                                     # subsample + count in manifest, never O(n^2)
 
     # --- containment (bottom-m sketch) ------------------------------
+    containment_enabled: bool = True  # False: no sketch keys ride the explode
+                                      # (-38% shuffle rows; substring dups
+                                      # then surface only via band collisions)
     containment_perms: int = 4    # independent permutations for the bottom-m sketch
     containment_bottom_m: int = 8  # keys emitted per permutation per doc
 

@@ -105,7 +105,9 @@ class SignatureStage:
             if len(sh) >= cfg.min_shingles:
                 active[i] = True
                 ckeys_list.append(
-                    bottom_m_sketch(sh, self.cperm_a, self.cperm_b, cfg.containment_bottom_m)
+                    bottom_m_sketch(sh, self.cperm_a, self.cperm_b,
+                                    cfg.containment_bottom_m)
+                    if cfg.containment_enabled else np.empty(0, dtype=U64)
                 )
             else:
                 # bypass rows (gencore unmapped bypass, src/gencore.cpp:254-266):

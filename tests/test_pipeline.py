@@ -154,6 +154,23 @@ def test_substring_dup_pairs_finds_planted(corpus, ray_session):
                for a, b in found)
 
 
+def test_containment_disabled_still_finds_near_dups(corpus, ray_session):
+    """containment_enabled=False drops the sketch keys from the explode
+    (-38% shuffle rows); near-dup clusters must still resolve via the
+    MinHash bands."""
+    pages_tbl, truth = corpus
+    pages = rd.from_arrow(pages_tbl.select(["url", "warc_ts", "text", "lang"]))
+    cfg = DedupConfig(containment_enabled=False)
+    out = dedup_pages(pages, cfg).clusters.to_pandas()
+    eng = dict(zip(out["url"], out["cluster_id"]))
+    tdf = truth.to_pandas()
+    # every exact/near true-cluster must collapse to ONE engine cluster
+    sel = tdf[tdf["kind"].isin(["exact", "near"])]
+    for tc, grp in sel.groupby("true_cluster"):
+        labels = {eng[u] for u in grp["url"]}
+        assert len(labels) == 1, f"true cluster {tc} split into {labels}"
+
+
 def test_consensus_synthesis_vote(ray_session):
     """G6: per-position quality-weighted token vote over cluster members
     (hand-computed fixture mirroring gencore's consensus semantics)."""
