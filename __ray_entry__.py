@@ -349,16 +349,28 @@ def _q_text_quality_profile(sf_dir: str):
     )
 
 
+_SIG_EDGES_CACHE: dict[str, Any] = {}
+
+
 def _sig_edges(sf_dir: str):
+    """Signatures -> candidate pairs -> verified edges, MEMOIZED per
+    sf_dir: four pair queries (jaccard/simhash/containment/substring
+    callers) share one materialized edge table instead of recomputing
+    the signature pipeline each time."""
     from gencore_ray.config import DedupConfig
     from gencore_ray.pipelines.dedup import compute_signatures
     from gencore_ray.stages.lsh import candidate_pairs
     from gencore_ray.stages.verify import verified_edges
 
     cfg = DedupConfig()
+    hit = _SIG_EDGES_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit, cfg
     sig = compute_signatures(_docs_as_pages(sf_dir), cfg).materialize()
     pairs = candidate_pairs(sig, cfg, num_parts=16)
-    return verified_edges(pairs, sig, cfg), cfg
+    edges = verified_edges(pairs, sig, cfg).materialize()
+    _SIG_EDGES_CACHE[sf_dir] = edges
+    return edges, cfg
 
 
 def _canon_pairs(ds):

@@ -74,6 +74,33 @@ def test_pairs_in_partition_equals_brute_force(buckets):
     assert got == want
 
 
+def test_hard_cap_subsamples_and_counts():
+    """Buckets beyond bucket_hard_cap are deterministically subsampled,
+    the drop is COUNTED in a sentinel row (never silent), and pair
+    volume stays bounded at cap * neighbor_links."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, bucket_pair_cap=8, bucket_neighbor_links=3,
+                  bucket_hard_cap=50)
+    rng = np.random.RandomState(1)
+    n = 200
+    df = pd.DataFrame({
+        "bkey": np.full(n, np.uint64(123456789)),
+        "uh": rng.choice(10_000, size=n, replace=False).astype(np.uint64) + 1,
+        "sort64": rng.randint(0, 2 ** 62, size=n).astype(np.uint64),
+    })
+    out = _pairs_in_partition(df, cfg)
+    sentinel = out[out["capped"] > 0]
+    assert sentinel["capped"].sum() == n - cfg.bucket_hard_cap
+    real = out[out["capped"] == 0]
+    assert 0 < len(real) <= cfg.bucket_hard_cap * cfg.bucket_neighbor_links
+    # deterministic: same input -> same pairs
+    out2 = _pairs_in_partition(df, cfg)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), out2.reset_index(drop=True)
+    )
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.lists(st.text(
     alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200
