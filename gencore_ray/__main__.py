@@ -27,13 +27,15 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        # --address auto connects to a running cluster (the `ray job
+        # submit` deployment shape: `ray start --head` on the cluster,
+        # then this CLI as the job script); default runs a private
+        # local instance
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if args.address == "local":
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address=args.address, **kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = not args.quiet
@@ -130,6 +132,9 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("-i", "--input", required=True, help="pages parquet file/dir")
     d.add_argument("-o", "--output", required=True, help="clusters output dir")
     d.add_argument("--checkpoint-dir", default=None)
+    d.add_argument("--address", default="local",
+                   help="'local' (private instance) or 'auto'/host:port "
+                        "to join an existing cluster (ray job submit shape)")
     d.add_argument("--format", choices=["parquet", "warc", "jsonl"],
                    default="parquet")
     d.add_argument("--output-partitions", type=int, default=0,
