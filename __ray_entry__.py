@@ -872,14 +872,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "substring_dup_pairs": (
+            # TOKEN-granularity containment, boundary-guarded by space
+            # padding (mirrors ops/substrings.py exactly)
+            "WITH t AS (SELECT doc_id, "
+            "' ' || array_to_string(regexp_extract_all(lower(text), "
+            "'[a-z0-9_]+'), ' ') || ' ' AS js, "
+            "len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS nt "
+            "FROM documents) "
             "SELECT printf('doc-%08d', a.doc_id) AS url_a, "
             "printf('doc-%08d', b.doc_id) AS url_b "
-            "FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
-            "WHERE len(regexp_extract_all(lower(a.text), '[a-z0-9_]+')) >= 5 "
-            "AND len(regexp_extract_all(lower(b.text), '[a-z0-9_]+')) >= 5 "
-            "AND a.text <> b.text "
-            "AND (position(a.text IN b.text) > 0 "
-            "OR position(b.text IN a.text) > 0)"
+            "FROM t a JOIN t b ON a.doc_id < b.doc_id "
+            "WHERE a.nt >= 5 AND b.nt >= 5 AND a.js <> b.js "
+            "AND (position(a.js IN b.js) > 0 OR position(b.js IN a.js) > 0)"
         ),
         "customers_without_orders": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "

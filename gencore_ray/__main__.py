@@ -59,11 +59,19 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     if args.format == "warc":
         from gencore_ray.sources import read_pages_warc
 
+        # WARC records carry html only — text always comes from extraction
+        args.extract_html = True
         pages = read_pages_warc(args.input)
     elif args.format == "jsonl":
-        from gencore_ray.sources import read_pages_jsonl
+        from gencore_ray.sources import SchemaError, read_pages_jsonl
 
         pages = read_pages_jsonl(args.input)
+        need = "html" if args.extract_html else "text"
+        names = pages.schema().base_schema.names
+        if need not in names:
+            raise SchemaError(
+                f"jsonl input lacks required column {need!r}; has {names}"
+            )
     else:
         pages = read_pages(args.input, need_html=args.extract_html)
     res = dedup_pages(

@@ -104,7 +104,9 @@ def ivf_topk(
     sample, probe the nprobe nearest centroid cells only."""
     # seeded RANDOM sample (limit() would take the first N rows — biased
     # centroids on sorted/clustered inputs); the sample alone reaches the
-    # driver, never the full table
+    # driver, never the full table.  Materialize ONCE so count + sample
+    # + final scoring don't re-execute the upstream pipeline 3x.
+    ds = ds.materialize()
     n_total = ds.count()
     frac = min(1.0, sample_size / max(n_total, 1))
     sample_ds = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
@@ -239,7 +241,10 @@ def lsh_near_dup_pairs(
     explode rows are (bkey, id) — vectors never ride the shuffle;
     candidates are verified with the exact cosine via two int-keyed
     joins back to the embeddings.  Tune (n_tables, bits) to the target
-    threshold; defaults give recall ~0.99 at c >= 0.8.
+    threshold; defaults give recall ~0.99 at c >= 0.8.  Buckets beyond
+    ``bucket_cap`` members (degenerate near-identical blobs) are
+    deterministically subsampled — recall degrades gracefully there;
+    precision stays 1.0 because every emitted pair is exact-verified.
     """
     from gencore_ray.stages.shuffle import grouped_map, hash_join
 
@@ -279,7 +284,18 @@ def lsh_near_dup_pairs(
         for st, s in zip(starts, sizes):
             if s < 2:
                 continue
-            members = vid[st: st + min(int(s), bucket_cap)]
+            members = vid[st: st + int(s)]
+            if s > bucket_cap:
+                # deterministic UNBIASED subsample (same splitmix trick
+                # as stages/lsh.py) — not a lowest-id truncation; recall
+                # in degenerate buckets degrades gracefully and the
+                # exact verify keeps precision at 1.0 regardless
+                from gencore_ray.functions.hashing import splitmix64
+
+                sel = np.argsort(
+                    splitmix64(np.arange(int(s), dtype=np.uint64))
+                )[:bucket_cap]
+                members = members[np.sort(sel)]
             iu, ju = np.triu_indices(len(members), k=1)
             ia.append(members[iu])
             ib.append(members[ju])

@@ -122,7 +122,12 @@ def grouped_quantiles(
             row = dict(zip(keys, kv if isinstance(kv, tuple) else (kv,)))
             for name, q in qs:
                 v = float(np.percentile(vals, q * 100.0, method="linear"))
-                row[name] = round(v, round_to) if round_to is not None else v
+                if round_to is not None:
+                    # half-away-from-zero == DuckDB round() (banker's
+                    # rounding flips exact halves the other way)
+                    p = 10.0 ** round_to
+                    v = float(np.sign(v) * np.floor(abs(v) * p + 0.5) / p)
+                row[name] = v
             out_rows.append(row)
         if not out_rows:
             return pd.DataFrame(

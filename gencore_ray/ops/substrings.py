@@ -32,16 +32,25 @@ def substring_dup_pairs(
     cfg: DedupConfig | None = None,
     num_parts: int | None = None,
 ) -> rd.Dataset:
-    """pages(url, text) -> (url_a, url_b) where one text is a strict
-    substring of the other (url_a < url_b lexicographically; exact
-    duplicates are NOT substring pairs).
+    """pages(url, text) -> (url_a, url_b) where one token stream is a
+    strict contiguous subsequence of the other (url_a < url_b
+    lexicographically; equal token streams are NOT substring pairs).
 
-    Contract: both texts must have at least ``cfg.shingle_k`` tokens —
-    micro-texts shorter than one shingle window cannot carry
-    containment evidence (their single whole-text shingle never matches
-    a k-gram) and a 2-word string "contained" in a page is not a dup,
-    it is noise.  The analogue of gencore's short/unmapped-read bypass
-    (/root/reference/src/gencore.cpp:254-266)."""
+    Contract — TOKEN granularity, boundary-guarded: containment is
+    tested on the space-joined token streams padded with spaces, so
+    "a b" never "matches" inside "xa b", and whitespace/punctuation
+    variants normalise away (dedup is about content).  Token-aligned
+    containment is also what the shingle machinery measures: a
+    token-substring's k-gram windows are ALL present in the longer
+    stream, so the exact verify sees containment 1.0 (byte-level
+    overlaps that break a token boundary do NOT count as dups here).
+    Candidate discovery is the bottom-m sketch — near-certain when the
+    shorter side is a sizable fraction of the longer, degrading for
+    tiny-inside-huge containments (raise ``containment_bottom_m`` /
+    ``containment_perms`` for that regime).  Both texts must have at least
+    ``cfg.shingle_k`` tokens (micro-texts carry no containment
+    evidence — gencore's short/unmapped-read bypass analogue,
+    /root/reference/src/gencore.cpp:254-266)."""
     import ray
 
     from gencore_ray.pipelines.dedup import compute_signatures
@@ -70,9 +79,13 @@ def substring_dup_pairs(
     j2 = hash_join(j1, slim("text_b", "pb_"), "url_b", "pb_",
                    num_parts=num_parts)
 
-    from gencore_ray.functions.text import _TOKEN_RE
+    from gencore_ray.functions.text import tokenize
 
     k = cfg.shingle_k
+
+    def _padded(text: str) -> tuple[str, int]:
+        toks = tokenize(text)
+        return " " + " ".join(toks) + " ", len(toks)
 
     def check(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -80,12 +93,13 @@ def substring_dup_pairs(
                                  "url_b": pd.Series(dtype=object)})
         ta = df["text_a"].fillna("")
         tb = df["text_b"].fillna("")
-        keep = [
-            a != b and (a in b or b in a)
-            and len(_TOKEN_RE.findall(a.lower())) >= k
-            and len(_TOKEN_RE.findall(b.lower())) >= k
-            for a, b in zip(ta, tb)
-        ]
+        keep = []
+        for a, b in zip(ta, tb):
+            ja, na = _padded(a)
+            jb, nb = _padded(b)
+            keep.append(
+                na >= k and nb >= k and ja != jb and (ja in jb or jb in ja)
+            )
         out = df.loc[keep, ["url_a", "url_b"]].copy()
         a, b = out["url_a"].to_numpy(), out["url_b"].to_numpy()
         swap = a > b

@@ -91,7 +91,19 @@ def dedup_pages(
         return _hl.sha256("|".join(parts).encode()).hexdigest()[:16]
 
     try:
-        in_files = sorted(pages.input_files() or [])
+        # identity = (path, size, mtime) per input file: a file
+        # OVERWRITTEN in place with different data must change the
+        # fingerprint, not just a renamed one
+        import os as _os
+
+        def _stat(p: str):
+            try:
+                st = _os.stat(p)
+                return [p, st.st_size, st.st_mtime_ns]
+            except OSError:
+                return [p, -1, -1]
+
+        in_files = sorted(_stat(p) for p in (pages.input_files() or []))
     except Exception:
         in_files = []
     try:

@@ -261,9 +261,13 @@ def hash_join(
             lidx = lidx[keep]
         if how in ("semi", "anti"):
             # existence check only — left rows kept/dropped by whether
-            # their key appears on the right; right payload never emitted
+            # their key appears on the right; right payload never emitted.
+            # SQL NULL semantics: a NULL key matches NOTHING (factorize
+            # maps nulls to -1 on both sides, which would wrongly match)
             codes, _ = pd.factorize(keys)
-            present = np.isin(codes[lidx], codes[ridx])
+            rcodes = codes[ridx]
+            present = np.isin(codes[lidx], rcodes[rcodes != -1])
+            present &= codes[lidx] != -1
             sel = lidx[present] if how == "semi" else lidx[~present]
             return t.select(lcols).take(pa.array(sel))
         # match left rows to right rows on the key (first match wins is

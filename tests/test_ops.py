@@ -216,6 +216,23 @@ def test_semi_anti_join(ray_session):
     assert list(semi.columns) == ["k", "v"]       # right payload never emitted
 
 
+def test_semi_anti_join_null_keys(ray_session):
+    """SQL NULL semantics: a NULL key matches nothing — semi drops
+    null-key left rows, anti keeps them (NOT EXISTS is true)."""
+    from gencore_ray.stages.shuffle import hash_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": pd.array([1, None, 3], dtype="Int64"), "v": list("abc")}
+    ))
+    right = rd.from_pandas(pd.DataFrame(
+        {"rk": pd.array([1, None], dtype="Int64")}
+    ))
+    semi = hash_join(left, right, "k", "rk", num_parts=2, how="semi").to_pandas()
+    anti = hash_join(left, right, "k", "rk", num_parts=2, how="anti").to_pandas()
+    assert sorted(semi["v"]) == ["a"]
+    assert sorted(anti["v"]) == ["b", "c"]
+
+
 def test_hopping_window_agg(ray_session):
     from gencore_ray.ops.windows import hopping_window_agg
 

@@ -139,13 +139,14 @@ def test_substring_dup_pairs_finds_planted(corpus, ray_session):
     texts = pages_tbl["text"].to_pylist()
     from gencore_ray.functions.text import tokenize
 
-    ntok = [len(tokenize(t or "")) for t in texts]
+    toks = [tokenize(t or "") for t in texts]
+    joined = [" " + " ".join(tl) + " " for tl in toks]
     want = set()
     for i in range(len(urls)):
         for j in range(i + 1, len(urls)):
-            a, b = texts[i], texts[j]
-            if (ntok[i] >= CFG.shingle_k and ntok[j] >= CFG.shingle_k
-                    and a != b and (a in b or b in a)):
+            ja, jb = joined[i], joined[j]
+            if (len(toks[i]) >= CFG.shingle_k and len(toks[j]) >= CFG.shingle_k
+                    and ja != jb and (ja in jb or jb in ja)):
                 want.add(tuple(sorted((urls[i], urls[j]))))
     assert found == want
     # sanity: the planted substring clusters are represented
