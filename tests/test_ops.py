@@ -216,6 +216,31 @@ def test_semi_anti_join(ray_session):
     assert list(semi.columns) == ["k", "v"]       # right payload never emitted
 
 
+def test_hll_approx_distinct(ray_session):
+    """HLL within its theoretical error (~1.04/sqrt(m) ≈ 1.6% at p=12;
+    assert 5% for slack) against exact distinct, and merge-order
+    invariance of the registers."""
+    from gencore_ray.functions.sketch import (
+        approx_distinct, hll_estimate, hll_merge, hll_register_batch,
+    )
+
+    rng = np.random.RandomState(4)
+    true_n = 20_000
+    vals = rng.choice(true_n, size=60_000).astype(str)   # heavy repeats
+    exact = len(set(vals.tolist()))
+    ds = rd.from_pandas(pd.DataFrame({"user": vals}))
+    est = approx_distinct(ds, "user", p=12)
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # associativity/commutativity: any merge order gives the same registers
+    a = hll_register_batch(vals[:20000])
+    b = hll_register_batch(vals[20000:40000])
+    c = hll_register_batch(vals[40000:])
+    m1 = hll_merge(hll_merge(a, b), c)
+    m2 = hll_merge(c, hll_merge(b, a))
+    assert np.array_equal(m1, m2)
+    assert abs(hll_estimate(m1) - exact) / exact < 0.05
+
+
 def test_semi_anti_join_null_keys(ray_session):
     """SQL NULL semantics: a NULL key matches nothing — semi drops
     null-key left rows, anti keeps them (NOT EXISTS is true)."""
