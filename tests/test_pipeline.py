@@ -155,6 +155,38 @@ def test_substring_dup_pairs_finds_planted(corpus, ray_session):
                for a, b in found)
 
 
+def test_cross_process_determinism(tmp_path):
+    """Two FRESH Ray sessions (separate processes) must produce
+    byte-identical cluster tables — the engine's analogue of gencore's
+    deterministic-map-iteration guarantee (src/gencore.cpp:325-385)."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys, ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd
+sys.path.insert(0, "/root/repo")
+from gencore_ray.corpus import generate_pages
+from gencore_ray.config import DedupConfig
+from gencore_ray.pipelines.dedup import dedup_pages
+pages = generate_pages(150, seed=9)
+res = dedup_pages(rd.from_arrow(pages.select(["url","warc_ts","text","lang"])), DedupConfig())
+df = res.clusters.to_pandas().sort_values("url").reset_index(drop=True)
+df.to_parquet(sys.argv[1])
+ray.shutdown()
+"""
+    outs = []
+    for i in range(2):
+        out = str(tmp_path / f"run{i}.parquet")
+        subprocess.run([sys.executable, "-c", script, out], check=True,
+                       capture_output=True)
+        outs.append(pd.read_parquet(out))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 def test_containment_disabled_still_finds_near_dups(corpus, ray_session):
     """containment_enabled=False drops the sketch keys from the explode
     (-38% shuffle rows); near-dup clusters must still resolve via the
