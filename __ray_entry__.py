@@ -613,12 +613,16 @@ def _q_pages_dedup_sql(sf_dir: str):
     Hamming pass is the one non-SQL-expressible edge source).  The
     oracle reads the corpus's ground-truth ``text`` column while the
     engine re-derives text FROM THE HTML — a hash match therefore
-    proves byte-identical extraction through the whole pipeline."""
+    proves byte-identical extraction through the whole pipeline.
+
+    The corpus is synthetic (not derived from the sf tables), and the
+    oracle string is fixed at registration time, so BOTH sides pin the
+    same 1500-page corpus regardless of sf_dir."""
     from gencore_ray.config import DedupConfig
     from gencore_ray.pipelines.dedup import dedup_pages
     from gencore_ray.sources import read_pages
 
-    cache = _pages_cache(sf_dir)
+    cache = _pages_cache("/root/testdata/sf0.01")
     pages = read_pages(os.path.join(cache, "pages.parquet"), need_html=True)
     cfg = DedupConfig(simhash_enabled=False)
     res = dedup_pages(pages, cfg, extract_html=True)
