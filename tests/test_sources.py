@@ -88,6 +88,20 @@ def test_jsonl_reader(ray_session, tmp_path):
     assert (got["warc_ts"] == want["warc_ts"]).all()
 
 
+def test_csv_reader(ray_session, tmp_path):
+    from gencore_ray.sources import read_pages_csv
+
+    df = pd.DataFrame({
+        "url": ["u1", "u2"],
+        "text": ["hello world text", "another page body"],
+        "lang": ["en", "en"],
+    })
+    path = tmp_path / "pages.csv"
+    df.to_csv(path, index=False)
+    got = read_pages_csv(str(path)).to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, df)
+
+
 def test_validate_columns_flags_offending_file(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
