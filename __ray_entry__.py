@@ -551,6 +551,25 @@ def _q_events_hopping_3h(sf_dir: str):
     return hopping_window_agg(ev, width_hours=3, hop_hours=1)
 
 
+def _q_top_docs_per_lang(sf_dir: str):
+    from gencore_ray.ops.relational import top_k_per_group
+
+    docs = _docs(sf_dir).select_columns(["lang", "doc_id", "n_chars"])
+    return top_k_per_group(
+        docs, ["lang"], ["n_chars", "doc_id"], k=3, descending=[True, False],
+        num_parts=4,
+    )
+
+
+def _q_stratified_doc_sample(sf_dir: str):
+    """Deterministic per-source sample (multiplicative-hash order) —
+    the reproducible-sampling story for curriculum/eval splits."""
+    from gencore_ray.ops.relational import stratified_sample
+
+    docs = _docs(sf_dir).select_columns(["source", "doc_id"])
+    return stratified_sample(docs, ["source"], "doc_id", n_per_key=5, num_parts=4)
+
+
 def _q_substring_dup_pairs(sf_dir: str):
     """Exact substring dups: sketch-containment candidates verified by
     a true `shorter in longer` check (north_star's suffix-array pass,
@@ -656,6 +675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": _q_distinct_users_by_type,
         "events_hopping_3h": _q_events_hopping_3h,
         "substring_dup_pairs": _q_substring_dup_pairs,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "stratified_doc_sample": _q_stratified_doc_sample,
         "top_ngrams": _q_top_ngrams,
         "events_value_quantiles": _q_events_value_quantiles,
         # engine-only (rows-only check)
@@ -874,6 +895,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS window_start, "
             "count(*) AS n_events, round(sum(value), 6) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "stratified_doc_sample": (
+            "SELECT source, doc_id FROM ("
+            "SELECT source, doc_id, row_number() OVER (PARTITION BY source "
+            "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 5"
+        ),
+        "top_docs_per_lang": (
+            "SELECT lang, doc_id, n_chars FROM ("
+            "SELECT lang, doc_id, n_chars, row_number() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 3"
         ),
         "substring_dup_pairs": (
             # TOKEN-granularity containment, boundary-guarded by space

@@ -188,6 +188,62 @@ def top_ngrams(
                        descending=[True, False]).limit(k)
 
 
+def top_k_per_group(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    by: Sequence[str],
+    k: int,
+    descending: Sequence[bool] | bool = True,
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """Top-k rows per key group (training-data curation: best docs per
+    domain/language).  One exchange keyed on keys[0]; inside each
+    partition a single vectorised sort + groupby-head — no per-group
+    Python.  Deterministic: ``by`` should end in a unique tiebreaker."""
+    keys = list(keys)
+    by = list(by)
+    if isinstance(descending, bool):
+        descending = [descending] * len(by)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values(by, ascending=[not d for d in descending],
+                            kind="mergesort")
+        return df.groupby(keys, sort=False).head(k)
+
+    return grouped_map(ds, keys[0], per_partition, num_parts=num_parts)
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    id_col: str,
+    n_per_key: int,
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """Deterministic stratified sample: n rows per key, ordered by a
+    fixed multiplicative hash of the integer id (Knuth 2654435761 mod
+    2^32) — pseudo-random but pure integer arithmetic, so any engine
+    (including the SQL oracle) reproduces the exact same sample.  The
+    scale-correct alternative to driver-side or rng-order sampling."""
+    keys = list(keys)
+    mult, mod = 2654435761, 1 << 32
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        h = (df[id_col].astype("int64") * mult) % mod
+        out = (
+            df.assign(_h=h)
+            .sort_values(["_h", id_col], kind="mergesort")
+            .groupby(keys, sort=False).head(n_per_key)
+        )
+        return out.drop(columns=["_h"])
+
+    return grouped_map(ds, keys[0], per_partition, num_parts=num_parts)
+
+
 def topk(
     ds: rd.Dataset, by: list[str], k: int, descending: list[bool] | bool = True
 ) -> rd.Dataset:

@@ -216,6 +216,39 @@ def test_semi_anti_join(ray_session):
     assert list(semi.columns) == ["k", "v"]       # right payload never emitted
 
 
+def test_top_k_per_group(ray_session):
+    from gencore_ray.ops.relational import top_k_per_group
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 2,
+        "score": [5, 3, 9, 9, 1, 2, 7],
+        "id": list(range(7)),
+    })
+    got = top_k_per_group(rd.from_pandas(df), ["g"], ["score", "id"], k=2,
+                          descending=[True, False], num_parts=3).to_pandas()
+    got = got.sort_values(["g", "score", "id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    assert got[["g", "id"]].values.tolist() == [["a", 2], ["a", 3], ["b", 6], ["b", 5]]
+
+
+def test_stratified_sample_deterministic(ray_session):
+    from gencore_ray.ops.relational import stratified_sample
+
+    df = pd.DataFrame({"g": ["x"] * 50 + ["y"] * 30,
+                       "id": list(range(80))})
+    ds = rd.from_pandas(df)
+    s1 = stratified_sample(ds, ["g"], "id", 4, num_parts=3).to_pandas()
+    s2 = stratified_sample(ds, ["g"], "id", 4, num_parts=5).to_pandas()
+    key = ["g", "id"]
+    assert sorted(map(tuple, s1[key].values.tolist())) == \
+        sorted(map(tuple, s2[key].values.tolist()))          # partition-invariant
+    assert s1.groupby("g").size().to_dict() == {"x": 4, "y": 4}
+    # matches the closed-form hash ordering
+    want = (df.assign(h=(df["id"] * 2654435761) % (1 << 32))
+            .sort_values(["h", "id"]).groupby("g").head(4))
+    assert sorted(s1["id"]) == sorted(want["id"])
+
+
 def test_hll_approx_distinct(ray_session):
     """HLL within its theoretical error (~1.04/sqrt(m) ≈ 1.6% at p=12;
     assert 5% for slack) against exact distinct, and merge-order
