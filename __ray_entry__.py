@@ -362,14 +362,20 @@ def _sig_edges(sf_dir: str):
     from gencore_ray.stages.lsh import candidate_pairs
     from gencore_ray.stages.verify import verified_edges
 
+    import ray
+
     cfg = DedupConfig()
+    # cache entries hold object-store refs — valid only within the Ray
+    # session that created them; rebuild if the driver restarted (the
+    # node id is session-unique for local sessions, unlike the job id)
+    job = ray.get_runtime_context().get_node_id() if ray.is_initialized() else None
     hit = _SIG_EDGES_CACHE.get(sf_dir)
-    if hit is not None:
-        return hit, cfg
+    if hit is not None and hit[0] == job:
+        return hit[1], cfg
     sig = compute_signatures(_docs_as_pages(sf_dir), cfg).materialize()
     pairs = candidate_pairs(sig, cfg, num_parts=16)
     edges = verified_edges(pairs, sig, cfg).materialize()
-    _SIG_EDGES_CACHE[sf_dir] = edges
+    _SIG_EDGES_CACHE[sf_dir] = (job, edges)
     return edges, cfg
 
 
