@@ -109,12 +109,20 @@ def run_bench() -> dict:
                 ).clusters.count()
 
     # --- headline: full extract -> signatures -> LSH -> CC -> elect ----
-    t0 = time.monotonic()
-    pages = read_pages(os.path.join(corpus, "pages"), need_html=True,
-                       override_num_blocks=n_blocks)
-    res = dedup_pages(pages, DedupConfig(), extract_html=True)
-    n_out = res.clusters.count()
-    headline = time.monotonic() - t0
+    # median of N trials (default 3): single-trial snapshots on this
+    # shared box swing +/-30% with background load; the median is the
+    # recorded number, the raw trials ride along for variance audits
+    trials = max(1, int(os.environ.get("GRAFT_BENCH_TRIALS", "3")))
+    trial_secs: list[float] = []
+    n_out = 0
+    for _ in range(trials):
+        t0 = time.monotonic()
+        pages = read_pages(os.path.join(corpus, "pages"), need_html=True,
+                           override_num_blocks=n_blocks)
+        res = dedup_pages(pages, DedupConfig(), extract_html=True)
+        n_out = res.clusters.count()
+        trial_secs.append(time.monotonic() - t0)
+    headline = sorted(trial_secs)[len(trial_secs) // 2]
 
     # --- representative query set over SF_DIR --------------------------
     qtimes: dict[str, float] = {}
@@ -135,6 +143,7 @@ def run_bench() -> dict:
         "pages": BENCH_PAGES,
         "pages_per_sec": round(BENCH_PAGES / headline, 1),
         "rows_out": n_out,
+        "headline_trials": [round(s, 3) for s in trial_secs],
     }
 
 

@@ -176,6 +176,28 @@ def dedup_pages(
     counters["pages_in"] = sig.count()
     counters["candidate_pairs"] = pairs.count()
     counters["verified_edges"] = ver_edges.count()
+    # exploded bucket-key volume (the pipeline's one big exchange):
+    # exact count derived from the materialized signature table — bands
+    # + sketch keys per active doc + C(B, B-k) simhash combos — without
+    # re-running the explode. Reported per-doc so a config change's
+    # shuffle-mass impact is visible in every manifest.
+    from gencore_ray.stages.lsh import simhash_combo_count
+
+    n_combo = simhash_combo_count() if cfg.simhash_enabled else 0
+
+    def _key_mass(t: pa.Table) -> pa.Table:
+        active = t["shingle_count"].to_numpy(zero_copy_only=False) >= cfg.min_shingles
+        ck = t["ckeys"].combine_chunks() if isinstance(t["ckeys"], pa.ChunkedArray) else t["ckeys"]
+        n_ck = int(len(ck.values))
+        return pa.table({"k": [int(active.sum()) * (cfg.bands + n_combo) + n_ck]})
+
+    counters["explode_rows"] = int(
+        sig.map_batches(_key_mass, batch_format="pyarrow").sum("k") or 0
+    )
+    if counters["pages_in"]:
+        counters["explode_rows_per_doc_x100"] = (
+            counters["explode_rows"] * 100 // counters["pages_in"]
+        )
     try:
         counters["capped_docs"] = int(pairs.sum("capped") or 0)  # distributed sum
     except Exception:

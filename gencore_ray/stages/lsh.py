@@ -19,8 +19,8 @@ Skew handling (gencore's low-complexity-cluster skip analogue,
        hard_cap before neighbor-linking; the drop is COUNTED (capped
        column) — no silent truncation.
 
-The shuffle payload is deliberately slim: (bkey, uh, sort64) — three
-uint64 columns, 24 bytes/row; neither url strings nor shingle arrays
+The shuffle payload is deliberately slim: (bkey u64, uh u64,
+sort32 u32) — 20 bytes/row; neither url strings nor shingle arrays
 ride the explode (both are joined back only for the much smaller
 verified-candidate set).
 """
@@ -38,15 +38,24 @@ from gencore_ray.functions.hashing import U64, _MASK, splitmix64
 _SIMHASH_CHUNK_TAG = np.uint64(0x51AB5A1DE5C0FFEE)
 
 # SimHash blocking (Manku/Jain/Sarma, WWW'07 "Detecting Near-Duplicates
-# for Web Crawling"): split the 64-bit fingerprint into B=6 blocks; any
+# for Web Crawling"): split the 64-bit fingerprint into B=5 blocks; any
 # two fingerprints within Hamming distance <= 3 have their <=3 differing
-# bits confined to <=3 blocks, so at least one combination of B-3=3
-# blocks is identical — index each of the C(6,3)=20 combinations as a
-# bucket key (~32 matched bits each). Random collisions ~ n^2/2^32 per
-# combo instead of n^2/2^16 per 16-bit chunk — the difference between a
-# linear and a quadratic candidate set at web scale.
-_SIMHASH_BLOCKS = 6
+# bits confined to <=3 blocks, so at least one combination of B-3=2
+# blocks is identical — index each of the C(5,2)=10 combinations as a
+# bucket key (~25.6 matched bits each). Same exact collision guarantee
+# as the previous B=6/C(6,3)=20 layout at HALF the exploded key mass;
+# the narrower keys admit ~n^2/2^25.6 random collisions per combo
+# (~10^5 spurious candidate pairs at 1M docs — noise next to the
+# verified-edge volume, and every candidate is exact-verified anyway).
+_SIMHASH_BLOCKS = 5
 _BLOCK_BOUNDS = np.linspace(0, 64, _SIMHASH_BLOCKS + 1).astype(np.uint64)
+
+
+def simhash_combo_count(hamming_max: int = 3) -> int:
+    """Number of block-combination keys emitted per doc (C(B, B-k))."""
+    from math import comb
+
+    return comb(_SIMHASH_BLOCKS, _SIMHASH_BLOCKS - hamming_max)
 
 
 def _simhash_combo_keys(sim: np.ndarray, hamming_max: int) -> list[np.ndarray]:
@@ -71,16 +80,20 @@ def _simhash_combo_keys(sim: np.ndarray, hamming_max: int) -> list[np.ndarray]:
 
 
 def explode_keys(batch: pa.Table, include_simhash_keys: bool = True) -> pa.Table:
-    """(uhash, band_key, ckeys, simhash) -> (bkey, uh, sort64) rows.
+    """(uhash, band_key, ckeys, simhash) -> (bkey, uh, sort32) rows.
 
     Emits one row per (doc, bucket key):
       * all LSH band keys           (band_key fixed list — already mixed)
       * all containment sketch keys (ckeys list)
-      * C(6,3) SimHash block-combination keys (guaranteed collision for
+      * C(5,2) SimHash block-combination keys (guaranteed collision for
         fingerprints within Hamming<=3 — Manku et al., see above)
 
-    Rows are three fixed-width uint64s — url strings never ride the
-    explode; pairs are resolved back to urls by the verify joins.
+    Rows are (u64 key, u64 doc hash, u32 sort prefix) = 20 bytes — url
+    strings never ride the explode; pairs are resolved back to urls by
+    the verify joins.  The sort prefix is the top 32 simhash bits: it is
+    only used to order members INSIDE oversize buckets so near-identical
+    docs land adjacent before neighbor-linking, and 32 bits of prefix
+    preserve that adjacency while shaving 17% off the exchange bytes.
     """
     n = batch.num_rows
     uh = batch["uhash"].to_numpy(zero_copy_only=False).astype(U64)
@@ -112,11 +125,12 @@ def explode_keys(batch: pa.Table, include_simhash_keys: bool = True) -> pa.Table
 
     all_keys = np.concatenate(keys).astype(U64)
     all_idx = np.concatenate(url_idx)
+    sort32 = (sim >> np.uint64(32)).astype(np.uint32)
     return pa.table(
         {
             "bkey": pa.array(all_keys),
             "uh": pa.array(uh[all_idx]),
-            "sort64": pa.array(sim[all_idx]),
+            "sort32": pa.array(sort32[all_idx]),
         }
     )
 
@@ -146,22 +160,22 @@ def _pairs_in_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
         return empty
     bkey = df["bkey"].to_numpy().astype(np.uint64)
     uhash = df["uh"].to_numpy().astype(np.uint64)
-    sort64 = df["sort64"].to_numpy().astype(np.uint64)
+    sort32 = df["sort32"].to_numpy().astype(np.uint32)
 
     # pure uint64 path: docs are their uhash here; urls rejoin later.
     # TWO-key lexsort only — (bkey, uhash) gives bucket runs plus the
-    # duplicate-membership adjacency; the sort64 (simhash) order is only
-    # needed INSIDE the rare oversize buckets and is applied there
-    # locally (one argsort pass fewer over the whole partition — this
-    # stage is memory-bandwidth-bound at full concurrency).
+    # duplicate-membership adjacency; the sort32 (simhash prefix) order
+    # is only needed INSIDE the rare oversize buckets and is applied
+    # there locally (one argsort pass fewer over the whole partition —
+    # this stage is memory-bandwidth-bound at full concurrency).
     order = np.lexsort((uhash, bkey))
-    bkey, sort64, uhash = bkey[order], sort64[order], uhash[order]
+    bkey, sort32, uhash = bkey[order], sort32[order], uhash[order]
     # drop duplicate (bkey, doc) membership (one doc can reach a bucket
     # through several key sources): consecutive after the sort
     dup = np.r_[False, (bkey[1:] == bkey[:-1]) & (uhash[1:] == uhash[:-1])]
     if dup.any():
         keepm = ~dup
-        bkey, sort64, uhash = bkey[keepm], sort64[keepm], uhash[keepm]
+        bkey, sort32, uhash = bkey[keepm], sort32[keepm], uhash[keepm]
     # bucket boundaries
     starts = np.flatnonzero(np.r_[True, bkey[1:] != bkey[:-1]])
     sizes = np.diff(np.r_[starts, len(bkey)])
@@ -178,12 +192,12 @@ def _pairs_in_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
         ia_parts.append((offs[:, None] + ia_t[None, :]).ravel())
         ib_parts.append((offs[:, None] + ib_t[None, :]).ravel())
 
-    # --- large buckets: neighbor-linking in sorted (sort64, uhash) order
+    # --- large buckets: neighbor-linking in sorted (sort32, uhash) order
     for bi in np.flatnonzero(~small):
         st, s = int(starts[bi]), int(sizes[bi])
         idx = np.arange(st, st + s)
-        # local simhash-primary order: near-identical docs adjacent
-        idx = idx[np.lexsort((uhash[idx], sort64[idx]))]
+        # local simhash-prefix-primary order: near-identical docs adjacent
+        idx = idx[np.lexsort((uhash[idx], sort32[idx]))]
         if s > cfg.bucket_hard_cap:
             capped_total += s - cfg.bucket_hard_cap
             sel = np.argsort(splitmix64(np.arange(s, dtype=np.uint64)))[: cfg.bucket_hard_cap]

@@ -61,7 +61,7 @@ def test_pairs_in_partition_equals_brute_force(buckets):
             rows.append((np.uint64(bk * 7919 + 13), np.uint64(m), np.uint64(m % 17)))
     df = pd.DataFrame(
         {"bkey": [r[0] for r in rows], "uh": [r[1] for r in rows],
-         "sort64": [r[2] for r in rows]}
+         "sort32": [np.uint32(r[2]) for r in rows]}
     )
     out = _pairs_in_partition(df, CFG)
     got = {(int(a), int(b)) for a, b in zip(out["ha"], out["hb"]) if a != 0 or b != 0}
@@ -87,7 +87,7 @@ def test_hard_cap_subsamples_and_counts():
     df = pd.DataFrame({
         "bkey": np.full(n, np.uint64(123456789)),
         "uh": rng.choice(10_000, size=n, replace=False).astype(np.uint64) + 1,
-        "sort64": rng.randint(0, 2 ** 62, size=n).astype(np.uint64),
+        "sort32": rng.randint(0, 2 ** 31, size=n).astype(np.uint32),
     })
     out = _pairs_in_partition(df, cfg)
     sentinel = out[out["capped"] > 0]
