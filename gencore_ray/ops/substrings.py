@@ -91,15 +91,24 @@ def substring_dup_pairs(
         if not len(df):
             return pd.DataFrame({"url_a": pd.Series(dtype=object),
                                  "url_b": pd.Series(dtype=object)})
-        ta = df["text_a"].fillna("")
-        tb = df["text_b"].fillna("")
-        keep = []
-        for a, b in zip(ta, tb):
-            ja, na = _padded(a)
-            jb, nb = _padded(b)
-            keep.append(
-                na >= k and nb >= k and ja != jb and (ja in jb or jb in ja)
-            )
+        ta = df["text_a"].fillna("").to_numpy(dtype=object)
+        tb = df["text_b"].fillna("").to_numpy(dtype=object)
+        # tokenize each DISTINCT text exactly once per batch: a hub doc
+        # appearing in k candidate pairs costs one tokenize, not k
+        # (tokenize+join dominates the exact `in` scan)
+        codes, uniq = pd.factorize(np.concatenate([ta, tb]))
+        padded: list[str] = [""] * len(uniq)
+        ntoks = np.empty(len(uniq), dtype=np.int64)
+        for i, t in enumerate(uniq):
+            padded[i], ntoks[i] = _padded(t)
+        ca, cb = codes[: len(ta)], codes[len(ta):]
+        # cheap vectorised prefilter; the exact `in` scan runs only on
+        # rows that survive the token-count and inequality gates
+        cand = (ntoks[ca] >= k) & (ntoks[cb] >= k) & (ca != cb)
+        keep = np.zeros(len(df), dtype=bool)
+        for i in np.flatnonzero(cand):
+            ja, jb = padded[ca[i]], padded[cb[i]]
+            keep[i] = ja != jb and (ja in jb or jb in ja)
         out = df.loc[keep, ["url_a", "url_b"]].copy()
         a, b = out["url_a"].to_numpy(), out["url_b"].to_numpy()
         swap = a > b

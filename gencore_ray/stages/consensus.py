@@ -36,23 +36,74 @@ import ray.data as rd
 from gencore_ray.config import DedupConfig
 
 
-def _vote_cluster(texts: list[str], weights: np.ndarray) -> tuple[str, float]:
-    """Quality-weighted per-position token vote -> (consensus, agreement)."""
+def _vote_clusters(
+    cluster_codes: np.ndarray, texts: list[str], weights: np.ndarray,
+    n_clusters: int,
+) -> tuple[list[str], np.ndarray]:
+    """Quality-weighted per-position token vote over ALL multi-member
+    clusters of a partition in one factorized pass.
+
+    Semantics (identical to the scalar per-position vote, and to
+    gencore's pileup vote /root/reference/src/group.cpp:320-526): at
+    each position the candidate token with the highest summed member
+    quality wins; ties break to the lexicographically smallest token;
+    ``agreement`` is the fraction of positions where every covering
+    member agreed.
+
+    No per-position Python loop: one (cluster, position, token-code)
+    lexsort + segment-sum (``np.add.reduceat``) computes every
+    candidate weight, a second lexsort picks each position's winner,
+    and the only remaining Python is one ``" ".join`` per cluster.
+
+    Returns (consensus_text per cluster code, agreement per code).
+    """
     toks = [t.split() if t else [] for t in texts]
-    max_len = max(len(t) for t in toks)
-    out: list[str] = []
-    agree = 0
-    for p in range(max_len):
-        cand: dict[str, float] = {}
-        for m, tl in enumerate(toks):
-            if p < len(tl):
-                cand[tl[p]] = cand.get(tl[p], 0.0) + float(weights[m])
-        if len(cand) == 1:
-            agree += 1
-        # max weight, ties -> lexicographically smallest token
-        best = min(cand.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        out.append(best)
-    return " ".join(out), (agree / max_len if max_len else 1.0)
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return [""] * n_clusters, np.ones(n_clusters)
+    # flat (member -> token stream) coordinates, all vectorised
+    member = np.repeat(np.arange(len(toks)), lens)
+    offs = np.repeat(np.cumsum(lens) - lens, lens)
+    pos = np.arange(total, dtype=np.int64) - offs
+    c = cluster_codes[member]
+    wt = np.asarray(weights, dtype=np.float64)[member]
+
+    from itertools import chain
+
+    flat = pd.Index(list(chain.from_iterable(toks)))
+    codes, uniq = pd.factorize(flat, sort=True)   # sort=True: code == lex rank
+    lex_sorted = np.asarray(uniq, dtype=object)
+
+    # --- candidate weights: segment-sum over sorted (c, pos, token)
+    o1 = np.lexsort((codes, pos, c))
+    c1, p1, k1, w1 = c[o1], pos[o1], codes[o1], wt[o1]
+    seg = np.r_[True, (c1[1:] != c1[:-1]) | (p1[1:] != p1[:-1]) | (k1[1:] != k1[:-1])]
+    starts = np.flatnonzero(seg)
+    wsum = np.add.reduceat(w1, starts)
+    c_s, p_s, k_s = c1[starts], p1[starts], k1[starts]
+
+    # --- (c, pos) groups over the candidate segments
+    cp_new = np.r_[True, (c_s[1:] != c_s[:-1]) | (p_s[1:] != p_s[:-1])]
+    cp_gid = np.cumsum(cp_new) - 1
+    n_cp = int(cp_gid[-1]) + 1
+    n_cand = np.bincount(cp_gid, minlength=n_cp)
+
+    # --- winner per (c, pos): max weight, ties -> smallest lex rank
+    o2 = np.lexsort((k_s, -wsum, cp_gid))
+    win = o2[np.r_[True, cp_gid[o2][1:] != cp_gid[o2][:-1]]]
+    win_tok = lex_sorted[k_s[win]]          # already in (c, pos) order
+    c_cp = c_s[win]                          # cluster of each position
+
+    # --- assemble per-cluster strings + agreement
+    npos = np.bincount(c_cp, minlength=n_clusters)
+    agree = np.bincount(c_cp[n_cand == 1], minlength=n_clusters)
+    bounds = np.r_[0, np.cumsum(npos)]
+    texts_out = [
+        " ".join(win_tok[bounds[i]:bounds[i + 1]]) for i in range(n_clusters)
+    ]
+    agreement = np.where(npos > 0, agree / np.maximum(npos, 1), 1.0)
+    return texts_out, agreement
 
 
 def _synth_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
@@ -88,28 +139,41 @@ def _synth_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
             "total_text_len": single["text_len"].to_numpy(dtype=np.int64),
         }))
 
-    # --- multi-member clusters: per-cluster quality-weighted vote
+    # --- multi-member clusters: ONE factorized vote over all of them
     multi = df[size.to_numpy() > 1]
     if len(multi):
-        recs = []
-        for cid, g in multi.groupby("cluster_id", sort=False):
-            w = g["quality"].to_numpy(dtype=np.float64)
-            text, agreement = _vote_cluster(
-                g["text"].fillna("").tolist(), np.maximum(w, 1e-9)
-            )
-            rep = g.loc[g["is_representative"], "url"]
-            recs.append({
-                "cluster_id": cid,
-                "cluster_size": np.int64(len(g)),
-                "rep_url": rep.iloc[0] if len(rep) else g["url"].iloc[0],
-                "content_src": "consensus_vote",
-                "consensus_text": text,
-                "vote_agreement": round(agreement, 6),
-                "max_quality": float(w.max()),
-                "max_text_len": np.int64(g["text_len"].max()),
-                "total_text_len": np.int64(g["text_len"].sum()),
-            })
-        parts.append(pd.DataFrame(recs))
+        ccodes, cids = pd.factorize(multi["cluster_id"], sort=False)
+        ncl = len(cids)
+        w = np.maximum(multi["quality"].to_numpy(dtype=np.float64), 1e-9)
+        texts, agreement = _vote_clusters(
+            ccodes, multi["text"].fillna("").tolist(), w, ncl
+        )
+        # metadata aggregates, vectorised per cluster code
+        rep_mask = multi["is_representative"].to_numpy(dtype=bool)
+        urls = multi["url"].to_numpy()
+        # first url per cluster (df is (cluster_id, url)-sorted), then
+        # overwrite with the elected representative where one exists
+        first_idx = np.flatnonzero(np.r_[True, ccodes[1:] != ccodes[:-1]])
+        rep_url = urls[first_idx].copy()
+        ridx = np.flatnonzero(rep_mask)
+        # reversed so the FIRST representative per cluster wins
+        rep_url[ccodes[ridx[::-1]]] = urls[ridx[::-1]]
+        tl = multi["text_len"].to_numpy(dtype=np.int64)
+        max_q = np.zeros(ncl)
+        np.maximum.at(max_q, ccodes, w)
+        max_tl = np.zeros(ncl, dtype=np.int64)
+        np.maximum.at(max_tl, ccodes, tl)
+        parts.append(pd.DataFrame({
+            "cluster_id": np.asarray(cids, dtype=object),
+            "cluster_size": np.bincount(ccodes, minlength=ncl).astype(np.int64),
+            "rep_url": rep_url,
+            "content_src": np.full(ncl, "consensus_vote", dtype=object),
+            "consensus_text": np.asarray(texts, dtype=object),
+            "vote_agreement": np.round(agreement, 6),
+            "max_quality": max_q,
+            "max_text_len": max_tl,
+            "total_text_len": np.bincount(ccodes, weights=tl, minlength=ncl).astype(np.int64),
+        }))
     out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(cols)
     return out.astype({"cluster_size": np.int64, "max_text_len": np.int64,
                        "total_text_len": np.int64})

@@ -248,6 +248,65 @@ def test_consensus_synthesis_vote(ray_session):
     assert len(out) == 3                                       # one row per cluster
 
 
+def test_consensus_vote_vectorized_matches_scalar():
+    """The factorized vote (_vote_clusters: one lexsort + segment-sum
+    per partition) must reproduce the scalar per-position dict vote
+    exactly — and do it fast (the scalar loop on this fixture is the
+    round-2 anti-pattern this replaces)."""
+    import time
+
+    from gencore_ray.stages.consensus import _synth_partition
+
+    def scalar_vote(texts, weights):
+        toks = [t.split() if t else [] for t in texts]
+        max_len = max(len(t) for t in toks)
+        out, agree = [], 0
+        for p in range(max_len):
+            cand = {}
+            for m, tl in enumerate(toks):
+                if p < len(tl):
+                    cand[tl[p]] = cand.get(tl[p], 0.0) + float(weights[m])
+            if len(cand) == 1:
+                agree += 1
+            out.append(min(cand.items(), key=lambda kv: (-kv[1], kv[0]))[0])
+        return " ".join(out), (agree / max_len if max_len else 1.0)
+
+    rng = np.random.RandomState(5)
+    vocab = np.array([f"w{i}" for i in range(50)])
+    rows = []
+    texts_by_cluster = {}
+    for c in range(60):                       # 60 clusters x 5 members
+        base = vocab[rng.randint(0, 50, size=rng.randint(3, 400))]
+        members = []
+        for m in range(5):
+            t = base.copy()
+            if len(t) and rng.rand() < 0.8:   # mutate a few positions
+                t[rng.randint(0, len(t), size=max(1, len(t) // 20))] = "MUT%d" % m
+            members.append(" ".join(t))
+        texts_by_cluster[f"c{c:03d}"] = members
+        for m, text in enumerate(members):
+            rows.append({"url": f"c{c:03d}-u{m}", "cluster_id": f"c{c:03d}",
+                         "cluster_size": 5, "is_representative": m == 2,
+                         "quality": float(rng.rand() + 0.1),
+                         "text_len": len(text), "text": text})
+    df = pd.DataFrame(rows).sample(frac=1, random_state=9)  # shuffled input
+    t0 = time.monotonic()
+    out = _synth_partition(df, CFG).set_index("cluster_id")
+    elapsed = time.monotonic() - t0
+    # scalar reference per cluster, weights in (cluster_id, url) order
+    sdf = df.sort_values(["cluster_id", "url"], kind="mergesort")
+    for cid, g in sdf.groupby("cluster_id"):
+        want_text, want_agree = scalar_vote(
+            g["text"].tolist(), np.maximum(g["quality"].to_numpy(), 1e-9)
+        )
+        assert out.loc[cid, "consensus_text"] == want_text, cid
+        assert abs(out.loc[cid, "vote_agreement"] - round(want_agree, 6)) < 1e-9
+        assert out.loc[cid, "rep_url"] == f"{cid}-u2"
+    # ~60k tokens x 5 members: the factorized pass must stay well under
+    # the scalar loop's cost (timing note, generous bound for CI noise)
+    assert elapsed < 2.0, f"vectorized vote too slow: {elapsed:.2f}s"
+
+
 def test_partitioned_sink_resume(corpus, tmp_path, ray_session):
     """S5 scale form: atomic per-partition files; a re-run skips every
     completed partition and only fills holes."""
