@@ -611,7 +611,7 @@ def _pages_cache(sf_dir: str) -> str:
     from gencore_ray.corpus import write_pages_corpus
 
     n = 1500 if "0.01" in sf_dir else 400
-    cache = f"/tmp/gencore_pages_{n}_s42_v3"
+    cache = f"/tmp/gencore_pages_{n}_s42_v4"
     if not os.path.exists(os.path.join(cache, "pages.parquet")):
         write_pages_corpus(cache, n_pages=n, seed=42)
     return cache

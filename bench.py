@@ -50,7 +50,7 @@ def _corpus_dir() -> str:
     driver-side and excluded from timings)."""
     from gencore_ray.corpus import write_pages_corpus
 
-    cache = f"/tmp/gencore_bench_pages_{BENCH_PAGES}_s{CORPUS_SEED}_v3"
+    cache = f"/tmp/gencore_bench_pages_{BENCH_PAGES}_s{CORPUS_SEED}_v4"
     marker = os.path.join(cache, "pages.parquet")
     if not os.path.exists(marker):
         write_pages_corpus(cache, n_pages=BENCH_PAGES, seed=CORPUS_SEED)

@@ -58,14 +58,99 @@ def _make_vocab(rng: np.random.RandomState) -> list[str]:
     return vocab
 
 
+# Per-language function/common words for the corpus's lang signal.
+# Authored INDEPENDENTLY of the detector's stopword table in
+# gencore_ray/functions/text.py: drawn from general
+# high-frequency vocabulary, ASCII-folded so both the Python \w+
+# tokenizer and the SQL oracles' ASCII token class parse them.  Natural
+# overlap with the detector's lists is real language, not construction —
+# the detector is graded on text it did not define (the round-2
+# accuracy evidence was circular; this breaks the loop).  Each list
+# also carries words the detector does NOT know, so measured accuracy
+# is an honest number, not 1.0 by construction.
+_LANG_FUNCTION_WORDS = {
+    "en": (
+        "and the was were with that this from they have had but not you all "
+        "she her his him its our their one who would could should than then "
+        "because been being over under after before while where something "
+        "nothing everything anyone people really still always never during"
+    ).split(),
+    "de": (
+        "und der die das ein eine nicht ist war sind wir ihr ihm ihn sein "
+        "ihre kann muss auch noch schon jetzt hier dort wieder immer sehr "
+        "mehr alles etwas nichts durch gegen ohne unter zwischen vielleicht "
+        "heute morgen gestern zusammen wirklich natuerlich"
+    ).split(),
+    "fr": (
+        "et le la les des une est sont etait avec pour dans sur sous apres "
+        "avant tout tous toute cette ces mais donc quand comme bien tres peu "
+        "beaucoup chez entre vers sans notre votre leurs toujours jamais "
+        "encore aussi peut etre faire meme autre chose"
+    ).split(),
+    "es": (
+        "y el la los las una es son era con para por sobre despues antes "
+        "todo todos esta estos pero cuando como bien muy poco mucho entre "
+        "hacia desde nuestro ellos siempre nunca tambien ahora aqui alli "
+        "hacer tener decir cosa otro mismo"
+    ).split(),
+    "it": (
+        "e il lo la gli le una di da per sopra sotto dopo prima tutto tutti "
+        "questa questi ma quando come bene molto poco tra fra verso senza "
+        "nostro vostro loro sempre ancora anche adesso fare avere dire cosa "
+        "altro stesso proprio ogni"
+    ).split(),
+    "pt": (
+        "e o a os as uma de em para por sobre depois antes tudo todos esta "
+        "estes mas quando como bem muito pouco entre desde nosso eles sempre "
+        "nunca tambem agora aqui fazer ter dizer coisa outro mesmo cada "
+        "ainda porque assim"
+    ).split(),
+    "nl": (
+        "en de het een van voor door over onder na alles allemaal deze die "
+        "maar wanneer zoals goed heel weinig veel tussen vanaf onze jullie "
+        "altijd weer nog steeds hier daar samen echt natuurlijk vandaag "
+        "morgen gisteren misschien"
+    ).split(),
+}
+
+
+# English glue words stripped from the shared base vocab for non-en
+# documents (a real de/fr/... page is not three-quarters English
+# function words).  Also authored here, independent of the detector.
+_EN_FILTER = frozenset(
+    _LANG_FUNCTION_WORDS["en"]
+    + "the of and to in a is that it was for on are as at be an or by "
+      "we there can your which if do will so no my me us he it".split()
+)
+
+
 def _lang_vocab(vocab: list[str], lang: str) -> list[str]:
     """Vocab with the language's function words mixed in at realistic
     density (~25% of tokens), so the `lang` label is reflected in the
     text itself and language-ID has a real signal to recover."""
-    from gencore_ray.functions.text import _STOPWORDS
+    words = _LANG_FUNCTION_WORDS.get(lang, [])
+    if lang != "en" and words:
+        vocab = [w for w in vocab if w.lower() not in _EN_FILTER]
+    return vocab + [w for w in words for _ in range(10)]
 
-    stops = sorted(_STOPWORDS.get(lang, frozenset()))
-    return vocab + [w for w in stops for _ in range(10)]
+
+def _kgram_set(paras: list[list[str]], k: int = 5) -> set[tuple[str, ...]]:
+    """Distinct word-5-grams of the flattened doc (plain-Python mirror
+    of the engine's shingle set — used only to self-check planted
+    near-dup strength at generation time)."""
+    toks = [w.lower() for p in paras for w in p]
+    if not toks:
+        return set()
+    if len(toks) < k:
+        return {tuple(toks)}
+    return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _kgram_jaccard(a: set, b: set) -> float:
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
 
 
 def _sentence(rng: np.random.RandomState, vocab: list[str]) -> list[str]:
@@ -144,7 +229,7 @@ def generate_pages(
     n_simhash_c = max(2, n_pages // 60)
     n_empty = max(3, n_pages // 100)
 
-    langs = ["en"] * 8 + ["de", "fr"]
+    langs = ["en"] * 8 + ["de", "fr", "es", "it", "pt", "nl"]
 
     def pick_lang() -> str:
         return langs[rng.randint(0, len(langs))]
@@ -158,14 +243,24 @@ def generate_pages(
             add([list(p) for p in base], "exact", cluster_id, lang)
         cluster_id += 1
 
-    # --- near-dup clusters (1-3 word swaps per copy; Jaccard >= ~.9) ---
+    # --- near-dup clusters (word swaps per copy, GUARANTEED above the
+    # dedup threshold: each copy's 5-gram jaccard vs the base is checked
+    # at generation time — a short doc with 3 swaps can genuinely fall
+    # below tau=0.7, which would make the truth labels lies) ---
     for _ in range(n_near_c):
         lang = pick_lang()
-        base = _base_text(rng, _lang_vocab(vocab, lang))
+        lvocab = _lang_vocab(vocab, lang)
+        base = _base_text(rng, lvocab)
+        while sum(len(p) for p in base) < 100:   # length floor: swaps stay cheap
+            base[-1] = base[-1] + _sentence(rng, lvocab)
+        bset = _kgram_set(base)
         size = min(10, 2 + rng.geometric(0.5))
         add(base, "near", cluster_id, lang)
         for _ in range(size - 1):
-            add(_mutate(rng, base, vocab, int(rng.randint(1, 4))), "near", cluster_id, lang)
+            cand = _mutate(rng, base, vocab, int(rng.randint(1, 4)))
+            if _kgram_jaccard(_kgram_set(cand), bset) < 0.9:
+                cand = _mutate(rng, base, vocab, 1)   # fall back to one swap
+            add(cand, "near", cluster_id, lang)
         cluster_id += 1
 
     # --- borderline clusters (swap ~12-20% of words -> Jaccard near tau) ---

@@ -287,17 +287,42 @@ def ws_token_counts(texts) -> "np.ndarray":
     )
 
 
+# word -> [(lang, weight)]: weight = 1 / number-of-languages containing
+# the word, so shared Romance/Germanic function words ("la", "de", "en")
+# vote weakly while language-unique words ("dass", "porque", "jullie")
+# vote at full strength — the cheap dependency-free cure for the
+# related-language confusion a plain distinct-hit count suffers from.
+def _build_lang_word_weights() -> dict[str, list[tuple[str, float]]]:
+    from collections import Counter
+
+    df = Counter(w for s in _STOPWORDS.values() for w in s)
+    table: dict[str, list[tuple[str, float]]] = {}
+    for lang in sorted(_STOPWORDS):
+        for w in _STOPWORDS[lang]:
+            table.setdefault(w, []).append((lang, 1.0 / df[w]))
+    return table
+
+
+_LANG_WORD_WEIGHTS = _build_lang_word_weights()
+
+
 def detect_lang(tokens: list[str]) -> str:
-    """Tiny stopword-voting language ID over {en, de, fr}; '' if no signal."""
+    """Stopword-voting language ID over 7 languages
+    {en, de, fr, es, it, pt, nl}; returns '' when no stopword matches.
+
+    Each distinct matched stopword votes with specificity weight
+    1/df(word); highest summed weight wins, ties break to the
+    lexicographically smallest language code (deterministic).
+    """
     if not tokens:
         return ""
-    best_lang, best_hits = "", 0
-    tok_set = set(tokens)
-    for lang, stops in _STOPWORDS.items():
-        hits = len(tok_set & stops)
-        if hits > best_hits:
-            best_lang, best_hits = lang, hits
-    return best_lang
+    scores: dict[str, float] = {}
+    for w in set(tokens):
+        for lang, wt in _LANG_WORD_WEIGHTS.get(w, ()):
+            scores[lang] = scores.get(lang, 0.0) + wt
+    if not scores:
+        return ""
+    return min(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
 
 
 def doc_fingerprint(tok_hashes: np.ndarray) -> int:
