@@ -50,6 +50,59 @@ def _part_values(col, num_parts: int) -> np.ndarray:
 
 import ray as _ray
 
+# ---------------------------------------------------------------------------
+# Version-coupled fast path: the exchange avoids from_arrow_refs' extra
+# one-metadata-task-per-block driver round by computing block metadata
+# INSIDE the reduce tasks and assembling the MaterializedDataset
+# directly.  That needs four `ray.data._internal` symbols (public
+# package, private module — a Ray upgrade may move them).  Capability
+# is probed ONCE on the driver and threaded into the tasks as a plain
+# argument; when the probe fails, everything falls back to the public
+# ``ray.data.from_arrow_refs`` (identical results, one extra metadata
+# round per exchange).  tests/test_shuffle.py monkeypatches the probe
+# off to keep the fallback exercised.
+# ---------------------------------------------------------------------------
+
+
+def _internal_api_ok() -> bool:
+    try:
+        from ray.data._internal.logical.interfaces import LogicalPlan  # noqa: F401
+        from ray.data._internal.logical.operators.from_operators import (  # noqa: F401
+            FromArrow,
+        )
+        from ray.data._internal.plan import ExecutionPlan  # noqa: F401
+        from ray.data._internal.stats import DatasetStats  # noqa: F401
+        from ray.data._internal.util import (  # noqa: F401
+            get_table_block_metadata_schema,
+        )
+        return True
+    except Exception:
+        return False
+
+
+_INTERNAL_OK: bool | None = None
+
+
+def _use_internal() -> bool:
+    global _INTERNAL_OK
+    if _INTERNAL_OK is None:
+        _INTERNAL_OK = _internal_api_ok()
+    return _INTERNAL_OK
+
+
+def _block_meta(out: pa.Table, use_internal: bool):
+    """Block metadata for the fast assembly path, or None to signal the
+    public from_arrow_refs fallback (also taken if the worker's Ray
+    build disagrees with the driver probe)."""
+    if not use_internal:
+        return None
+    try:
+        from ray.data._internal.util import get_table_block_metadata_schema
+
+        return get_table_block_metadata_schema(out)
+    except Exception:
+        return None
+
 
 @_ray.remote
 def _exchange_map(block: pa.Table, key: str, num_parts: int):
@@ -76,7 +129,7 @@ def _exchange_map(block: pa.Table, key: str, num_parts: int):
 
 
 @_ray.remote(num_returns=2)
-def _exchange_reduce(schema: pa.Schema, *tables):
+def _exchange_reduce(schema: pa.Schema, use_internal: bool, *tables):
     tables = [t for t in tables if t is not None]
     if not tables:
         # every input block was column-less; rebuild from the dataset schema
@@ -88,31 +141,36 @@ def _exchange_reduce(schema: pa.Schema, *tables):
     # emit the block metadata HERE: the driver assembles the Dataset from
     # (block, metadata) ref pairs without from_arrow_refs' extra
     # one-task-per-block metadata round after the exchange
-    from ray.data._internal.util import get_table_block_metadata_schema
-
-    return out, get_table_block_metadata_schema(out)
+    return out, _block_meta(out, use_internal)
 
 
 def _dataset_from_reduced(block_refs, meta_refs) -> rd.Dataset:
     """MaterializedDataset over exchange outputs (mirrors
     ray.data.from_arrow_refs, minus its per-block metadata task round —
-    the metadata was computed inside the reduce tasks)."""
-    from ray.data._internal.logical.interfaces import LogicalPlan
-    from ray.data._internal.logical.operators.from_operators import FromArrow
-    from ray.data._internal.plan import ExecutionPlan
-    from ray.data._internal.stats import DatasetStats
-    from ray.data.context import DataContext
-    from ray.data.dataset import MaterializedDataset
-
+    the metadata was computed inside the reduce tasks).  Falls back to
+    the public ``ray.data.from_arrow_refs`` when the internal assembly
+    API is unavailable or any task declined to emit metadata."""
     metadata_schema = _ray.get(meta_refs)
-    execution_plan = ExecutionPlan(
-        DatasetStats(metadata={"FromArrow": metadata_schema}, parent=None),
-        DataContext.get_current().copy(),
-    )
-    logical_plan = LogicalPlan(
-        FromArrow(block_refs, metadata_schema), execution_plan._context
-    )
-    return MaterializedDataset(execution_plan, logical_plan)
+    if _use_internal() and all(m is not None for m in metadata_schema):
+        try:
+            from ray.data._internal.logical.interfaces import LogicalPlan
+            from ray.data._internal.logical.operators.from_operators import FromArrow
+            from ray.data._internal.plan import ExecutionPlan
+            from ray.data._internal.stats import DatasetStats
+            from ray.data.context import DataContext
+            from ray.data.dataset import MaterializedDataset
+
+            execution_plan = ExecutionPlan(
+                DatasetStats(metadata={"FromArrow": metadata_schema}, parent=None),
+                DataContext.get_current().copy(),
+            )
+            logical_plan = LogicalPlan(
+                FromArrow(block_refs, metadata_schema), execution_plan._context
+            )
+            return MaterializedDataset(execution_plan, logical_plan)
+        except Exception:
+            pass
+    return rd.from_arrow_refs(list(block_refs))
 
 
 def exchange_refs(ds: rd.Dataset, key: str, num_parts: int):
@@ -131,8 +189,9 @@ def exchange_refs(ds: rd.Dataset, key: str, num_parts: int):
     ]
     if num_parts == 1:
         map_out = [[r] for r in map_out]
+    use_internal = _use_internal()
     reduced = [
-        _exchange_reduce.remote(schema, *[mo[p] for mo in map_out])
+        _exchange_reduce.remote(schema, use_internal, *[mo[p] for mo in map_out])
         for p in range(num_parts)
     ]
     return [r[0] for r in reduced], [r[1] for r in reduced]

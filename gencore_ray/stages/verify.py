@@ -82,14 +82,17 @@ def _attach_a(pairs_t: pa.Table, slim_t: pa.Table) -> pa.Table:
 
 
 @ray.remote(num_returns=2)
-def _attach_b_verify(j1_t: pa.Table, slim_t: pa.Table, cfg: DedupConfig):
+def _attach_b_verify(j1_t: pa.Table, slim_t: pa.Table, cfg: DedupConfig,
+                     use_internal: bool):
     """Fused B-side attach + exact metric verification; emits the final
-    edge block plus its Dataset metadata (no extra metadata round)."""
-    from ray.data._internal.util import get_table_block_metadata_schema
+    edge block plus its Dataset metadata (no extra metadata round when
+    the internal fast-assembly API is available — see
+    stages/shuffle.py::_block_meta for the public-API fallback)."""
+    from gencore_ray.stages.shuffle import _block_meta
 
     joined = _join_part(j1_t, slim_t, "hb", "uhash", _RENAME_B)
     out = _verify_batch(joined, cfg)
-    return out, get_table_block_metadata_schema(out)
+    return out, _block_meta(out, use_internal)
 
 
 def _verify_batch(t: pa.Table, cfg: DedupConfig) -> pa.Table:
@@ -159,6 +162,7 @@ def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig) -> rd.D
         _dataset_from_reduced,
         _exchange_map,
         _exchange_reduce,
+        _use_internal,
         exchange_refs,
         to_arrow_blocks,
     )
@@ -190,11 +194,13 @@ def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig) -> rd.D
     ]
     if P == 1:
         maps = [[r] for r in maps]
+    use_internal = _use_internal()
     j1b = [
-        _exchange_reduce.remote(j1_schema, *[maps[q][p] for q in range(P)])
+        _exchange_reduce.remote(j1_schema, use_internal, *[maps[q][p] for q in range(P)])
         for p in range(P)
     ]
     outs = [
-        _attach_b_verify.remote(j1b[p][0], slim_blocks[p], cfg) for p in range(P)
+        _attach_b_verify.remote(j1b[p][0], slim_blocks[p], cfg, use_internal)
+        for p in range(P)
     ]
     return _dataset_from_reduced([o[0] for o in outs], [o[1] for o in outs])

@@ -92,3 +92,56 @@ def test_dedupe_rows(ray_session):
     df = pd.DataFrame({"a": ["x", "x", "y"], "b": [1, 1, 2], "extra": [9, 9, 8]})
     got = dedupe_rows(rd.from_pandas(df), ["a", "b"], num_parts=4).to_pandas()
     assert len(got) == 2
+
+
+def test_exchange_public_api_fallback(ray_session, monkeypatch):
+    """Round-2 VERDICT #6: with the `ray.data._internal` fast-assembly
+    probe forced OFF, every exchange/join must produce identical results
+    through the public from_arrow_refs path."""
+    import numpy as np
+
+    import gencore_ray.stages.shuffle as sh
+    from gencore_ray.stages.verify import verified_edges  # noqa: F401
+
+    df = pd.DataFrame({
+        "k": np.arange(200) % 17, "v": np.arange(200),
+        "s": [f"s{i%5}" for i in range(200)],
+    })
+
+    def run():
+        ex = sh.hash_exchange(rd.from_pandas(df), "k", 4).to_pandas()
+        j = sh.hash_join(
+            rd.from_pandas(df.rename(columns={"v": "lv"})[["k", "lv"]]),
+            rd.from_pandas(pd.DataFrame({"rk": np.arange(17), "rv": np.arange(17) * 10})),
+            "k", "rk", num_parts=4,
+        ).to_pandas()
+        return (
+            ex.sort_values(["k", "v"]).reset_index(drop=True),
+            j.sort_values(["k", "lv"]).reset_index(drop=True),
+        )
+
+    fast_ex, fast_j = run()
+    monkeypatch.setattr(sh, "_INTERNAL_OK", False)
+    assert sh._use_internal() is False
+    slow_ex, slow_j = run()
+    pd.testing.assert_frame_equal(fast_ex, slow_ex)
+    pd.testing.assert_frame_equal(fast_j, slow_j)
+
+
+def test_dedup_pipeline_survives_without_internal_api(ray_session, monkeypatch):
+    """The flagship pipeline end to end on the public-API-only path."""
+    import gencore_ray.stages.shuffle as sh
+    from gencore_ray.config import DedupConfig
+    from gencore_ray.corpus import generate_pages
+    from gencore_ray.pipelines.dedup import dedup_pages
+
+    tbl, _ = generate_pages(150, 42, with_truth=True)
+    pages = rd.from_arrow(tbl.select(["url", "warc_ts", "text", "lang"]))
+    fast = dedup_pages(pages, DedupConfig()).clusters.to_pandas()
+    monkeypatch.setattr(sh, "_INTERNAL_OK", False)
+    slow = dedup_pages(pages, DedupConfig()).clusters.to_pandas()
+    key = ["url", "cluster_id", "cluster_size", "is_representative"]
+    pd.testing.assert_frame_equal(
+        fast[key].sort_values("url").reset_index(drop=True),
+        slow[key].sort_values("url").reset_index(drop=True),
+    )
