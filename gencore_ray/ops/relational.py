@@ -148,29 +148,57 @@ def top_ngrams(
 ) -> rd.Dataset:
     """Global top-k token n-grams by occurrence count.
 
-    Partial counts inside each batch (one pandas value_counts over the
-    batch's sliding windows), ONE slim exchange of (ngram, count)
-    partials, merge, then deterministic top-k (count desc, ngram asc).
-    Docs with fewer than n tokens contribute nothing."""
+    Partial counts inside each batch are computed on uint64 WINDOW
+    HASHES (the shingle polynomial over the batch's token-hash stream),
+    so the counting pass allocates no gram strings at all; the gram
+    string is materialised exactly once per DISTINCT surviving hash
+    (O(unique), not O(total windows) — a gram-dense batch no longer
+    amplifies memory n-fold).  Then ONE slim exchange of
+    (ngram, count) partials, merge, deterministic top-k (count desc,
+    ngram asc).  Docs with fewer than n tokens contribute nothing.
+    Two distinct grams colliding on the 64-bit window hash would be
+    counted together (probability ~windows^2/2^64 — negligible below
+    ~10^9 distinct grams per batch)."""
     import numpy as np
 
-    from gencore_ray.functions.text import _TOKEN_RE
+    from gencore_ray.functions.hashing import U64, pow_array, splitmix64
+    from gencore_ray.functions.text import _POLY, TextFeatures
+
+    powers = pow_array(_POLY, n)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        grams: list[str] = []
-        for t in df[text_col]:
-            toks = _TOKEN_RE.findall((t or "").lower())
-            if len(toks) < n:
-                continue
-            grams.extend(
-                " ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)
-            )
-        if not grams:
-            return pd.DataFrame({"ngram": pd.Series(dtype=object),
-                                 "n_occurrences": pd.Series(dtype=np.int64)})
-        vc = pd.Series(grams).value_counts()
+        empty = pd.DataFrame({"ngram": pd.Series(dtype=object),
+                              "n_occurrences": pd.Series(dtype=np.int64)})
+        feats = TextFeatures(df[text_col].tolist())
+        lens = np.fromiter(map(len, feats.tok_hashes), dtype=np.int64,
+                           count=len(feats.tok_hashes))
+        total = int(lens.sum())
+        if total < n:
+            return empty
+        flat = np.concatenate(feats.tok_hashes)
+        offs = np.r_[0, np.cumsum(lens)]
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        # one vectorised rolling hash over the whole batch stream;
+        # windows crossing a document boundary are masked out
+        win = np.lib.stride_tricks.sliding_window_view(flat, n)
+        with np.errstate(over="ignore"):
+            wh = splitmix64((win * powers).sum(axis=1, dtype=U64))
+        valid = doc_of[: total - n + 1] == doc_of[n - 1:]
+        if not valid.any():
+            return empty
+        starts = np.flatnonzero(valid)
+        uh, first, counts = np.unique(
+            wh[valid], return_index=True, return_counts=True
+        )
+        # strings only for the distinct survivors
+        grams = []
+        for g in starts[first]:
+            d = doc_of[g]
+            loc = int(g - offs[d])
+            grams.append(" ".join(feats.tok_lists[d][loc: loc + n]))
         return pd.DataFrame(
-            {"ngram": vc.index.to_numpy(), "n_occurrences": vc.to_numpy()}
+            {"ngram": np.asarray(grams, dtype=object),
+             "n_occurrences": counts.astype(np.int64)}
         )
 
     partials = ds.select_columns([text_col]).map_batches(
