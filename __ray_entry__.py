@@ -255,6 +255,25 @@ def _q_ann_topk(sf_dir: str):
     return brute_force_topk(emb, _query_vec(sf_dir), k=10)
 
 
+def _q_ann_multi_topk(sf_dir: str):
+    """Batched multi-query ANN: the whole (Q, d) query matrix scored in
+    ONE scan (one matmul per batch for all queries) — per-query results
+    identical to Q separate brute-force runs (round-2 VERDICT #8)."""
+    import ray.data as rd
+
+    from gencore_ray.ops.ann import brute_force_topk_batch
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    qdf = t[t["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return brute_force_topk_batch(
+        emb, Q, k=10, query_ids=qdf["vec_id"].to_numpy()
+    )
+
+
 def _q_ann_ivf_topk(sf_dir: str):
     """IVF with nprobe == n_clusters probes every cell, so the result
     must equal exact brute-force top-k — which is the SQL oracle.  The
@@ -669,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "ann_topk": _q_ann_topk,
+        "ann_multi_topk": _q_ann_multi_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_lsh_near_dups": _q_embedding_lsh_near_dups,
         "doc_quality_scores": _q_doc_quality_scores,
@@ -864,6 +884,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 6) AS cos_sim "
             "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "ann_multi_topk": (
+            "SELECT query_id, vec_id, cos_sim FROM ("
+            "SELECT q.vec_id AS query_id, b.vec_id AS vec_id, "
+            "round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])), 6) DESC, b.vec_id) AS rn "
+            "FROM embeddings q JOIN embeddings b ON q.vec_id IN (0, 1, 2)"
+            ") WHERE rn <= 10"
         ),
         "doc_quality_scores": (
             "WITH t AS (SELECT doc_id, text, "

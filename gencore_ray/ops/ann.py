@@ -72,6 +72,68 @@ def brute_force_topk(
     return pruned.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
 
 
+def brute_force_topk_batch(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+    query_ids: np.ndarray | None = None,
+    num_parts: int | None = None,
+) -> rd.Dataset:
+    """Exact cosine top-k for a WHOLE (Q, d) query matrix in one pass —
+    what a retrieval pipeline actually calls (round-2 VERDICT #8).
+
+    One broadcast of the normalised query matrix (``ray.put``), ONE
+    matmul per batch scores every query at once, a per-batch
+    argpartition prunes to k rows per query, and a single keyed
+    exchange (top_k_per_group on query_id) finishes each query's
+    global top-k.  Per-query results are identical to Q separate
+    ``brute_force_topk`` runs; cost is one scan instead of Q.
+
+    Returns (query_id, id_col, cos_sim); ties break (cos desc, id asc).
+    """
+    from gencore_ray.ops.relational import top_k_per_group
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64).reshape(len(queries), -1))
+    qids = np.asarray(
+        query_ids if query_ids is not None else np.arange(len(Q), dtype=np.int64)
+    )
+    if num_parts is None:
+        num_parts = min(16, int(ray.cluster_resources().get("CPU", 8)))
+    q_ref = ray.put(Q)
+
+    def score(t: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(t, vec_col))
+        if m.shape[0] == 0:
+            return pa.table({
+                "query_id": pa.array(np.empty(0, dtype=qids.dtype)),
+                id_col: pa.array(np.empty(0, dtype=ids.dtype)),
+                "cos_sim": pa.array([], pa.float64()),
+            })
+        cos = m @ qm.T                          # (n, Q): all queries at once
+        if round_to is not None:
+            cos = np.round(cos, round_to)
+        n, nq = cos.shape
+        kk = min(k, n)
+        rows = np.argpartition(-cos, kk - 1, axis=0)[:kk].T.ravel()  # (Q*kk,)
+        qcol = np.repeat(np.arange(nq), kk)
+        return pa.table({
+            "query_id": pa.array(qids[qcol]),
+            id_col: pa.array(ids[rows]),
+            "cos_sim": pa.array(cos[rows, qcol]),
+        })
+
+    pruned = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return top_k_per_group(
+        pruned, ["query_id"], by=["cos_sim", id_col], k=k,
+        descending=[True, False], num_parts=num_parts,
+    )
+
+
 def _kmeans(sample: np.ndarray, n_clusters: int, seed: int, iters: int = 10) -> np.ndarray:
     """Tiny deterministic k-means on normalized vectors (spherical)."""
     rng = np.random.RandomState(seed)
