@@ -604,6 +604,35 @@ def _q_substring_dup_pairs(sf_dir: str):
     return substring_dup_pairs(_docs_as_pages(sf_dir))
 
 
+def _q_media_decode_real(sf_dir: str):
+    """REAL image decode, SQL-verified: every doc gets a deterministic
+    PNG (dims and a gradient fill derived from doc_id), the stage
+    decodes it through the actual zlib+unfilter path
+    (gencore_ray/functions/codecs.py), and the oracle recomputes the
+    expected width/height/mean arithmetically — a hash match proves the
+    decoder recovered the exact pixels, not just the header."""
+    from gencore_ray.functions.codecs import encode_png
+    from gencore_ray.ops.multimodal import decode_media
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+
+    def to_png(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for did in ids:
+            w, h = int(did) % 16 + 1, int(did) % 12 + 1
+            k = np.arange(w * h * 3, dtype=np.int64)
+            px = ((int(did) + k) % 256).astype(np.uint8).reshape(h, w, 3)
+            payloads.append(encode_png(px))
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = docs.map_batches(to_png, batch_format="pyarrow", zero_copy_batch=True)
+    return decode_media(media, strict=True).select_columns(
+        ["doc_id", "width", "height", "mean_value"]
+    )
+
+
 def _q_multimodal_features(sf_dir: str):
     from gencore_ray.ops.multimodal import decode_media
 
@@ -717,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_profile": _q_text_quality_profile,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
+        "media_decode_real": _q_media_decode_real,
     }
 
 
@@ -1053,6 +1083,26 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": (
             "SELECT doc_id, CAST(octet_length(encode(coalesce(text, ''))) "
             "AS BIGINT) AS byte_len FROM documents"
+        ),
+        "media_decode_real": (
+            # expected decode output recomputed in closed form: pixels
+            # are (doc_id + k) % 256 for k in 0..N-1, so their sum is
+            # full-cycle count * 32640 plus a wrapped arithmetic tail.
+            # Equality with the engine proves the zlib+unfilter pixel
+            # path inverts the encoder exactly (not just the header).
+            "WITH p AS (SELECT doc_id, "
+            "(doc_id % 16 + 1) * (doc_id % 12 + 1) * 3 AS n, "
+            "doc_id % 256 AS a FROM documents), "
+            "q AS (SELECT doc_id, n, a, n // 256 AS fc, n % 256 AS rem FROM p) "
+            "SELECT doc_id, "
+            "CAST(doc_id % 16 + 1 AS INTEGER) AS width, "
+            "CAST(doc_id % 12 + 1 AS INTEGER) AS height, "
+            "(fc * 32640 + CASE WHEN a + rem <= 256 "
+            "THEN rem * a + (rem * (rem - 1)) // 2 "
+            "ELSE ((a + 255) * (256 - a)) // 2 "
+            "+ ((rem - 256 + a) * (rem - 256 + a - 1)) // 2 "
+            "END) * 1.0 / n AS mean_value "
+            "FROM q"
         ),
         "embedding_near_dups": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -1,16 +1,26 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The decode kernels themselves (image/audio/video libs) are NOT in this
-environment, so the decode step is stubbed behind a deterministic fake
-(or ``NotImplementedError`` when ``strict=True``) — but the Ray-side
-plumbing is real and tested: actor-pool stage, small batches for wide
-binary rows, fixed output schema, zero-copy Arrow in/out.
+Round 1-2 stubbed the decode kernels (no Pillow/OpenCV/ffmpeg in the
+environment).  Round 3 makes the decode REAL for the formats stdlib +
+numpy can handle — PNG (full pixel decode incl. all four scanline
+filters), BMP, binary PPM/PGM, and WAV PCM — via
+``gencore_ray.functions.codecs``.  JPEG/compressed video remain
+honestly undecodable here: ``strict=True`` now DECODES supported
+payloads and raises only for genuinely unsupported containers, while
+the default mode falls back to deterministic hash-derived fake
+features for unknown bytes so plumbing tests and synthetic corpora
+keep working.
 
 Column convention::
 
     media:  <id>, payload: binary, media_type: string ("image"|"audio"|...)
-    features out: +byte_len:int64, content_hash:uint64,
-                  width:int32, height:int32, n_frames:int32
+    features out: +byte_len:int64, content_hash:uint64, media_kind:string,
+                  width:int32, height:int32, n_frames:int32,
+                  n_channels:int32, sample_rate:int32, mean_value:float64
+
+``mean_value`` is mean pixel intensity (images) or RMS amplitude
+(audio) — a pixel/sample-level statistic, so a wrong filter/unpack
+implementation cannot pass its tests by parsing headers alone.
 """
 
 from __future__ import annotations
@@ -19,38 +29,78 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from gencore_ray.functions.codecs import (
+    decode_bmp,
+    decode_png,
+    decode_ppm,
+    decode_wav,
+    sniff_media,
+)
 from gencore_ray.functions.hashing import U64, hash_bytes_u64
+
+_IMAGE_DECODERS = {"png": decode_png, "bmp": decode_bmp, "ppm": decode_ppm}
 
 
 class MediaDecodeStage:
     """Actor-pool decode/feature stage.
 
-    __init__ is the once-per-actor model/codec load point (ST1
-    analogue — the reference loads its genome once per process,
-    /root/reference/src/reference.cpp:4-11).  With ``strict=True`` the
-    real decoder is required and this stub raises; otherwise features
-    are derived deterministically from the payload bytes so the full
-    pipeline (schema, batching, actor signature) is exercised.
+    __init__ is the once-per-actor setup point (ST1 analogue — the
+    reference loads its genome once per process,
+    /root/reference/src/reference.cpp:4-11).  Per payload:
+
+      * sniff the container by magic bytes
+      * PNG/BMP/PPM -> real pixel decode -> width/height/channels +
+        mean intensity;  WAV -> real PCM decode -> sample_rate/
+        channels/frames + RMS
+      * unknown container: ``strict=True`` raises ValueError (row-level
+        honesty — no silent fake), else deterministic hash-derived
+        fake features (plumbing/synthetic-corpus mode)
     """
 
     OUT_FIELDS = [
         ("byte_len", pa.int64()),
         ("content_hash", pa.uint64()),
+        ("media_kind", pa.string()),
         ("width", pa.int32()),
         ("height", pa.int32()),
         ("n_frames", pa.int32()),
+        ("n_channels", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("mean_value", pa.float64()),
     ]
 
     def __init__(self, payload_col: str = "payload", strict: bool = False, seed: int = 42):
         self.payload_col = payload_col
         self.strict = strict
         self.seed = seed
-        if strict:
-            raise NotImplementedError(
-                "real media decoding requires image/audio codecs not present "
-                "in this environment; run with strict=False for the "
-                "deterministic fake-feature path"
+
+    def _decode_one(self, p: bytes):
+        kind = sniff_media(p)
+        if kind in _IMAGE_DECODERS:
+            m = _IMAGE_DECODERS[kind](p)
+            mean = float(m.pixels.mean()) if m.pixels is not None else 0.0
+            return kind, m.width, m.height, 1, m.channels, 0, mean
+        if kind == "wav":
+            a = decode_wav(p)
+            rms = float(np.sqrt((a.samples ** 2).mean())) if a.samples is not None and a.samples.size else 0.0
+            return kind, 0, 0, a.n_frames, a.n_channels, a.sample_rate, rms
+        if self.strict:
+            raise ValueError(
+                f"unsupported media container (magic {p[:4]!r}); this "
+                "environment decodes png/bmp/ppm/wav — jpeg/video need "
+                "codecs not present here"
             )
+        # deterministic fake features (synthetic corpora / plumbing tests)
+        h = int(hash_bytes_u64(p, seed=self.seed))
+        return (
+            "fake",
+            h % 1920 + 1,
+            (h >> 16) % 1080 + 1,
+            (h >> 32) % 240 + 1,
+            3,
+            0,
+            float(h % 256),
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
@@ -60,15 +110,26 @@ class MediaDecodeStage:
             (hash_bytes_u64(p or b"", seed=self.seed) for p in payloads),
             dtype=U64, count=n,
         )
-        # deterministic fake decode: dimensions derived from the hash
-        width = (chash % np.uint64(1920)).astype(np.int32) + 1
-        height = ((chash >> np.uint64(16)) % np.uint64(1080)).astype(np.int32) + 1
-        n_frames = ((chash >> np.uint64(32)) % np.uint64(240)).astype(np.int32) + 1
+        kinds: list[str] = []
+        width = np.zeros(n, dtype=np.int32)
+        height = np.zeros(n, dtype=np.int32)
+        n_frames = np.zeros(n, dtype=np.int32)
+        n_channels = np.zeros(n, dtype=np.int32)
+        sample_rate = np.zeros(n, dtype=np.int32)
+        mean_value = np.zeros(n, dtype=np.float64)
+        for i, p in enumerate(payloads):
+            k, w, h, nf, nc, sr, mv = self._decode_one(p or b"")
+            kinds.append(k)
+            width[i], height[i], n_frames[i] = w, h, nf
+            n_channels[i], sample_rate[i], mean_value[i] = nc, sr, mv
         for name, arr in zip(
             [f[0] for f in self.OUT_FIELDS],
-            [byte_len, chash, width, height, n_frames],
+            [byte_len, chash, pa.array(kinds, pa.string()), width, height,
+             n_frames, n_channels, sample_rate, mean_value],
         ):
-            batch = batch.append_column(name, pa.array(arr))
+            batch = batch.append_column(
+                name, arr if isinstance(arr, pa.Array) else pa.array(arr)
+            )
         return batch.drop_columns([self.payload_col])  # payload never leaves the stage
 
 

@@ -353,14 +353,46 @@ def test_text_stats_columns(ray_session):
     assert got["quality"].iloc[1] == 0.0
 
 
-def test_multimodal_decode_stub(ray_session):
-    ds = rd.from_items([{"doc_id": 1, "payload": b"abc"}, {"doc_id": 2, "payload": b""}])
+def test_multimodal_decode_stage(ray_session):
+    """Real decode for supported containers, deterministic fake features
+    for unknown bytes (default mode), strict raising on garbage."""
+    from gencore_ray.functions.codecs import encode_png, encode_wav
+
+    png = encode_png(np.full((4, 6, 3), 200, dtype=np.uint8))
+    t = np.arange(1600) / 16000.0
+    wav = encode_wav(0.5 * np.sin(2 * np.pi * 440 * t), sample_rate=16000)
+    ds = rd.from_items([
+        {"doc_id": 1, "payload": b"abc"},          # unknown -> fake features
+        {"doc_id": 2, "payload": b""},
+        {"doc_id": 3, "payload": png},             # real image decode
+        {"doc_id": 4, "payload": wav},             # real audio decode
+    ])
     got = decode_media(ds, batch_size=2, concurrency=1).to_pandas()
+    got = got.sort_values("doc_id").set_index("doc_id")
     assert "payload" not in got.columns  # payload never leaves the stage
-    assert got.sort_values("doc_id")["byte_len"].tolist() == [3, 0]
-    assert (got["width"] >= 1).all() and (got["n_frames"] >= 1).all()
-    with pytest.raises(NotImplementedError):
-        MediaDecodeStage(strict=True)
+    assert got["byte_len"].loc[[1, 2]].tolist() == [3, 0]
+    assert got.loc[1, "media_kind"] == "fake"
+    assert got.loc[3, "media_kind"] == "png"
+    assert (got.loc[3, "width"], got.loc[3, "height"]) == (6, 4)
+    assert got.loc[3, "mean_value"] == 200.0       # pixel-level proof
+    assert got.loc[4, "media_kind"] == "wav"
+    assert got.loc[4, "sample_rate"] == 16000
+    assert got.loc[4, "n_frames"] == 1600
+    assert abs(got.loc[4, "mean_value"] - 0.5 / np.sqrt(2)) < 0.01  # RMS
+    # strict mode: real decode for supported payloads...
+    strict = MediaDecodeStage(strict=True)
+    out = strict(
+        rd.from_items([{"doc_id": 3, "payload": png}]).to_pandas().pipe(
+            lambda df: __import__("pyarrow").table(
+                {"doc_id": df["doc_id"], "payload": df["payload"]})
+        )
+    )
+    assert out["media_kind"].to_pylist() == ["png"]
+    # ...and a hard error on genuinely unsupported containers
+    import pyarrow as _pa
+
+    with pytest.raises(ValueError, match="unsupported media container"):
+        strict(_pa.table({"doc_id": [9], "payload": [b"\xff\xd8garbage"]}))
     plan = frame_sample_plan(np.array([50, 10]), every=24)
     assert plan[0].tolist() == [0, 24, 48] and plan[1].tolist() == [0]
 
