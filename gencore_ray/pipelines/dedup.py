@@ -202,6 +202,22 @@ def dedup_pages(
         counters["capped_docs"] = int(pairs.sum("capped") or 0)  # distributed sum
     except Exception:
         pass
+    if cfg.simhash_enabled:
+        # edges that qualified ONLY via the Hamming clause: exactly the
+        # delta between this pipeline and its fully SQL-expressible
+        # simhash_enabled=False twin (pages_dedup_sql) — counted so the
+        # manifest shows each edge source's contribution, and so the
+        # cross-check test can prove full == sql-twin + these edges
+        tau, c = cfg.jaccard_threshold, cfg.containment_threshold
+
+        def _ham_only(t: pa.Table) -> pa.Table:
+            jac = t["jaccard"].to_numpy(zero_copy_only=False)
+            cont = t["containment"].to_numpy(zero_copy_only=False)
+            return pa.table({"k": [int(((jac < tau) & (cont < c)).sum())]})
+
+        counters["hamming_only_edges"] = int(
+            ver_edges.map_batches(_ham_only, batch_format="pyarrow").sum("k") or 0
+        )
 
     all_edges = ver_edges.select_columns(["url_a", "url_b"])
 

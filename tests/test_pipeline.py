@@ -446,3 +446,75 @@ def test_cluster_parity_midscale(ray_session):
     jp = oracle_jaccard_pairs(ids, texts, CFG)
     hits = sum(1 for a, b, _ in jp if eng[a] == eng[b])
     assert hits / max(1, len(jp)) >= 0.99
+
+
+def test_simhash_delta_consistency(corpus, ray_session):
+    """Round-2 VERDICT #10: the full default pipeline (SimHash edges ON)
+    must equal the fully SQL-checked simhash_enabled=False twin
+    (pages_dedup_sql's configuration) PLUS exactly the Hamming-only
+    edges the engine itself counts — i.e. the one non-SQL-expressible
+    edge source contributes its counted edges and nothing else."""
+    from gencore_ray.oracle import union_find_clusters
+    from gencore_ray.stages.verify import verified_edges
+    from gencore_ray.stages.lsh import candidate_pairs
+    from gencore_ray.pipelines.dedup import compute_signatures
+
+    import pyarrow as pa
+
+    pages_tbl, truth = corpus
+    # plant one guaranteed Hamming-ONLY pair: identical token BAG in
+    # reversed sentence order — simhash (order-insensitive) distance 0,
+    # 5-gram jaccard ~0.22 (order-sensitive), shared shingles > 0 (the
+    # verify stage's shared-evidence guard).  The classic reordered-
+    # boilerplate web dup that only the SimHash pass can catch.
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lamda mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+             "omega aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr "
+             "ss tt uu vv ww xx").split()
+    sents = [words[i * 6:(i + 1) * 6] for i in range(8)]
+    doca = " ".join(w for s in sents for w in s)
+    docb = " ".join(w for s in reversed(sents) for w in s)
+    extra = pa.table({
+        "url": ["zz-reorder-a", "zz-reorder-b"],
+        "warc_ts": pa.array([None, None], pages_tbl["warc_ts"].type),
+        "text": [doca, docb],
+        "lang": ["en", "en"],
+    })
+    pages_tbl = pa.concat_tables(
+        [pages_tbl.select(["url", "warc_ts", "text", "lang"]), extra]
+    )
+    pages = rd.from_arrow(pages_tbl)
+    cfg_on = CFG
+    cfg_off = DedupConfig(simhash_enabled=False)
+
+    res_on = dedup_pages(pages, cfg_on)
+    on = res_on.clusters.to_pandas()
+    off = dedup_pages(pages, cfg_off).clusters.to_pandas()
+
+    # engine's own edge table at the ON config, split by qualifying rule
+    sig = compute_signatures(pages, cfg_on).materialize()
+    edges = verified_edges(
+        candidate_pairs(sig, cfg_on, dedupe=False), sig, cfg_on
+    ).to_pandas()
+    ham_only = edges[
+        (edges["jaccard"] < cfg_on.jaccard_threshold)
+        & (edges["containment"] < cfg_on.containment_threshold)
+    ]
+    assert res_on.counters["hamming_only_edges"] == len(ham_only)
+    assert len(ham_only) > 0   # the fixture DOES plant simhash-only dups
+
+    # reconstruct the ON partition from the OFF partition + ham edges
+    ids = pages_tbl["url"].to_pylist()
+    off_edges = [
+        (a, b) for a, b in zip(edges["url_a"], edges["url_b"])
+        if (a, b) not in set(zip(ham_only["url_a"], ham_only["url_b"]))
+    ]
+    want_off = union_find_clusters(ids, off_edges)
+    got_off = dict(zip(off["url"], off["cluster_id"]))
+    assert got_off == want_off
+
+    want_on = union_find_clusters(
+        ids, off_edges + list(zip(ham_only["url_a"], ham_only["url_b"]))
+    )
+    got_on = dict(zip(on["url"], on["cluster_id"]))
+    assert got_on == want_on
