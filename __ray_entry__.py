@@ -965,8 +965,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stratified_doc_sample": (
             "SELECT source, doc_id FROM ("
+            # mod-first form: exact (never overflows) for every id on
+            # BOTH sides — see ops/relational.py::stratified_sample
             "SELECT source, doc_id, row_number() OVER (PARTITION BY source "
-            "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn "
+            "ORDER BY ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761) "
+            "% 4294967296, doc_id) AS rn "
             "FROM documents) WHERE rn <= 5"
         ),
         "top_docs_per_lang": (

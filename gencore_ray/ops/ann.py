@@ -314,6 +314,11 @@ def lsh_near_dup_pairs(
         num_parts = int(ray.cluster_resources().get("CPU", 8))
     # probe dimensionality once, build the plane matrix, broadcast it
     first = ds.limit(1).to_pandas()
+    if not len(first):   # empty input -> empty pair table, not IndexError
+        return rd.from_arrow(pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "cos_sim": pa.array([], pa.float64())}
+        ))
     d = len(np.asarray(first[vec_col].iloc[0]))
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_tables * bits, d))

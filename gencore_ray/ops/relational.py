@@ -254,14 +254,23 @@ def stratified_sample(
     fixed multiplicative hash of the integer id (Knuth 2654435761 mod
     2^32) — pseudo-random but pure integer arithmetic, so any engine
     (including the SQL oracle) reproduces the exact same sample.  The
-    scale-correct alternative to driver-side or rng-order sampling."""
+    scale-correct alternative to driver-side or rng-order sampling.
+
+    Overflow-exact for EVERY id: the id is reduced mod 2^32 BEFORE the
+    multiply ((a*b) mod m == ((a mod m)*b) mod m), so the uint64
+    product never exceeds (2^32-1)*2654435761 < 2^64 and the SQL twin
+    ((CAST(id AS UBIGINT) % 4294967296) * 2654435761) % 4294967296
+    computes the identical value without DuckDB's UBIGINT overflow
+    error — a naive int64 product would silently wrap above ~3.46e9."""
+    import numpy as np
+
     keys = list(keys)
-    mult, mod = 2654435761, 1 << 32
+    mult, mod = np.uint64(2654435761), np.uint64(1 << 32)
 
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return df
-        h = (df[id_col].astype("int64") * mult) % mod
+        h = ((df[id_col].to_numpy().astype(np.uint64) % mod) * mult) % mod
         out = (
             df.assign(_h=h)
             .sort_values(["_h", id_col], kind="mergesort")

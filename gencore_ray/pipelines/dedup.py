@@ -111,11 +111,51 @@ def dedup_pages(
     except Exception:
         in_schema = "?"
     in_rows = ""
-    if not in_files:
-        # in-memory input: no files to identify it; fold in the row count
-        # when it is free (already-materialized datasets only)
+    if not in_files and ckpt.enabled:
+        # in-memory input: no files to identify it.  Schema+count alone
+        # is NOT an identity (two different corpora with equal schema
+        # and row count would silently share stale stage parquet), so
+        # fold in a CONTENT digest: the order-insensitive sum of
+        # per-row hashes over url AND the content column — one
+        # distributed pass, only paid when checkpointing is actually on.
         if isinstance(pages, rd.dataset.MaterializedDataset):
-            in_rows = str(pages.count())
+            from pandas.util import hash_pandas_object as _hpo
+
+            _dig_cols = [c for c in ("url", "text", "html")
+                         if c in pages.columns()]
+
+            def _digest(t: pa.Table) -> pa.Table:
+                h = _hpo(
+                    t.select(_dig_cols).to_pandas(), index=False
+                ).to_numpy()
+                import numpy as _np
+
+                with _np.errstate(over="ignore"):
+                    d = h.astype("uint64").sum(dtype="uint64")
+                return pa.table({
+                    "d": pa.array([int(d)], pa.uint64()),
+                    "n": [t.num_rows],
+                })
+
+            dd = pages.map_batches(_digest, batch_format="pyarrow").to_pandas()
+            import numpy as _np
+
+            with _np.errstate(over="ignore"):
+                content = int(dd["d"].to_numpy().astype("uint64").sum(
+                    dtype="uint64"))
+            in_rows = f"{int(dd['n'].sum())}:{content:x}"
+        else:
+            # lazy in-memory lineage: no stable identity to key a resume
+            # on — checkpointing OFF beats silently reusing stale stages
+            import sys as _sys
+
+            print(
+                "[gencore_ray] checkpointing disabled: input has no files "
+                "and is not materialized, so no stable input identity "
+                "exists (materialize() the input to enable resume)",
+                file=_sys.stderr,
+            )
+            ckpt = CheckpointManager(None, enabled=False)
     input_id = _chain(_json.dumps(in_files), in_schema, in_rows)
     fps: dict[str, str] = {}
     prev = _chain(cfg.fingerprint(), input_id, f"extract={extract_html}")

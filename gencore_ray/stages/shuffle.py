@@ -151,6 +151,24 @@ def _dataset_from_reduced(block_refs, meta_refs) -> rd.Dataset:
     the public ``ray.data.from_arrow_refs`` when the internal assembly
     API is unavailable or any task declined to emit metadata."""
     metadata_schema = _ray.get(meta_refs)
+    # drop empty partitions at assembly: a 0-row block later surfaces as
+    # a schema-less RefBundle ("Operator produced a RefBundle with a
+    # different schema" warning) and makes downstream schema inference
+    # on sparse outputs fragile.  One schema-carrying block is kept when
+    # EVERY partition is empty, so the dataset never loses its schema.
+    def _rows(m):
+        try:
+            return m.metadata.num_rows
+        except AttributeError:
+            return None
+
+    if all(m is not None and _rows(m) is not None for m in metadata_schema):
+        keep = [i for i, m in enumerate(metadata_schema) if _rows(m)]
+        if not keep:
+            keep = [0]
+        if len(keep) < len(metadata_schema):
+            block_refs = [block_refs[i] for i in keep]
+            metadata_schema = [metadata_schema[i] for i in keep]
     if _use_internal() and all(m is not None for m in metadata_schema):
         try:
             from ray.data._internal.logical.interfaces import LogicalPlan

@@ -83,6 +83,22 @@ class CheckpointManager:
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         ds.write_parquet(tmp_dir)
+        # an all-empty dataset writes no files at all (Ray skips empty
+        # blocks) — materialise one schema-bearing empty parquet so the
+        # checkpoint stays loadable and the resume path keeps the schema
+        os.makedirs(tmp_dir, exist_ok=True)
+        if not any(f.endswith(".parquet") for f in os.listdir(tmp_dir)):
+            import pyarrow as pa
+            import pyarrow.parquet as _pq
+
+            schema = ds.schema().base_schema
+            if not isinstance(schema, pa.Schema):
+                schema = pa.Table.from_pandas(
+                    ds.limit(0).to_pandas(), preserve_index=False
+                ).schema
+            _pq.write_table(
+                schema.empty_table(), os.path.join(tmp_dir, "empty-0.parquet")
+            )
         os.replace(tmp_dir, out_dir)
 
         import pyarrow.parquet as pq

@@ -53,8 +53,37 @@ def write_partitioned(
     from gencore_ray.stages.shuffle import exchange_refs, to_arrow_blocks
 
     os.makedirs(out_dir, exist_ok=True)
+    ds = to_arrow_blocks(ds)
+    # guard the skip-if-exists resume: a re-run with a different key,
+    # partition count, or schema routes rows differently, so silently
+    # skipping existing part files would produce a MIXED, corrupt
+    # directory.  The sink config is pinned on first write and any
+    # mismatch is a hard error (delete the directory to re-partition).
+    cfg = {
+        "key": key,
+        "num_parts": num_parts,
+        "schema": ",".join(
+            f"{f.name}:{f.type}" for f in ds.schema().base_schema
+        ),
+    }
+    cfg_path = os.path.join(out_dir, "_sink_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            prev = json.load(f)
+        if prev != cfg:
+            raise ValueError(
+                f"write_partitioned resume mismatch in {out_dir}: existing "
+                f"sink was written with {prev}, this run asks for {cfg}; "
+                "refusing to mix partitionings — use a fresh directory or "
+                "delete the old one"
+            )
+    else:
+        tmp = cfg_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(cfg, f)
+        os.replace(tmp, cfg_path)
     t0 = time.monotonic()
-    blocks, _ = exchange_refs(to_arrow_blocks(ds), key, num_parts)
+    blocks, _ = exchange_refs(ds, key, num_parts)
     if blocks is None:
         return {"partitions": 0, "rows": 0, "skipped": 0, "written": 0}
     results = ray.get(

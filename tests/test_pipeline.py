@@ -518,3 +518,51 @@ def test_simhash_delta_consistency(corpus, ray_session):
     )
     got_on = dict(zip(on["url"], on["cluster_id"]))
     assert got_on == want_on
+
+
+def test_checkpoint_distinguishes_equal_shape_corpora(tmp_path, ray_session):
+    """ADVICE r2: two DIFFERENT in-memory corpora with identical schema
+    and row count must NOT share checkpointed stages — the input
+    fingerprint folds in a content digest, so the second run misses the
+    first run's cache and computes its own (correct) clusters."""
+    import pyarrow as pa
+
+    def corpus_of(texts):
+        n = len(texts)
+        return rd.from_arrow(pa.table({
+            "url": [f"u{i}" for i in range(n)],
+            "warc_ts": pa.array([None] * n, pa.timestamp("us")),
+            "text": texts,
+            "lang": ["en"] * n,
+        }))
+
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = [f"totally unique document number {i} with its own words {i*7}"
+            for i in range(6)]
+    a = corpus_of([dup_text, dup_text] + uniq[:4])   # one dup pair
+    b = corpus_of(uniq[:6])                          # all singletons
+    ck = str(tmp_path / "shared_ck")
+    ra = dedup_pages(a, CFG, checkpoint_dir=ck).clusters.to_pandas()
+    rb = dedup_pages(b, CFG, checkpoint_dir=ck).clusters.to_pandas()
+    assert (ra["cluster_size"] > 1).any()            # a found its dup
+    assert (rb["cluster_size"] == 1).all(), (
+        "second corpus silently reloaded the first corpus's stages"
+    )
+
+
+def test_sink_rejects_mismatched_resume(corpus, tmp_path, ray_session):
+    """ADVICE r2: resuming a partitioned sink with a different key or
+    num_parts must raise, never silently mix partitionings."""
+    from gencore_ray.state.sink import write_partitioned
+
+    pages_tbl, _ = corpus
+    ds = rd.from_arrow(pages_tbl.slice(0, 50).select(["url", "text"]))
+    out = str(tmp_path / "sink")
+    write_partitioned(ds, out, key="url", num_parts=4)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        write_partitioned(ds, out, key="url", num_parts=8)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        write_partitioned(ds.select_columns(["url"]), out, key="url", num_parts=4)
+    # identical config resumes fine (all partitions skipped)
+    again = write_partitioned(ds, out, key="url", num_parts=4)
+    assert again["skipped"] == 4 and again["written"] == 0
