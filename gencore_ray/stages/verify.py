@@ -36,6 +36,42 @@ from gencore_ray.config import DedupConfig
 from gencore_ray.functions.hashing import U64, popcount64
 
 
+# Bloom filter for the candidate-doc prefilter: 2^24 bits (2 MB), two
+# probes per key.  FP rate at n candidate docs: (1-e^(-2n/2^24))^2 —
+# ~1.3% at 1M, still <20% at 8M; false positives only add rows to the
+# slim exchange, never wrong results.  For corpora far beyond that,
+# raise _BLOOM_BITS_LOG2 (cost is linear in the bitmap).
+_BLOOM_BITS_LOG2 = 24
+_BLOOM_WORDS = (1 << _BLOOM_BITS_LOG2) // 64
+_BLOOM_MASK = np.uint64((1 << _BLOOM_BITS_LOG2) - 1)
+
+
+def _bloom_probes(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    from gencore_ray.functions.hashing import splitmix64
+
+    i1 = h & _BLOOM_MASK
+    i2 = splitmix64(h) & _BLOOM_MASK
+    return i1, i2
+
+
+def _bloom_add(h: np.ndarray) -> np.ndarray:
+    bits = np.zeros(_BLOOM_WORDS, dtype=U64)
+    for idx in _bloom_probes(h.astype(U64)):
+        np.bitwise_or.at(
+            bits, (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
+    return bits
+
+
+def _bloom_test(bits: np.ndarray, h: np.ndarray) -> np.ndarray:
+    out = np.ones(len(h), dtype=bool)
+    for idx in _bloom_probes(h.astype(U64)):
+        word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+        out &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+    return out
+
+
 _SLIM_COLS = ["uhash", "url", "tshash", "simhash", "shingle_count"]
 _RENAME_A = {"url": "url_a", "tshash": "tshash_a",
              "simhash": "simhash_a", "shingle_count": "count_a"}
@@ -171,7 +207,38 @@ def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig) -> rd.D
         return rd.from_arrow(EDGE_SCHEMA.empty_table())
     P = cfg.join_num_partitions or int(ray.cluster_resources().get("CPU", 8))
 
-    slim = sig.select_columns(_SLIM_COLS)
+    # candidate-doc prefilter: the slim projection carries tshash
+    # (~2 KB/doc — by far the heaviest column in the pipeline), but only
+    # docs appearing in >=1 candidate pair are ever joined.  A Bloom
+    # filter of the pair doc-hashes (fixed 2 MB bitmap per pair block,
+    # OR-reduced on the driver — NOT a driver-side distinct, which would
+    # be O(pair rows)) is broadcast once; the exchange then moves tshash
+    # essentially only for candidate docs (false positives ~1% at 1M
+    # candidates just ride along harmlessly — the joins match real pairs
+    # only).  At a 35% dup rate this cuts the heaviest exchange ~3x.
+    def _pair_bloom(t: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            t["ha"].to_numpy(zero_copy_only=False),
+            t["hb"].to_numpy(zero_copy_only=False),
+        ]).astype(U64)
+        return pa.table({"bloom": pa.array([_bloom_add(both).tobytes()], pa.binary())})
+
+    blooms = pairs.select_columns(["ha", "hb"]).map_batches(
+        _pair_bloom, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()["bloom"]
+    bloom = np.zeros(_BLOOM_WORDS, dtype=U64)
+    for b in blooms:
+        bloom |= np.frombuffer(b, dtype=U64)
+    bloom_ref = ray.put(bloom)
+
+    def _filter_slim(t: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+        uh = t["uhash"].to_numpy(zero_copy_only=False).astype(U64)
+        return t.take(pa.array(np.flatnonzero(_bloom_test(bl, uh))))
+
+    slim = sig.select_columns(_SLIM_COLS).map_batches(
+        _filter_slim, batch_format="pyarrow", zero_copy_batch=True
+    )
     slim_blocks, _ = exchange_refs(to_arrow_blocks(slim), "uhash", P)
     pair_blocks, _ = exchange_refs(
         to_arrow_blocks(pairs.select_columns(["ha", "hb"])), "ha", P
