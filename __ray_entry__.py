@@ -633,6 +633,15 @@ def _q_media_decode_real(sf_dir: str):
     )
 
 
+def _q_repetition_profile(sf_dir: str):
+    """Gopher-style repetition filters (dup-line fraction, top-bigram
+    fraction) — the standard pre-training quality signals, hash-counted
+    in one vectorized pass and SQL-replayed exactly."""
+    from gencore_ray.ops.textstats import repetition_profile
+
+    return repetition_profile(_docs(sf_dir))
+
+
 def _q_multimodal_features(sf_dir: str):
     from gencore_ray.ops.multimodal import decode_media
 
@@ -747,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "media_decode_real": _q_media_decode_real,
+        "repetition_profile": _q_repetition_profile,
     }
 
 
@@ -1086,6 +1096,24 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": (
             "SELECT doc_id, CAST(octet_length(encode(coalesce(text, ''))) "
             "AS BIGINT) AS byte_len FROM documents"
+        ),
+        "repetition_profile": (
+            "WITH l AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), "
+            "chr(10))) AS line FROM documents), "
+            "lc AS (SELECT doc_id, count(*) AS n_lines, "
+            "count(DISTINCT line) AS n_uniq FROM l GROUP BY doc_id), "
+            "tok AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'[a-z0-9_]+') AS toks FROM documents), "
+            "g AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], chr(31)) "
+            "FOR i IN generate_series(1, len(toks)-1)]) AS gram FROM tok), "
+            "cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt "
+            "GROUP BY doc_id) "
+            "SELECT lc.doc_id, CAST(lc.n_lines AS BIGINT) AS n_lines, "
+            "round((lc.n_lines - lc.n_uniq) * 1.0 / lc.n_lines, 6) "
+            "AS dup_line_frac, "
+            "coalesce(round(agg.mx * 1.0 / agg.tot, 6), 0.0) AS top_bigram_frac "
+            "FROM lc LEFT JOIN agg USING (doc_id)"
         ),
         "media_decode_real": (
             # expected decode output recomputed in closed form: pixels

@@ -437,3 +437,33 @@ def test_brute_force_topk_batch_equals_single_runs(ray_session):
         )
         assert mine["vec_id"].tolist() == single["vec_id"].tolist(), qid
         assert mine["cos_sim"].tolist() == single["cos_sim"].tolist(), qid
+
+
+def test_repetition_profile_matches_scalar(ray_session):
+    """Gopher repetition signals vs a straightforward per-doc reference."""
+    from collections import Counter
+
+    from gencore_ray.functions.text import _TOKEN_RE
+    from gencore_ray.ops.textstats import repetition_profile
+
+    docs = [
+        "one two three\none two three\nunique line",        # dup line
+        "spam ham spam ham spam ham spam",                  # heavy bigram
+        "",                                                  # empty
+        "single",                                            # 1 token
+        "a b c d e f g h",                                   # all-distinct
+        "x\nx\nx\nx",                                        # 3/4 dup lines
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    got = repetition_profile(ds).to_pandas().set_index("doc_id").sort_index()
+    for i, t in enumerate(docs):
+        lines = t.split("\n")
+        want_dup = round((len(lines) - len(set(lines))) / len(lines), 6)
+        toks = _TOKEN_RE.findall(t.lower())
+        grams = Counter(zip(toks, toks[1:]))
+        want_top = round(max(grams.values()) / sum(grams.values()), 6) if grams else 0.0
+        assert got.loc[i, "n_lines"] == len(lines), i
+        assert abs(got.loc[i, "dup_line_frac"] - want_dup) < 1e-9, i
+        assert abs(got.loc[i, "top_bigram_frac"] - want_top) < 1e-9, i
+    assert got.loc[1, "top_bigram_frac"] > 0.4                # spam-ham dominates
+    assert got.loc[5, "dup_line_frac"] == 0.75
