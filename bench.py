@@ -125,12 +125,15 @@ def run_bench() -> dict:
     headline = sorted(trial_secs)[len(trial_secs) // 2]
 
     # --- representative query set over SF_DIR --------------------------
+    # (skippable for scaling legs: GRAFT_BENCH_QUERIES=0 keeps the leg's
+    # exposure window to shared-box load bursts as short as possible)
     qtimes: dict[str, float] = {}
-    queries = entrymod.queries()
-    for name in QUERY_NAMES:
-        t0 = time.monotonic()
-        _consume(queries[name](SF_DIR))
-        qtimes[name] = round(time.monotonic() - t0, 3)
+    if os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0":
+        queries = entrymod.queries()
+        for name in QUERY_NAMES:
+            t0 = time.monotonic()
+            _consume(queries[name](SF_DIR))
+            qtimes[name] = round(time.monotonic() - t0, 3)
 
     ray.shutdown()
     return {
@@ -147,8 +150,37 @@ def run_bench() -> dict:
     }
 
 
+def _canary(ncpu: int) -> float:
+    """Embarrassingly-parallel ceiling probe: pure blake2b hashing tasks
+    (no shuffle, no object-store traffic) in a fresh Ray session.  On a
+    SHARED box the 8->32 efficiency of even perfectly-parallel work sits
+    well below 1.0 (memory bandwidth + neighbor load); the pipeline's
+    efficiency is only meaningful relative to this ceiling, so every
+    scaling run measures both."""
+    code = (
+        "import ray, time, hashlib\n"
+        f"ray.init(address='local', num_cpus={ncpu}, include_dashboard=False,"
+        " logging_level='ERROR')\n"
+        "@ray.remote\n"
+        "def work(i):\n"
+        "    h = hashlib.blake2b(); b = bytes(1 << 20)\n"
+        "    for _ in range(128): h.update(b)\n"
+        "    return h.hexdigest()[:4]\n"
+        f"ray.get([work.remote(i) for i in range({2 * ncpu})])\n"  # warm workers
+        "t0 = time.monotonic()\n"
+        f"ray.get([work.remote(i) for i in range({8 * ncpu})])\n"
+        "print(time.monotonic() - t0)\n"
+        "ray.shutdown()\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True).stdout
+    return float(out.strip().splitlines()[-1])
+
+
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=8 then 32.
+    """Same job, fresh processes, num_cpus=8 then 32 (the sandbox proxy
+    for the north rule's N vs 4N nodes), plus the same-moment
+    embarrassingly-parallel canary ceiling at both levels.
 
     Defaults to a 200k-page corpus (vs 60k for the plain run): large
     enough that compute dominates the fixed per-exchange latency at
@@ -156,15 +188,18 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         env.setdefault("GRAFT_BENCH_PAGES", "200000")
+        env.setdefault("GRAFT_BENCH_QUERIES", "0")   # scaling: headline only
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    can_lo, lo = _canary(8), run(8)
+    can_hi, hi = _canary(32), run(32)
     thr_lo, thr_hi = lo["pages_per_sec"], hi["pages_per_sec"]
     eff = (thr_hi / thr_lo) / (32 / 8)
+    can_eff = (can_lo / can_hi) / (32 / 8)   # ideal: sec scales 1/ncpu
     return {
         "metric": "scaling efficiency (num_cpus 8 -> 32, fresh sessions)",
         "sec_8": lo["value"],
@@ -172,7 +207,13 @@ def run_scaling() -> dict:
         "pages_per_sec_8": thr_lo,
         "pages_per_sec_32": thr_hi,
         "scaling_efficiency": round(eff, 3),
+        "canary_sec_8": round(can_lo, 3),
+        "canary_sec_32": round(can_hi, 3),
+        "canary_ceiling_efficiency": round(can_eff, 3),
+        "efficiency_vs_ceiling": round(eff / can_eff, 3) if can_eff else None,
         "pages": lo["pages"],
+        "headline_trials_8": lo.get("headline_trials"),
+        "headline_trials_32": hi.get("headline_trials"),
     }
 
 
