@@ -633,6 +633,28 @@ def _q_media_decode_real(sf_dir: str):
     )
 
 
+def _q_events_asof_click(sf_dir: str):
+    """Backward as-of join (SQL ASOF LEFT JOIN): every event enriched
+    with the most recent prior-or-equal click value of the same user —
+    the event-stream enrichment pattern the Dataset API lacks; one
+    user-keyed exchange + vectorized merge_asof per partition."""
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import asof_join, grouped_aggregate
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value", "event_type"],
+    )
+    clicks = grouped_aggregate(
+        ev.filter(expr="event_type == 'click'"),
+        ["user_id", "ts"], [("prior_click_value", "value", "max")],
+        num_parts=8,
+    )
+    left = ev.select_columns(["event_id", "user_id", "ts", "value"])
+    return asof_join(left, clicks, by="user_id", on="ts", num_parts=8)
+
+
 def _q_repetition_profile(sf_dir: str):
     """Gopher-style repetition filters (dup-line fraction, top-bigram
     fraction) — the standard pre-training quality signals, hash-counted
@@ -757,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "media_decode_real": _q_media_decode_real,
         "repetition_profile": _q_repetition_profile,
+        "events_asof_click": _q_events_asof_click,
     }
 
 
@@ -1096,6 +1119,14 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": (
             "SELECT doc_id, CAST(octet_length(encode(coalesce(text, ''))) "
             "AS BIGINT) AS byte_len FROM documents"
+        ),
+        "events_asof_click": (
+            "WITH r AS (SELECT user_id, ts, max(value) AS prior_click_value "
+            "FROM events WHERE event_type = 'click' GROUP BY 1, 2) "
+            "SELECT l.event_id, l.user_id, l.ts, l.value, "
+            "r.prior_click_value "
+            "FROM events l ASOF LEFT JOIN r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "repetition_profile": (
             "WITH l AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), "

@@ -296,3 +296,72 @@ def topk(
     return ds.map_batches(prune, batch_format="pandas").sort(
         by, descending=descending
     ).limit(k)
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by: str,
+    on: str,
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """Backward as-of join: each left row picks up the payload of the
+    right row with the greatest ``on`` <= left.on inside the same
+    ``by`` group (inclusive, SQL ``ASOF LEFT JOIN`` semantics) — the
+    classic event-stream enrichment Ray Data's Dataset API lacks.
+
+    ONE exchange keyed on ``by`` co-locates complete key groups; inside
+    each partition both sides sort by ``on`` once and a single
+    ``pandas.merge_asof`` does the vectorised backward scan.  Right
+    payload column names must not collide with left's (rename first),
+    and the right side should be unique per (by, on) — with duplicates
+    the LAST row in ``on``-order wins (pre-aggregate for determinism).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from gencore_ray.stages.shuffle import grouped_map, to_arrow_blocks
+
+    left = to_arrow_blocks(left)
+    right = to_arrow_blocks(right)
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = list(lschema.names)
+    rcols = [n for n in rschema.names if n not in (by, on)]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"asof_join column overlap: {sorted(overlap)} — rename first")
+
+    def tag(side: int, own: list[str], other_schema: pa.Schema, other: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            t = t.append_column("__side", pa.array(np.full(n, side, dtype=np.int8)))
+            for name in other:
+                t = t.append_column(name, pa.nulls(n, other_schema.field(name).type))
+            return t.select([by, on, "__side", *[c for c in lcols if c not in (by, on)], *rcols])
+
+        return fn
+
+    tagged = left.map_batches(
+        tag(0, lcols, rschema, rcols), batch_format="pyarrow"
+    ).union(right.map_batches(
+        tag(1, [by, on, *rcols], lschema,
+            [c for c in lcols if c not in (by, on)]),
+        batch_format="pyarrow",
+    ))
+
+    lpayload = [c for c in lcols if c not in (by, on)]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][[by, on, *lpayload]]
+        r = df[df["__side"] == 1][[by, on, *rcols]]
+        if not len(l):
+            return l.iloc[0:0][[by, on, *lpayload]].assign(
+                **{c: pd.Series(dtype=r[c].dtype) for c in rcols}
+            )
+        l = l.sort_values(on, kind="mergesort")
+        r = r.sort_values(on, kind="mergesort")
+        out = pd.merge_asof(l, r, on=on, by=by, direction="backward")
+        return out[[by, on, *lpayload, *rcols]]
+
+    return grouped_map(tagged, by, merge, num_parts=num_parts)

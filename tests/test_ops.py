@@ -467,3 +467,32 @@ def test_repetition_profile_matches_scalar(ray_session):
         assert abs(got.loc[i, "top_bigram_frac"] - want_top) < 1e-9, i
     assert got.loc[1, "top_bigram_frac"] > 0.4                # spam-ham dominates
     assert got.loc[5, "dup_line_frac"] == 0.75
+
+
+def test_asof_join_matches_pandas(events_df):
+    """Backward as-of join vs a global pandas merge_asof reference."""
+    from gencore_ray.ops.relational import asof_join
+
+    left = events_df[["event_id", "user_id", "ts", "value"]]
+    right = (
+        events_df[events_df["event_id"] % 3 == 0]
+        .groupby(["user_id", "ts"], as_index=False)
+        .agg(marker=("value", "max"))
+    )
+    got = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        by="user_id", on="ts", num_parts=4,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts", by="user_id", direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "value", "marker"]],
+        want[["event_id", "value", "marker"]],
+        check_dtype=False,
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        asof_join(rd.from_pandas(left), rd.from_pandas(left),
+                  by="user_id", on="ts")
