@@ -151,12 +151,15 @@ def run_bench() -> dict:
 
 
 def _canary(ncpu: int) -> float:
-    """Embarrassingly-parallel ceiling probe: pure blake2b hashing tasks
-    (no shuffle, no object-store traffic) in a fresh Ray session.  On a
-    SHARED box the 8->32 efficiency of even perfectly-parallel work sits
-    well below 1.0 (memory bandwidth + neighbor load); the pipeline's
-    efficiency is only meaningful relative to this ceiling, so every
-    scaling run measures both."""
+    """Embarrassingly-parallel ceiling probe: a FIXED total workload (128
+    equal blake2b tasks — same total work at every cpu count, exactly like
+    the pipeline legs) in a fresh Ray session.  On a SHARED box the 8->32
+    strong-scaling efficiency of even perfectly-parallel work sits well
+    below 1.0 (frequency/memory-bandwidth budget + neighbor load); the
+    pipeline's efficiency is only meaningful relative to this ceiling, so
+    every scaling run measures both with the same (sec_8/sec_32)/4
+    formula.  NOTE the task count must NOT scale with ncpu: a weak-scaling
+    canary under a strong-scaling formula reads ~0.25 and is meaningless."""
     code = (
         "import ray, time, hashlib\n"
         f"ray.init(address='local', num_cpus={ncpu}, include_dashboard=False,"
@@ -164,11 +167,11 @@ def _canary(ncpu: int) -> float:
         "@ray.remote\n"
         "def work(i):\n"
         "    h = hashlib.blake2b(); b = bytes(1 << 20)\n"
-        "    for _ in range(128): h.update(b)\n"
+        "    for _ in range(64): h.update(b)\n"
         "    return h.hexdigest()[:4]\n"
         f"ray.get([work.remote(i) for i in range({2 * ncpu})])\n"  # warm workers
         "t0 = time.monotonic()\n"
-        f"ray.get([work.remote(i) for i in range({8 * ncpu})])\n"
+        "ray.get([work.remote(i) for i in range(128)])\n"  # fixed total work
         "print(time.monotonic() - t0)\n"
         "ray.shutdown()\n"
     )
@@ -197,13 +200,19 @@ def run_scaling() -> dict:
 
     can_lo, lo = _canary(8), run(8)
     can_hi, hi = _canary(32), run(32)
-    thr_lo, thr_hi = lo["pages_per_sec"], hi["pages_per_sec"]
+    # min-of-trials per leg: shared-box neighbor interference is strictly
+    # ADDITIVE noise, so the fastest trial is the least-contaminated
+    # estimate of the job's own cost (raw trials ride along for audits)
+    sec_lo = min(lo.get("headline_trials") or [lo["value"]])
+    sec_hi = min(hi.get("headline_trials") or [hi["value"]])
+    thr_lo = round(lo["pages"] / sec_lo, 1)
+    thr_hi = round(hi["pages"] / sec_hi, 1)
     eff = (thr_hi / thr_lo) / (32 / 8)
-    can_eff = (can_lo / can_hi) / (32 / 8)   # ideal: sec scales 1/ncpu
+    can_eff = (can_lo / can_hi) / (32 / 8)   # fixed work: ideal sec ~ 1/ncpu
     return {
         "metric": "scaling efficiency (num_cpus 8 -> 32, fresh sessions)",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
+        "sec_8": round(sec_lo, 3),
+        "sec_32": round(sec_hi, 3),
         "pages_per_sec_8": thr_lo,
         "pages_per_sec_32": thr_hi,
         "scaling_efficiency": round(eff, 3),
