@@ -655,6 +655,84 @@ def _q_events_asof_click(sf_dir: str):
     return asof_join(left, clicks, by="user_id", on="ts", num_parts=8)
 
 
+def _q_events_lag_lead(sf_dir: str):
+    """SQL LAG/LEAD window: previous/next event value per user in
+    (ts, event_id) order — one user-keyed exchange, vectorized group
+    shifts per partition."""
+    import ray.data as rd
+
+    from gencore_ray.ops.windows import lag_lead
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return lag_lead(ev, num_parts=8).select_columns(
+        ["event_id", "user_id", "ts", "value", "prev_value", "next_value"]
+    )
+
+
+def _q_doc_ranks_per_lang(sf_dir: str):
+    """SQL window ranks (ROW_NUMBER/RANK/DENSE_RANK) per language over
+    document length — the 'best docs per domain' curation primitive."""
+    from gencore_ray.ops.relational import group_ranks
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    return group_ranks(docs, "lang", "n_chars", "doc_id", num_parts=8)
+
+
+def _q_doc_length_ntile(sf_dir: str):
+    """Exact NTILE(8) global equi-depth length tiers without a global
+    sort: broadcast cumulative counts per distinct length + one
+    length-keyed exchange (see ops/relational.ntile)."""
+    from gencore_ray.ops.relational import ntile
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    return ntile(docs, "n_chars", "doc_id", 8, num_parts=8)
+
+
+def _q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, user_id): all prefix levels + grand
+    total from ONE pass over the input (coarser levels re-aggregate the
+    compact finest result)."""
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import rollup_aggregate
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+    return rollup_aggregate(
+        ev, ["event_type", "user_id"],
+        [("n", None, "count"), ("max_value", "value", "max")],
+        num_parts=8,
+    )
+
+
+def _q_users_click_purchase_outer(sf_dir: str):
+    """FULL OUTER JOIN of per-user click vs purchase counts — users on
+    either side survive with nulls on the other (hash_join full_outer
+    coalesces the key)."""
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import grouped_aggregate
+    from gencore_ray.stages.shuffle import hash_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    clicks = grouped_aggregate(
+        ev.filter(expr="event_type == 'click'"),
+        ["user_id"], [("click_n", None, "count")], num_parts=8,
+    )
+    purchases = grouped_aggregate(
+        ev.filter(expr="event_type == 'purchase'"),
+        ["user_id"], [("purchase_n", None, "count")], num_parts=8,
+    )
+    return hash_join(clicks, purchases, "user_id", "user_id",
+                     num_parts=8, how="full_outer")
+
+
 def _q_repetition_profile(sf_dir: str):
     """Gopher-style repetition filters (dup-line fraction, top-bigram
     fraction) — the standard pre-training quality signals, hash-counted
@@ -780,6 +858,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_real": _q_media_decode_real,
         "repetition_profile": _q_repetition_profile,
         "events_asof_click": _q_events_asof_click,
+        "events_lag_lead": _q_events_lag_lead,
+        "doc_ranks_per_lang": _q_doc_ranks_per_lang,
+        "doc_length_ntile": _q_doc_length_ntile,
+        "events_rollup": _q_events_rollup,
+        "users_click_purchase_outer": _q_users_click_purchase_outer,
     }
 
 
@@ -1127,6 +1210,42 @@ def oracle_sql() -> dict[str, str]:
             "r.prior_click_value "
             "FROM events l ASOF LEFT JOIN r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "events_lag_lead": (
+            "SELECT event_id, user_id, ts, value, "
+            "LAG(value) OVER w AS prev_value, "
+            "LEAD(value) OVER w AS next_value FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "doc_ranks_per_lang": (
+            "SELECT doc_id, lang, n_chars, "
+            "ROW_NUMBER() OVER (PARTITION BY lang "
+            "ORDER BY n_chars DESC, doc_id) AS row_number, "
+            "RANK() OVER (PARTITION BY lang "
+            "ORDER BY n_chars DESC) AS rank, "
+            "DENSE_RANK() OVER (PARTITION BY lang "
+            "ORDER BY n_chars DESC) AS dense_rank FROM documents"
+        ),
+        "doc_length_ntile": (
+            "SELECT doc_id, n_chars, "
+            "NTILE(8) OVER (ORDER BY n_chars, doc_id) AS bucket "
+            "FROM documents"
+        ),
+        "events_rollup": (
+            "SELECT event_type, user_id, COUNT(*) AS n, "
+            "max(value) AS max_value, "
+            "(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END + "
+            "CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS level "
+            "FROM events GROUP BY ROLLUP(event_type, user_id)"
+        ),
+        "users_click_purchase_outer": (
+            "WITH c AS (SELECT user_id, COUNT(*) AS click_n FROM events "
+            "WHERE event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT user_id, COUNT(*) AS purchase_n FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1) "
+            "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
+            "c.click_n, p.purchase_n "
+            "FROM c FULL OUTER JOIN p ON c.user_id = p.user_id"
         ),
         "repetition_profile": (
             "WITH l AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), "

@@ -365,3 +365,163 @@ def asof_join(
         return out[[by, on, *lpayload, *rcols]]
 
     return grouped_map(tagged, by, merge, num_parts=num_parts)
+
+
+def group_ranks(
+    ds: rd.Dataset,
+    key: str,
+    order_col: str,
+    id_col: str,
+    descending: bool = True,
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """SQL window ranks per key: ``row_number`` / ``rank`` /
+    ``dense_rank`` over (order_col [DESC], id_col) within each key —
+    the curation primitive behind "keep the N best docs per domain" /
+    "percentile of each doc within its language".
+
+    One exchange keyed on ``key``; inside each partition a single sort
+    plus three vectorised pandas group rank kernels.  ``id_col`` must
+    be unique so ``row_number`` is deterministic.
+    """
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            empty = pd.Series(dtype="int64")
+            return df.assign(row_number=empty, rank=empty, dense_rank=empty)
+        df = df.sort_values([key, order_col, id_col],
+                            ascending=[True, not descending, True],
+                            kind="mergesort")
+        g = df.groupby(key, sort=False)
+        asc = not descending
+        return df.assign(
+            row_number=(g.cumcount() + 1).astype("int64"),
+            rank=g[order_col].rank(method="min", ascending=asc).astype("int64"),
+            dense_rank=g[order_col].rank(method="dense", ascending=asc).astype("int64"),
+        )
+
+    return grouped_map(ds, key, per_partition, num_parts=num_parts)
+
+
+def ntile(
+    ds: rd.Dataset,
+    by_col: str,
+    id_col: str,
+    n: int,
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """Global equi-depth bucketing with exact SQL ``NTILE(n) OVER
+    (ORDER BY by_col, id_col)`` semantics — length/score-tier
+    assignment over the whole corpus without a global sort.
+
+    The global row number decomposes: rows_before(v) (count of rows
+    with by_col < v) + the row's rank among rows sharing v.  The first
+    term is a SMALL aggregate (one row per distinct by_col value —
+    lengths/scores/dates are bounded-cardinality; do NOT use a unique
+    id as by_col) broadcast to every partition; the second is one
+    exchange keyed on by_col.  No stage materialises the data and the
+    heavy table is touched exactly twice, both map-side.
+    """
+    import numpy as np
+
+    counts = (
+        grouped_aggregate(ds, [by_col], [("__n", None, "count")],
+                          num_parts=num_parts)
+        .to_pandas()
+        .sort_values(by_col)
+    )
+    total = int(counts["__n"].sum())
+    before = np.concatenate([[0], np.cumsum(counts["__n"].to_numpy())[:-1]])
+    offsets = ray.put(dict(zip(counts[by_col].tolist(), before.tolist())))
+    # NTILE(n): first (total % n) buckets get (total//n + 1) rows
+    size, rem = divmod(total, n)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(bucket=pd.Series(dtype="int64"))
+        df = df.sort_values([by_col, id_col], kind="mergesort")
+        off = df[by_col].map(ray.get(offsets)).to_numpy(dtype=np.int64)
+        within = df.groupby(by_col, sort=False).cumcount().to_numpy()
+        r0 = off + within
+        big = size + 1
+        cut = rem * big
+        bucket = np.where(r0 < cut, r0 // max(big, 1),
+                          rem + (r0 - cut) // max(size, 1))
+        return df.assign(bucket=bucket.astype(np.int64) + 1)
+
+    return grouped_map(ds, by_col, per_partition, num_parts=num_parts)
+
+
+def rollup_aggregate(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, str | None, str]],
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """``GROUP BY ROLLUP(keys)``: every prefix level of ``keys`` plus
+    the grand total, coarser levels carrying NULL in the rolled-up key
+    columns and ``level`` = number of rolled-up keys.
+
+    The heavy input is aggregated ONCE at the finest level
+    (partial-then-final, one slim exchange); every coarser level
+    re-aggregates the previous level's compact result, so 100 TB of
+    input never flows more than once.  Only re-aggregatable kinds
+    (sum/count/min/max) are allowed — a rolled-up mean must be derived
+    from sum+count by the caller.  Key values must be non-NULL (NULL
+    is the rollup marker, as in SQL without GROUPING()).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from gencore_ray.stages.shuffle import to_arrow_blocks
+
+    keys = list(keys)
+    for _, _, kind in aggs:
+        if kind not in ("sum", "count", "min", "max"):
+            raise ValueError(
+                f"rollup_aggregate: {kind} is not re-aggregatable; use sum/count/min/max"
+            )
+    agg_names = [name for name, _, _ in aggs]
+    # coarser levels merge the finest partials: a count re-aggregates as sum
+    reagg = [(name, name, "sum" if kind == "count" else kind)
+             for name, _, kind in aggs]
+
+    finest = to_arrow_blocks(
+        grouped_aggregate(ds, keys, aggs, num_parts=num_parts)
+    ).materialize()
+    schema = finest.schema().base_schema
+    out_cols = [*keys, *agg_names, "level"]
+
+    def with_level(level: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            for k in keys[len(keys) - level:]:
+                t = t.append_column(k, pa.nulls(n, schema.field(k).type))
+            t = t.append_column(
+                "level", pa.array(np.full(n, level, dtype=np.int64)))
+            return t.select(out_cols)
+
+        return fn
+
+    levels = [finest.map_batches(with_level(0), batch_format="pyarrow")]
+    cur = finest
+    for i in range(len(keys) - 1, -1, -1):
+        sub = keys[:i]
+        if sub:
+            cur = to_arrow_blocks(grouped_aggregate(
+                cur, sub, reagg, num_parts=min(num_parts, 8))).materialize()
+        else:
+            # grand total: constant-key reduce of the (already tiny) level-1
+            const = cur.map_batches(
+                lambda df: df.assign(__all=np.int64(0)), batch_format="pandas")
+            cur = to_arrow_blocks(
+                grouped_aggregate(const, ["__all"], reagg, num_parts=1)
+                .drop_columns(["__all"])
+            ).materialize()
+        levels.append(cur.map_batches(with_level(len(keys) - i),
+                                      batch_format="pyarrow"))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

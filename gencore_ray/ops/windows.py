@@ -122,6 +122,32 @@ def hopping_window_agg(
     return out.map_batches(rnd, batch_format="pandas")
 
 
+def lag_lead(
+    events: rd.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Per-key LAG/LEAD: previous and next ``value_col`` in
+    (ts, id) order within each key — the event-stream neighbour lookup
+    (time since last click, value of the next purchase).  One exchange
+    keyed on ``key``; inside each partition a single sort + two
+    vectorised group shifts, no per-row Python.
+    """
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(prev_value=pd.Series(dtype="float64"),
+                             next_value=pd.Series(dtype="float64"))
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        g = df.groupby(key, sort=False)[value_col]
+        return df.assign(prev_value=g.shift(1), next_value=g.shift(-1))
+
+    return grouped_map(events, key, per_partition, num_parts=num_parts)
+
+
 def running_totals(
     events: rd.Dataset,
     key: str = "user_id",

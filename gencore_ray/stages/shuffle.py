@@ -112,7 +112,7 @@ def _exchange_map(block: pa.Table, key: str, num_parts: int):
     if not block.column_names:
         # a column-less block carries zero rows by construction (Ray
         # emits these for some empty intermediate blocks) — nothing to route
-        return tuple(None for _ in range(num_parts))
+        return None if num_parts == 1 else tuple(None for _ in range(num_parts))
     if key not in block.column_names:
         raise KeyError(
             f"hash_exchange key {key!r} missing; block has {block.column_names}"
@@ -122,6 +122,10 @@ def _exchange_map(block: pa.Table, key: str, num_parts: int):
     sorted_parts = parts[order]
     bounds = np.searchsorted(sorted_parts, np.arange(num_parts + 1))
     reordered = block.take(pa.array(order))
+    if num_parts == 1:
+        # num_returns=1 stores the return value itself as the single
+        # object — return the bare table, not a 1-tuple
+        return reordered
     return tuple(
         reordered.slice(bounds[p], bounds[p + 1] - bounds[p])
         for p in range(num_parts)
@@ -273,7 +277,9 @@ def hash_join(
     columns (binary sketches etc.) stay in Arrow buffers end to end.
 
     Non-key column names must already be disjoint (rename first).
-    The right key column does not appear in the output.
+    The right key column does not appear in the output; for
+    ``how="full_outer"`` the left key column carries
+    ``COALESCE(l.key, r.key)`` so right-only rows keep their key.
     """
     lschema = left.schema().base_schema
     if not isinstance(lschema, pa.Schema):
@@ -306,12 +312,15 @@ def hash_join(
 
     def tag_right(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        t = t.append_column("__key", t[right_key].combine_chunks()
-                            if isinstance(t[right_key], pa.ChunkedArray) else t[right_key])
+        keycol = (t[right_key].combine_chunks()
+                  if isinstance(t[right_key], pa.ChunkedArray) else t[right_key])
+        # drop the key BEFORE padding: when left_key == right_key the
+        # null left-key pad would otherwise collide with the right key
+        t = t.drop_columns([right_key])
+        t = t.append_column("__key", keycol)
         t = t.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
         for name in lcols:
             t = t.append_column(name, pa.nulls(n, lschema.field(name).type))
-        t = t.drop_columns([right_key])
         return t.select(["__key", "__side", *lcols, *rcols])
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
@@ -319,7 +328,8 @@ def hash_join(
     )
 
     left_outer = how == "left_outer"
-    if how not in ("inner", "left_outer", "semi", "anti"):
+    full_outer = how == "full_outer"
+    if how not in ("inner", "left_outer", "full_outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how}")
 
     def merge(t: pa.Table) -> pa.Table:
@@ -349,17 +359,33 @@ def hash_join(
             return t.select(lcols).take(pa.array(sel))
         # match left rows to right rows on the key (first match wins is
         # wrong for 1:N — build full index pairs via pandas merge on
-        # integer codes, cheap: keys only)
+        # integer codes, cheap: keys only).  SQL NULL semantics: a NULL
+        # key matches NOTHING — factorize maps nulls to -1 on BOTH sides,
+        # which would wrongly pair them, so each null row gets a unique
+        # sentinel code from a side-disjoint negative range instead
         codes, _ = pd.factorize(keys)
-        ldf = pd.DataFrame({"c": codes[lidx], "li": lidx})
-        rdf = pd.DataFrame({"c": codes[ridx], "ri": ridx})
-        m = ldf.merge(rdf, on="c", how="left" if left_outer else "inner")
-        li = m["li"].to_numpy(dtype=np.int64)
+        lc = codes[lidx].astype(np.int64)
+        rc = codes[ridx].astype(np.int64)
+        lnull, rnull = lc == -1, rc == -1
+        lc[lnull] = -2 - 2 * np.arange(np.count_nonzero(lnull), dtype=np.int64)
+        rc[rnull] = -3 - 2 * np.arange(np.count_nonzero(rnull), dtype=np.int64)
+        ldf = pd.DataFrame({"c": lc, "li": lidx})
+        rdf = pd.DataFrame({"c": rc, "ri": ridx})
+        pd_how = "outer" if full_outer else ("left" if left_outer else "inner")
+        m = ldf.merge(rdf, on="c", how=pd_how)
+        li = m["li"].fillna(-1).to_numpy(dtype=np.int64)
         ri = m["ri"].fillna(-1).to_numpy(dtype=np.int64)
 
-        left_part = t.select(lcols).take(pa.array(li))
-        # null take-index -> null row (left-outer padding)
+        # null take-index -> null row (outer padding)
+        left_part = t.select(lcols).take(pa.array(li, mask=li < 0))
         right_part = t.select(rcols).take(pa.array(ri, mask=ri < 0))
+        if full_outer:
+            # the join key column must survive right-only rows:
+            # COALESCE(l.key, r.key) from the tagged __key column
+            src = np.where(li >= 0, li, ri)
+            key_vals = t["__key"].take(pa.array(src))
+            left_part = left_part.set_column(
+                lcols.index(left_key), left_key, key_vals)
         out = left_part
         for name in rcols:
             out = out.append_column(name, right_part[name])

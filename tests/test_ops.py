@@ -496,3 +496,107 @@ def test_asof_join_matches_pandas(events_df):
     with pytest.raises(ValueError, match="overlap"):
         asof_join(rd.from_pandas(left), rd.from_pandas(left),
                   by="user_id", on="ts")
+
+
+def test_lag_lead_matches_pandas(events_df):
+    from gencore_ray.ops.windows import lag_lead
+
+    got = (
+        lag_lead(rd.from_pandas(events_df), num_parts=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    want = events_df.sort_values(["user_id", "ts", "event_id"],
+                                 kind="mergesort")
+    g = want.groupby("user_id", sort=False)["value"]
+    want = want.assign(prev_value=g.shift(1), next_value=g.shift(-1))
+    want = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "prev_value", "next_value"]],
+        want[["event_id", "prev_value", "next_value"]],
+        check_dtype=False,
+    )
+
+
+def test_group_ranks_ties(ray_session):
+    from gencore_ray.ops.relational import group_ranks
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "k": ["a", "a", "a", "b", "b"],
+        "v": [10, 10, 5, 7, 7],
+    })
+    got = (
+        group_ranks(rd.from_pandas(df), "k", "v", "id", num_parts=3)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # k=a: v=10,10,5 -> row_number 1,2,3; rank 1,1,3; dense 1,1,2
+    assert got["row_number"].tolist() == [1, 2, 3, 1, 2]
+    assert got["rank"].tolist() == [1, 1, 3, 1, 1]
+    assert got["dense_rank"].tolist() == [1, 1, 2, 1, 1]
+
+
+def test_ntile_exact_sql_semantics(ray_session):
+    from gencore_ray.ops.relational import ntile
+
+    # 10 rows, 4 buckets: sizes 3,3,2,2 (first rem=2 buckets get 3)
+    df = pd.DataFrame({"id": range(10), "v": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]})
+    got = (
+        ntile(rd.from_pandas(df), "v", "id", 4, num_parts=3)
+        .to_pandas().sort_values(["v", "id"]).reset_index(drop=True)
+    )
+    assert got["bucket"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    # more buckets than rows: one row each, buckets 1..n_rows
+    got2 = (
+        ntile(rd.from_pandas(df.head(3)), "v", "id", 8, num_parts=2)
+        .to_pandas().sort_values(["v", "id"]).reset_index(drop=True)
+    )
+    assert got2["bucket"].tolist() == [1, 2, 3]
+
+
+def test_rollup_aggregate_levels(ray_session):
+    from gencore_ray.ops.relational import rollup_aggregate
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "y"], "b": [1, 2, 1], "v": [10.0, 20.0, 30.0],
+    })
+    got = rollup_aggregate(
+        rd.from_pandas(df), ["a", "b"],
+        [("n", None, "count"), ("mx", "v", "max")], num_parts=2,
+    ).to_pandas()
+    lvl0 = got[got["level"] == 0].sort_values(["a", "b"])
+    assert lvl0["n"].tolist() == [1, 1, 1]
+    lvl1 = got[got["level"] == 1].sort_values("a")
+    assert lvl1["a"].tolist() == ["x", "y"]
+    assert lvl1["b"].isna().all()
+    assert lvl1["n"].tolist() == [2, 1]
+    assert lvl1["mx"].tolist() == [20.0, 30.0]
+    lvl2 = got[got["level"] == 2]
+    assert len(lvl2) == 1 and lvl2["n"].iloc[0] == 3 and lvl2["mx"].iloc[0] == 30.0
+    assert lvl2["a"].isna().all() and lvl2["b"].isna().all()
+    with pytest.raises(ValueError, match="re-aggregatable"):
+        rollup_aggregate(rd.from_pandas(df), ["a"], [("m", "v", "mean")])
+
+
+def test_full_outer_join_null_keys(ray_session):
+    from gencore_ray.stages.shuffle import hash_join
+
+    a = pd.DataFrame({"k": pd.array([1, 2, None], dtype="Int64"),
+                      "av": [10.0, 20.0, 30.0]})
+    b = pd.DataFrame({"k2": pd.array([2, 4, None], dtype="Int64"),
+                      "bv": [200.0, 400.0, 500.0]})
+    got = hash_join(
+        rd.from_pandas(a), rd.from_pandas(b), "k", "k2",
+        num_parts=3, how="full_outer",
+    ).to_pandas()
+    # SQL semantics: NULL keys match nothing -> 5 rows
+    # (1 matched, 1+1 left-only incl. null, 1+1 right-only incl. null)
+    assert len(got) == 5
+    m = got[got["k"] == 2]
+    assert len(m) == 1 and m["av"].iloc[0] == 20.0 and m["bv"].iloc[0] == 200.0
+    right_only = got[got["k"] == 4]
+    assert len(right_only) == 1 and pd.isna(right_only["av"]).all()
+    assert right_only["bv"].iloc[0] == 400.0
+    # two distinct null-key rows survive unmatched
+    nulls = got[got["k"].isna()]
+    assert len(nulls) == 2
+    assert sorted(x for x in nulls[["av", "bv"]].stack().tolist()) == [30.0, 500.0]
