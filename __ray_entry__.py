@@ -733,6 +733,38 @@ def _q_users_click_purchase_outer(sf_dir: str):
                      num_parts=8, how="full_outer")
 
 
+def _q_user_event_pivot(sf_dir: str):
+    """Long->wide pivot: per-user count columns per event type
+    (conditional aggregation; one slim partial row per key/batch)."""
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import pivot_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_counts(
+        ev, "user_id", "event_type",
+        ["click", "view", "purchase", "signup", "error"], num_parts=8,
+    )
+
+
+def _q_events_winsorized(sf_dir: str):
+    """Per-type winsorization: clip each event value to its type's
+    exact [p05, p95] quantiles (broadcast quantile table, map-side
+    clip)."""
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import winsorize_by_group
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return winsorize_by_group(ev, "event_type", "value", 0.05, 0.95,
+                              num_parts=8)
+
+
 def _q_repetition_profile(sf_dir: str):
     """Gopher-style repetition filters (dup-line fraction, top-bigram
     fraction) — the standard pre-training quality signals, hash-counted
@@ -863,6 +895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_ntile": _q_doc_length_ntile,
         "events_rollup": _q_events_rollup,
         "users_click_purchase_outer": _q_users_click_purchase_outer,
+        "user_event_pivot": _q_user_event_pivot,
+        "events_winsorized": _q_events_winsorized,
     }
 
 
@@ -1246,6 +1280,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
             "c.click_n, p.purchase_n "
             "FROM c FULL OUTER JOIN p ON c.user_id = p.user_id"
+        ),
+        "user_event_pivot": (
+            "SELECT user_id, "
+            "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_click, "
+            "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_view, "
+            "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_purchase, "
+            "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_signup, "
+            "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_error "
+            "FROM events GROUP BY user_id"
+        ),
+        "events_winsorized": (
+            "WITH q AS (SELECT event_type, "
+            "round(quantile_cont(value, 0.05), 6) AS lo, "
+            "round(quantile_cont(value, 0.95), 6) AS hi "
+            "FROM events GROUP BY 1) "
+            "SELECT event_id, e.event_type, value, "
+            "round(least(greatest(value, lo), hi), 6) AS value_w "
+            "FROM events e JOIN q USING (event_type)"
         ),
         "repetition_profile": (
             "WITH l AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), "

@@ -94,7 +94,7 @@ def run_bench() -> dict:
     # load-balances across stragglers (measured: 2x blocks shaves the
     # signature-stage tail at 32 cpus); run_stage coalesces the
     # materialized output back to ~ncpu blocks for the exchanges
-    n_blocks = 2 * NUM_CPUS
+    n_blocks = int(os.environ.get("GRAFT_BENCH_BLOCKS_PER_CPU", "2")) * NUM_CPUS
 
     # warm-up, untimed: (a) OS page cache for the corpus, (b) Ray worker
     # processes + their library imports — a tiny full-pipeline run makes

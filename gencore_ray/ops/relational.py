@@ -525,3 +525,72 @@ def rollup_aggregate(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def pivot_counts(
+    ds: rd.Dataset,
+    key: str,
+    cat_col: str,
+    categories: Sequence[str],
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """Pivot a categorical column into per-category count columns
+    (``n_<cat>`` per key) — conditional aggregation, the long->wide
+    reshape behind per-user activity profiles.
+
+    Map-side indicator columns collapse each batch to one row per key
+    before the exchange (partial-then-final), so the shuffle carries
+    one slim row per (key, batch) regardless of input width.
+    ``categories`` must be the known category list — an unknown value
+    counts toward no column (SQL CASE WHEN semantics).
+    """
+
+    def indicators(df: pd.DataFrame) -> pd.DataFrame:
+        out = {key: df[key]}
+        for c in categories:
+            out[f"n_{c}"] = (df[cat_col] == c).astype("int64")
+        return pd.DataFrame(out)
+
+    ind = ds.select_columns([key, cat_col]).map_batches(
+        indicators, batch_format="pandas")
+    return grouped_aggregate(
+        ind, [key], [(f"n_{c}", f"n_{c}", "sum") for c in categories],
+        num_parts=num_parts,
+    )
+
+
+def winsorize_by_group(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    num_parts: int = 16,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Per-group winsorization: clip ``value_col`` to the group's
+    exact [lo, hi] quantiles — outlier taming before training-data
+    statistics.  The quantile table is one row per key (exact, via
+    grouped_quantiles), broadcast back into a map-side clip — the big
+    table crosses the cluster once for the quantile exchange and never
+    again.  Adds ``<value_col>_w``; clip bounds and the clipped value
+    are rounded half-away-from-zero to ``round_to`` (DuckDB parity).
+    """
+    import numpy as np
+
+    q = grouped_quantiles(
+        ds, [key], value_col,
+        [("__lo", lo), ("__hi", hi)], num_parts=num_parts,
+        round_to=round_to,
+    ).to_pandas()
+    ref = ray.put(q)
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(ray.get(ref), on=key, how="left")
+        v = np.clip(m[value_col].to_numpy(dtype=np.float64),
+                    m["__lo"].to_numpy(), m["__hi"].to_numpy())
+        p = 10.0 ** round_to
+        df[f"{value_col}_w"] = np.sign(v) * np.floor(np.abs(v) * p + 0.5) / p
+        return df
+
+    return ds.map_batches(clip, batch_format="pandas")

@@ -192,7 +192,7 @@ def dedup_pages(
             _t(name, t0)
             return ds
         ds = ds.materialize()
-        if ds.num_blocks() > ncpu:
+        if ds.num_blocks() > ncpu and not _os.environ.get("GENCORE_NO_REPART"):
             ds = ds.repartition(ncpu).materialize()
         _t(name, t0)
         return ds

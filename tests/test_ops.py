@@ -600,3 +600,46 @@ def test_full_outer_join_null_keys(ray_session):
     nulls = got[got["k"].isna()]
     assert len(nulls) == 2
     assert sorted(x for x in nulls[["av", "bv"]].stack().tolist()) == [30.0, 500.0]
+
+
+def test_pivot_counts(events_df):
+    from gencore_ray.ops.relational import pivot_counts
+
+    events_df = events_df.assign(
+        event_type=np.array(["click", "view", "purchase"])[
+            events_df["event_id"].to_numpy() % 3]
+    )
+    cats = sorted(events_df["event_type"].unique())
+    got = (
+        pivot_counts(rd.from_pandas(events_df), "user_id", "event_type",
+                     cats, num_parts=4)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = (
+        pd.crosstab(events_df["user_id"], events_df["event_type"])
+        .reindex(columns=cats, fill_value=0)
+    )
+    for c in cats:
+        assert got[f"n_{c}"].tolist() == want[c].tolist()
+
+
+def test_winsorize_by_group(events_df):
+    from gencore_ray.ops.relational import winsorize_by_group
+
+    events_df = events_df.assign(
+        event_type=np.array(["click", "view"])[
+            events_df["event_id"].to_numpy() % 2]
+    )
+    got = (
+        winsorize_by_group(
+            rd.from_pandas(events_df[["event_id", "event_type", "value"]]),
+            "event_type", "value", 0.1, 0.9, num_parts=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    q = events_df.groupby("event_type")["value"].quantile([0.1, 0.9]).unstack()
+    for t, g in got.groupby("event_type"):
+        lo, hi = q.loc[t, 0.1], q.loc[t, 0.9]
+        assert (g["value_w"] >= round(lo, 6) - 1e-9).all()
+        assert (g["value_w"] <= round(hi, 6) + 1e-9).all()
+        inner = g[(g["value"] > lo) & (g["value"] < hi)]
+        assert np.allclose(inner["value_w"], inner["value"].round(6))
