@@ -845,6 +845,109 @@ def _q_pages_dedup_sql(sf_dir: str):
     )
 
 
+def _q_events_value_corr(sf_dir: str):
+    """Per-type second-order profile: count, means, sample stddevs and
+    the Pearson correlation of value vs hour-of-day — ONE pass of
+    6-number partial sums per (key, batch), closed forms at the merge."""
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import grouped_moments
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        df["hour"] = df["ts"].dt.hour.astype(np.float64)
+        return df
+
+    withh = ev.map_batches(add_hour, batch_format="pandas")
+    return grouped_moments(withh, ["event_type"], "value", "hour",
+                           num_parts=8)
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Top-5 TF-IDF terms per document (keyword extraction): compact
+    DF exchange + broadcast, scoring and per-doc top-k map-side."""
+    from gencore_ray.ops.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                           k=5, num_parts=8)
+
+
+def _q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, day_part): all four grouping sets from
+    ONE pass over the input (subsets re-aggregate the compact finest
+    level); grouping_id carries SQL GROUPING() bit semantics."""
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import cube_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def add_day_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["day_part"] = (df["ts"].dt.hour // 6).astype(np.int64)
+        return df[["event_type", "day_part", "value"]]
+
+    withp = ev.map_batches(add_day_part, batch_format="pandas")
+    return cube_aggregate(
+        withp, ["event_type", "day_part"],
+        [("n", None, "count"), ("min_value", "value", "min"),
+         ("max_value", "value", "max")],
+        num_parts=8,
+    )
+
+
+def _q_weighted_doc_sample(sf_dir: str):
+    """Deterministic weight-proportional sample (priority sampling):
+    200 docs drawn proportionally to length, bit-replayable in SQL."""
+    from gencore_ray.ops.relational import priority_sample
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    return priority_sample(docs, "doc_id", "n_chars", k=200)
+
+
+def _q_props_k_stats(sf_dir: str):
+    """Vectorised JSON-field extraction (props -> int k) + bucketed
+    aggregate — metadata profiling without a per-row JSON parse."""
+    import ray.data as rd
+
+    from gencore_ray.ops.jsonops import json_int_field
+    from gencore_ray.ops.relational import grouped_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["props", "value"])
+    withk = json_int_field(ev, "props", "k", "k")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["k"].notna()]
+        return pd.DataFrame({
+            "k_bucket": (df["k"].astype("int64") // 10),
+            "value": df["value"],
+        })
+
+    b = withk.map_batches(bucket, batch_format="pandas")
+    agg = grouped_aggregate(
+        b, ["k_bucket"],
+        [("n_events", None, "count"), ("avg_value", "value", "mean")],
+        num_parts=8,
+    )
+    return _round_cols(agg, {"avg_value": 6})
+
+
+def _q_doc_len_quantiles_by_lang(sf_dir: str):
+    """EXACT per-language length quantiles via value-count compaction —
+    the shuffle moves one row per distinct (lang, n_chars), not per doc."""
+    from gencore_ray.ops.relational import grouped_quantiles_compact
+
+    docs = _docs(sf_dir).select_columns(["lang", "n_chars"])
+    return grouped_quantiles_compact(
+        docs, ["lang"], "n_chars",
+        [("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95)],
+        num_parts=8,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -897,6 +1000,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_click_purchase_outer": _q_users_click_purchase_outer,
         "user_event_pivot": _q_user_event_pivot,
         "events_winsorized": _q_events_winsorized,
+        "events_value_corr": _q_events_value_corr,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "events_cube": _q_events_cube,
+        "weighted_doc_sample": _q_weighted_doc_sample,
+        "props_k_stats": _q_props_k_stats,
+        "doc_len_quantiles_by_lang": _q_doc_len_quantiles_by_lang,
     }
 
 
@@ -1350,5 +1459,58 @@ def oracle_sql() -> dict[str, str]:
             "WHERE a.vec_id < 500 AND b.vec_id < 500 "
             "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.45"
+        ),
+        "events_value_corr": (
+            "SELECT event_type, count(*) AS n, "
+            "round(avg(value), 6) AS x_mean, round(avg(hour), 6) AS y_mean, "
+            "round(stddev_samp(value), 6) AS x_std, "
+            "round(stddev_samp(hour), 6) AS y_std, "
+            "round(corr(value, hour), 6) AS corr_xy "
+            "FROM (SELECT event_type, value, "
+            "CAST(extract(hour FROM ts) AS DOUBLE) AS hour FROM events) "
+            "GROUP BY event_type"
+        ),
+        "tfidf_top_terms": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+            "dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM documents), "
+            "scored AS (SELECT doc_id, term, tf, df, "
+            "round(tf * ln((SELECT n FROM nn) * 1.0 / df), 6) AS tfidf "
+            "FROM tf JOIN dfq USING (term)), "
+            "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, term) AS rn FROM scored) "
+            "SELECT doc_id, term, tf, df, tfidf FROM rk WHERE rn <= 5"
+        ),
+        "events_cube": (
+            "SELECT event_type, day_part, count(*) AS n, "
+            "min(value) AS min_value, max(value) AS max_value, "
+            "CAST(GROUPING(event_type, day_part) AS BIGINT) AS grouping_id "
+            "FROM (SELECT event_type, "
+            "CAST(extract(hour FROM ts) AS BIGINT) // 6 AS day_part, value "
+            "FROM events) GROUP BY CUBE(event_type, day_part)"
+        ),
+        "weighted_doc_sample": (
+            "SELECT doc_id, n_chars, "
+            "(((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761) "
+            "% 4294967296 + 1) * 1.0 / n_chars AS priority "
+            "FROM documents ORDER BY priority, doc_id LIMIT 200"
+        ),
+        "props_k_stats": (
+            "WITH e AS (SELECT TRY_CAST(regexp_extract(props, "
+            "'\"k\"\\s*:\\s*(-?\\d+)', 1) AS BIGINT) AS k, value FROM events) "
+            "SELECT k // 10 AS k_bucket, count(*) AS n_events, "
+            "round(avg(value), 6) AS avg_value "
+            "FROM e WHERE k IS NOT NULL GROUP BY 1"
+        ),
+        "doc_len_quantiles_by_lang": (
+            "SELECT lang, "
+            "round(quantile_cont(n_chars, 0.25), 6) AS p25, "
+            "round(quantile_cont(n_chars, 0.50), 6) AS p50, "
+            "round(quantile_cont(n_chars, 0.75), 6) AS p75, "
+            "round(quantile_cont(n_chars, 0.95), 6) AS p95 "
+            "FROM documents GROUP BY lang"
         ),
     }

@@ -70,6 +70,14 @@ class DedupConfig:
     pair_num_partitions: int | None = None   # None -> 2 * cluster CPUs
     min_cluster_size: int = 1     # emit only clusters with >= this many members
                                   # (~ supporting_reads filter, src/cluster.cpp:138)
+    bloom_prefilter: str = "auto"  # "on" | "off" | "auto": Bloom-prefilter the
+                                   # verify-join signature exchange to candidate
+                                   # docs.  The filter trades a fixed driver-side
+                                   # OR-reduce (~0.3-0.7 s serial) for a ~3x byte
+                                   # cut on the heaviest exchange; bytes are only
+                                   # expensive CROSS-NODE (single-node object
+                                   # store is shared memory), so "auto" engages
+                                   # it only when the cluster has >1 alive node.
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

@@ -527,6 +527,250 @@ def rollup_aggregate(
     return out
 
 
+def grouped_moments(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    num_parts: int = 16,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Per-group second-order statistics in ONE pass: count, means,
+    sample stddevs and the Pearson correlation of two columns — the
+    profiling aggregate behind "is this feature informative".
+
+    Decomposes exactly into per-batch partial sums
+    (n, Σx, Σy, Σx², Σy², Σxy); the exchange moves one 6-number row
+    per (key, batch) and the final merge applies the closed forms
+      var = (Σx² − (Σx)²/n) / (n−1)
+      corr = (Σxy − ΣxΣy/n) / sqrt((Σx²−(Σx)²/n)(Σy²−(Σy)²/n)).
+    Results are rounded half-away-from-zero to ``round_to`` so the
+    value-hash matches SQL engines whose streaming accumulation order
+    differs in the last ulp.  Groups with n < 2 or zero variance yield
+    NULL stddev/corr (SQL semantics).
+    """
+    import numpy as np
+
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].astype("float64")
+        y = df[y_col].astype("float64")
+        tmp = pd.DataFrame({
+            **{k: df[k] for k in keys},
+            "__n": np.ones(len(df), dtype=np.int64),
+            "__sx": x, "__sy": y, "__sxx": x * x, "__syy": y * y,
+            "__sxy": x * y,
+        })
+        return tmp.groupby(keys, sort=False, as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, as_index=False).sum()
+        n = g["__n"].to_numpy(dtype=np.float64)
+        sx, sy = g["__sx"].to_numpy(), g["__sy"].to_numpy()
+        sxx, syy, sxy = g["__sxx"].to_numpy(), g["__syy"].to_numpy(), g["__sxy"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cx = sxx - sx * sx / n
+            cy = syy - sy * sy / n
+            cxy = sxy - sx * sy / n
+            sd_x = np.where(n > 1, np.sqrt(np.maximum(cx, 0) / (n - 1)), np.nan)
+            sd_y = np.where(n > 1, np.sqrt(np.maximum(cy, 0) / (n - 1)), np.nan)
+            corr = np.where((n > 1) & (cx > 0) & (cy > 0),
+                            cxy / np.sqrt(np.maximum(cx * cy, 1e-300)), np.nan)
+
+        def rnd(v: np.ndarray) -> np.ndarray:
+            p = 10.0 ** round_to
+            return np.sign(v) * np.floor(np.abs(v) * p + 0.5) / p
+
+        out = g[keys].copy()
+        out["n"] = g["__n"].astype("int64")
+        out["x_mean"] = rnd(sx / n)
+        out["y_mean"] = rnd(sy / n)
+        out["x_std"] = rnd(sd_x)
+        out["y_std"] = rnd(sd_y)
+        out["corr_xy"] = rnd(corr)
+        return out
+
+    slim = ds.select_columns([*keys, x_col, y_col])
+    partials = slim.map_batches(partial, batch_format="pandas")
+    return grouped_map(partials, keys[0], final, num_parts=num_parts)
+
+
+def cube_aggregate(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, str | None, str]],
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """``GROUP BY CUBE(keys)``: every subset of ``keys``, rolled-up key
+    columns NULL, plus ``grouping_id`` with SQL ``GROUPING(keys...)``
+    bit semantics (bit set ⇔ that key is rolled up; keys[0] is the
+    most-significant bit).
+
+    Like ``rollup_aggregate``, the heavy input is aggregated ONCE at
+    the finest level; all 2^len(keys)−1 coarser subsets re-aggregate
+    that compact result, so the full table never flows twice.  Only
+    re-aggregatable kinds (sum/count/min/max); key values must be
+    non-NULL (NULL is the cube marker).
+    """
+    from itertools import combinations
+
+    import numpy as np
+    import pyarrow as pa
+
+    from gencore_ray.stages.shuffle import to_arrow_blocks
+
+    keys = list(keys)
+    for _, _, kind in aggs:
+        if kind not in ("sum", "count", "min", "max"):
+            raise ValueError(
+                f"cube_aggregate: {kind} is not re-aggregatable; use sum/count/min/max"
+            )
+    agg_names = [name for name, _, _ in aggs]
+    reagg = [(name, name, "sum" if kind == "count" else kind)
+             for name, _, kind in aggs]
+
+    finest = to_arrow_blocks(
+        grouped_aggregate(ds, keys, aggs, num_parts=num_parts)
+    ).materialize()
+    schema = finest.schema().base_schema
+    out_cols = [*keys, *agg_names, "grouping_id"]
+
+    def shape(subset: tuple[str, ...]):
+        gid = sum(1 << (len(keys) - 1 - i)
+                  for i, k in enumerate(keys) if k not in subset)
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            for k in keys:
+                if k not in subset:
+                    t = t.append_column(k, pa.nulls(n, schema.field(k).type))
+            t = t.append_column(
+                "grouping_id", pa.array(np.full(n, gid, dtype=np.int64)))
+            return t.select(out_cols)
+
+        return fn
+
+    levels = [finest.map_batches(shape(tuple(keys)), batch_format="pyarrow")]
+    for r in range(len(keys) - 1, -1, -1):
+        for subset in combinations(keys, r):
+            if subset:
+                sub = to_arrow_blocks(grouped_aggregate(
+                    finest, list(subset), reagg, num_parts=min(num_parts, 8)
+                )).materialize()
+            else:
+                const = finest.map_batches(
+                    lambda df: df.assign(__all=np.int64(0)), batch_format="pandas")
+                sub = to_arrow_blocks(
+                    grouped_aggregate(const, ["__all"], reagg, num_parts=1)
+                    .drop_columns(["__all"])
+                ).materialize()
+            levels.append(sub.map_batches(shape(subset), batch_format="pyarrow"))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def priority_sample(
+    ds: rd.Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> rd.Dataset:
+    """Deterministic weight-proportional sample of k rows
+    (Duffield–Lund–Thorup priority sampling): each row gets priority
+    u/w where u is the fixed multiplicative hash of the integer id
+    (uniform in [1, 2^32], see ``stratified_sample``) and w its weight;
+    the k SMALLEST priorities win, so heavy rows are proportionally
+    likelier — and the whole draw is a pure function of (id, weight),
+    replayable bit-for-bit by any engine including the SQL oracle
+    (one exact-integer division is the only float op; IEEE division is
+    correctly rounded, so the doubles are identical everywhere).
+
+    Scale shape: per-batch prune to k, then sort+limit over the
+    n_batches*k survivors — the input is touched once, map-side.
+    Weights must be > 0.
+    """
+    import numpy as np
+
+    mult, mod = np.uint64(2654435761), np.uint64(1 << 32)
+
+    def with_priority(df: pd.DataFrame) -> pd.DataFrame:
+        u = ((df[id_col].to_numpy().astype(np.uint64) % mod) * mult) % mod
+        w = df[weight_col].to_numpy(dtype=np.float64)
+        df = df.assign(priority=(u.astype(np.float64) + 1.0) / w)
+        return df.sort_values(["priority", id_col], kind="mergesort").head(k)
+
+    pruned = ds.map_batches(with_priority, batch_format="pandas")
+    return pruned.sort(["priority", id_col]).limit(k)
+
+
+def grouped_quantiles_compact(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    value_col: str,
+    qs: Sequence[tuple[str, float]],
+    num_parts: int = 16,
+    round_to: int | None = 6,
+) -> rd.Dataset:
+    """EXACT per-group quantiles over a BOUNDED-CARDINALITY value
+    column (lengths, scores, counts, dates) at a fraction of
+    ``grouped_quantiles``' shuffle: each batch collapses to one row per
+    distinct (key, value) with a count, the exchange moves only those
+    compact partials, and the final stage computes the same
+    linear-interpolated quantile from the weighted value histogram —
+    identical results to numpy 'linear' / SQL quantile_cont, but 100 TB
+    of rows shuffle as at most |distinct values| rows per key.  (For
+    genuinely continuous columns where every value is distinct this
+    degenerates to the plain operator — use grouped_quantiles there.)
+    """
+    import numpy as np
+
+    keys = list(keys)
+    slim = ds.select_columns([*keys, value_col])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby([*keys, value_col], sort=False)
+             .size().rename("__cnt").reset_index())
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        merged = (df.groupby([*keys, value_col], sort=False)["__cnt"]
+                  .sum().reset_index())
+        for kv, g in merged.groupby(keys, sort=False):
+            g = g.sort_values(value_col, kind="mergesort")
+            vals = g[value_col].to_numpy(dtype=np.float64)
+            cnts = g["__cnt"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(cnts)          # 1-based cumulative ranks
+            n = int(cum[-1])
+            row = dict(zip(keys, kv if isinstance(kv, tuple) else (kv,)))
+            for name, q in qs:
+                pos = q * (n - 1)          # 0-based fractional rank
+                i0 = int(np.floor(pos))
+                frac = pos - i0
+                # value at 0-based sorted index i = first j with cum[j] > i
+                v0 = vals[np.searchsorted(cum, i0, side="right")]
+                v1 = vals[np.searchsorted(cum, min(i0 + 1, n - 1), side="right")]
+                v = v0 + frac * (v1 - v0)
+                if round_to is not None:
+                    p = 10.0 ** round_to
+                    v = float(np.sign(v) * np.floor(abs(v) * p + 0.5) / p)
+                row[name] = v
+            out_rows.append(row)
+        if not out_rows:
+            return pd.DataFrame(
+                {**{k: pd.Series(dtype=object) for k in keys},
+                 **{name: pd.Series(dtype=np.float64) for name, _ in qs}}
+            )
+        return pd.DataFrame(out_rows)
+
+    partials = slim.map_batches(partial, batch_format="pandas")
+    return grouped_map(partials, keys[0], final, num_parts=num_parts)
+
+
 def pivot_counts(
     ds: rd.Dataset,
     key: str,

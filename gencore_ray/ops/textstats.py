@@ -146,3 +146,110 @@ def repetition_profile(
     return ds.select_columns([id_col, text_col]).map_batches(
         batch_fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def tfidf_top_terms(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_parts: int = 16,
+    round_to: int = 6,
+    broadcast_df: bool = True,
+) -> rd.Dataset:
+    """Per-document top-k terms by TF-IDF — the keyword-extraction /
+    topic-profiling primitive of a training-data pipeline.
+
+    score(term, doc) = tf * ln(N / df), rounded half-away-from-zero to
+    ``round_to``; ties break on term ascending.  Two passes over the
+    corpus, both map-side on the heavy table:
+
+      1. document frequencies: per-batch distinct (doc, term) collapse,
+         then one COMPACT exchange of (term, partial_df) rows (one row
+         per term per batch, never per occurrence).
+      2. per-doc term counts + scoring + per-doc top-k — entirely
+         inside ``map_batches`` because every term of a doc lives in
+         its batch; no second exchange.
+
+    The DF table is vocabulary-sized.  ``broadcast_df=True`` ships it
+    once via ``ray.put`` (right for any vocabulary that fits a worker —
+    tens of millions of terms).  ``broadcast_df=False`` instead
+    re-keys the per-doc term rows through ``hash_join`` on the term —
+    one extra exchange of O(distinct (doc, term)) rows plus a
+    ``top_k_per_group`` exchange keyed on the doc, for open-web
+    vocabularies beyond single-worker memory.  Both paths are
+    bit-identical (equality-tested).
+    """
+    import pandas as pd
+
+    from gencore_ray.functions.text import _TOKEN_RE
+    from gencore_ray.stages.shuffle import grouped_map
+
+    n_docs = ds.count()
+    slim = ds.select_columns([id_col, text_col])
+
+    def _tok_frame(df: pd.DataFrame) -> pd.DataFrame:
+        """(doc, term, tf) — one row per distinct term per doc."""
+        toks = [_TOKEN_RE.findall((t or "").lower())
+                for t in df[text_col].tolist()]
+        lens = np.fromiter(map(len, toks), dtype=np.int64, count=len(toks))
+        ids = np.repeat(df[id_col].to_numpy(), lens)
+        if not len(ids):
+            return pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
+                                 "term": pd.Series(dtype=object),
+                                 "tf": pd.Series(dtype=np.int64)})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+        return (pd.DataFrame({id_col: ids, "term": flat})
+                .groupby([id_col, "term"], sort=False)
+                .size().rename("tf").reset_index())
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tf = _tok_frame(df)
+        return (tf.groupby("term", sort=False)
+                .size().rename("df").reset_index())
+
+    def df_final(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("term", sort=False)["df"]
+                .sum().reset_index())
+
+    df_parts = slim.map_batches(df_partial, batch_format="pandas")
+    df_table = grouped_map(df_parts, "term", df_final, num_parts=num_parts)
+
+    p = 10.0 ** round_to
+
+    def _score(tf: pd.DataFrame) -> pd.DataFrame:
+        v = tf["tf"].to_numpy(dtype=np.float64) * np.log(
+            n_docs / tf["df"].to_numpy(dtype=np.float64))
+        tf = tf.assign(tfidf=np.sign(v) * np.floor(np.abs(v) * p + 0.5) / p)
+        return tf
+
+    def _head(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "tfidf", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby(id_col, sort=False).head(k)
+
+    if broadcast_df:
+        import ray as _ray
+
+        ref = _ray.put(df_table.to_pandas().set_index("term")["df"])
+
+        def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+            tf = _tok_frame(df)
+            tf["df"] = tf["term"].map(_ray.get(ref)).astype(np.int64)
+            return _head(_score(tf))
+
+        return slim.map_batches(per_batch, batch_format="pandas")
+
+    # shuffle path: (doc, term, tf) rows join the DF table on the term,
+    # then one doc-keyed exchange finds each doc's top-k
+    from gencore_ray.ops.relational import top_k_per_group
+    from gencore_ray.stages.shuffle import hash_join
+
+    tf_rows = slim.map_batches(
+        lambda df: _tok_frame(df), batch_format="pandas")
+    joined = hash_join(tf_rows, df_table, "term", "term",
+                       num_parts=num_parts, how="inner")
+    scored = joined.map_batches(_score, batch_format="pandas")
+    out = top_k_per_group(scored, [id_col], ["tfidf", "term"], k,
+                          descending=[True, False], num_parts=num_parts)
+    return out.select_columns([id_col, "term", "tf", "df", "tfidf"])

@@ -216,29 +216,35 @@ def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig) -> rd.D
     # essentially only for candidate docs (false positives ~1% at 1M
     # candidates just ride along harmlessly — the joins match real pairs
     # only).  At a 35% dup rate this cuts the heaviest exchange ~3x.
-    def _pair_bloom(t: pa.Table) -> pa.Table:
-        both = np.concatenate([
-            t["ha"].to_numpy(zero_copy_only=False),
-            t["hb"].to_numpy(zero_copy_only=False),
-        ]).astype(U64)
-        return pa.table({"bloom": pa.array([_bloom_add(both).tobytes()], pa.binary())})
-
-    blooms = pairs.select_columns(["ha", "hb"]).map_batches(
-        _pair_bloom, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()["bloom"]
-    bloom = np.zeros(_BLOOM_WORDS, dtype=U64)
-    for b in blooms:
-        bloom |= np.frombuffer(b, dtype=U64)
-    bloom_ref = ray.put(bloom)
-
-    def _filter_slim(t: pa.Table) -> pa.Table:
-        bl = ray.get(bloom_ref)
-        uh = t["uhash"].to_numpy(zero_copy_only=False).astype(U64)
-        return t.take(pa.array(np.flatnonzero(_bloom_test(bl, uh))))
-
-    slim = sig.select_columns(_SLIM_COLS).map_batches(
-        _filter_slim, batch_format="pyarrow", zero_copy_batch=True
+    use_bloom = cfg.bloom_prefilter == "on" or (
+        cfg.bloom_prefilter == "auto"
+        and sum(1 for nd in ray.nodes() if nd.get("Alive")) > 1
     )
+    slim = sig.select_columns(_SLIM_COLS)
+    if use_bloom:
+        def _pair_bloom(t: pa.Table) -> pa.Table:
+            both = np.concatenate([
+                t["ha"].to_numpy(zero_copy_only=False),
+                t["hb"].to_numpy(zero_copy_only=False),
+            ]).astype(U64)
+            return pa.table({"bloom": pa.array([_bloom_add(both).tobytes()], pa.binary())})
+
+        blooms = pairs.select_columns(["ha", "hb"]).map_batches(
+            _pair_bloom, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()["bloom"]
+        bloom = np.zeros(_BLOOM_WORDS, dtype=U64)
+        for b in blooms:
+            bloom |= np.frombuffer(b, dtype=U64)
+        bloom_ref = ray.put(bloom)
+
+        def _filter_slim(t: pa.Table) -> pa.Table:
+            bl = ray.get(bloom_ref)
+            uh = t["uhash"].to_numpy(zero_copy_only=False).astype(U64)
+            return t.take(pa.array(np.flatnonzero(_bloom_test(bl, uh))))
+
+        slim = slim.map_batches(
+            _filter_slim, batch_format="pyarrow", zero_copy_batch=True
+        )
     slim_blocks, _ = exchange_refs(to_arrow_blocks(slim), "uhash", P)
     pair_blocks, _ = exchange_refs(
         to_arrow_blocks(pairs.select_columns(["ha", "hb"])), "ha", P

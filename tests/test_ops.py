@@ -643,3 +643,157 @@ def test_winsorize_by_group(events_df):
         assert (g["value_w"] <= round(hi, 6) + 1e-9).all()
         inner = g[(g["value"] > lo) & (g["value"] < hi)]
         assert np.allclose(inner["value_w"], inner["value"].round(6))
+
+
+def test_grouped_moments_matches_pandas(ray_session):
+    """grouped_moments' merged partial sums must reproduce pandas'
+    per-group mean/std/corr (round-6)."""
+    from gencore_ray.ops.relational import grouped_moments
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=500),
+        "x": rng.normal(100, 15, size=500),
+        "y": rng.normal(5, 2, size=500),
+    })
+    got = (grouped_moments(rd.from_pandas(df), ["g"], "x", "y", num_parts=3)
+           .to_pandas().set_index("g").sort_index())
+    for g, sub in df.groupby("g"):
+        assert got.loc[g, "n"] == len(sub)
+        assert abs(got.loc[g, "x_mean"] - round(sub["x"].mean(), 6)) < 1e-9
+        assert abs(got.loc[g, "x_std"] - round(sub["x"].std(ddof=1), 6)) < 1e-6
+        assert abs(got.loc[g, "y_std"] - round(sub["y"].std(ddof=1), 6)) < 1e-6
+        assert abs(got.loc[g, "corr_xy"] - round(sub["x"].corr(sub["y"]), 6)) < 1e-6
+    # degenerate groups: n=1 and zero variance -> NULL std/corr
+    tiny = pd.DataFrame({"g": ["s", "z", "z"], "x": [1.0, 2.0, 2.0],
+                         "y": [3.0, 4.0, 5.0]})
+    got2 = (grouped_moments(rd.from_pandas(tiny), ["g"], "x", "y", num_parts=1)
+            .to_pandas().set_index("g"))
+    assert np.isnan(got2.loc["s", "x_std"]) and np.isnan(got2.loc["s", "corr_xy"])
+    assert np.isnan(got2.loc["z", "corr_xy"])  # x variance 0
+
+
+def test_cube_aggregate_grouping_sets(ray_session):
+    """CUBE(a, b) = 4 grouping sets with SQL GROUPING() bit values."""
+    from gencore_ray.ops.relational import cube_aggregate
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "y"], "b": [1, 2, 1], "v": [10.0, 20.0, 30.0],
+    })
+    got = cube_aggregate(
+        rd.from_pandas(df), ["a", "b"],
+        [("n", None, "count"), ("mx", "v", "max")], num_parts=2,
+    ).to_pandas()
+    assert sorted(got["grouping_id"].unique().tolist()) == [0, 1, 2, 3]
+    finest = got[got["grouping_id"] == 0]
+    assert len(finest) == 3 and finest["n"].tolist() == [1, 1, 1]
+    by_a = got[got["grouping_id"] == 1].sort_values("a")   # b rolled up
+    assert by_a["a"].tolist() == ["x", "y"] and by_a["b"].isna().all()
+    assert by_a["n"].tolist() == [2, 1] and by_a["mx"].tolist() == [20.0, 30.0]
+    by_b = got[got["grouping_id"] == 2].sort_values("b")   # a rolled up
+    assert by_b["b"].tolist() == [1, 2] and by_b["a"].isna().all()
+    assert by_b["n"].tolist() == [2, 1]
+    total = got[got["grouping_id"] == 3]
+    assert len(total) == 1 and total["n"].iloc[0] == 3 and total["mx"].iloc[0] == 30.0
+
+
+def test_priority_sample_deterministic_and_weighted(ray_session):
+    """Priority sampling: exact local replay (pure function of
+    (id, weight)) and weight-proportional inclusion."""
+    from gencore_ray.ops.relational import priority_sample
+
+    n = 2000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "w": np.where(np.arange(n) % 2 == 0, 100.0, 1.0),
+    })
+    got = priority_sample(rd.from_pandas(df), "id", "w", k=100).to_pandas()
+    # local replay
+    u = ((df["id"].to_numpy().astype(np.uint64) % np.uint64(1 << 32))
+         * np.uint64(2654435761)) % np.uint64(1 << 32)
+    pri = (u.astype(np.float64) + 1.0) / df["w"].to_numpy()
+    want = df.assign(priority=pri).sort_values(["priority", "id"]).head(100)
+    assert got["id"].tolist() == want["id"].tolist()
+    assert np.allclose(got["priority"].to_numpy(), want["priority"].to_numpy())
+    # heavy rows (weight 100) dominate the sample
+    assert (got["w"] == 100.0).mean() > 0.9
+
+
+def test_grouped_quantiles_compact_equals_plain(ray_session):
+    """Value-count compaction must give the same linear-interpolated
+    quantiles as the row-shuffling operator on a discrete column."""
+    from gencore_ray.ops.relational import grouped_quantiles, grouped_quantiles_compact
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], size=400),
+        "v": rng.integers(0, 25, size=400).astype(np.int64),
+    })
+    qs = [("p25", 0.25), ("p50", 0.5), ("p90", 0.9)]
+    plain = (grouped_quantiles(rd.from_pandas(df), ["g"], "v", qs, num_parts=2)
+             .to_pandas().sort_values("g").reset_index(drop=True))
+    compact = (grouped_quantiles_compact(rd.from_pandas(df), ["g"], "v", qs,
+                                         num_parts=2)
+               .to_pandas().sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, compact)
+
+
+def test_tfidf_broadcast_and_shuffle_paths_equal(ray_session):
+    """Both DF-distribution strategies must produce identical top-k,
+    and match a scalar reference."""
+    from collections import Counter
+    from math import log
+
+    from gencore_ray.functions.text import _TOKEN_RE
+    from gencore_ray.ops.textstats import tfidf_top_terms
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick red fox",
+        "lorem ipsum dolor sit amet the",
+        "quick quick quick brown",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    k = 3
+
+    def norm(out):
+        return (out.to_pandas()
+                .sort_values(["doc_id", "term"]).reset_index(drop=True)
+                [["doc_id", "term", "tf", "df", "tfidf"]]
+                .astype({"tf": "int64", "df": "int64"}))
+
+    bcast = norm(tfidf_top_terms(rd.from_pandas(df), k=k, num_parts=2))
+    shuf = norm(tfidf_top_terms(rd.from_pandas(df), k=k, num_parts=2,
+                                broadcast_df=False))
+    pd.testing.assert_frame_equal(bcast, shuf)
+
+    # scalar reference
+    toks = [_TOKEN_RE.findall(t.lower()) for t in texts]
+    dfc = Counter()
+    for t in toks:
+        dfc.update(set(t))
+    n = len(texts)
+    for d, t in enumerate(toks):
+        tf = Counter(t)
+        scored = sorted(
+            ((round(c * log(n / dfc[w]), 6), w) for w, c in tf.items()),
+            key=lambda x: (-x[0], x[1]))[:k]
+        got_d = bcast[bcast["doc_id"] == d]
+        assert sorted(got_d["term"]) == sorted(w for _, w in scored), d
+        for s, w in scored:
+            assert abs(got_d[got_d["term"] == w]["tfidf"].iloc[0] - s) < 1e-9
+
+
+def test_json_int_field(ray_session):
+    from gencore_ray.ops.jsonops import json_int_field
+
+    df = pd.DataFrame({"p": ['{"k": 42}', '{"x": 1}', '{"k": -7, "j": 2}',
+                             None, '{"k":0}']})
+    got = json_int_field(rd.from_pandas(df), "p", "k", "k").to_pandas()
+    assert got["k"].tolist()[0] == 42
+    assert pd.isna(got["k"].iloc[1])
+    assert got["k"].iloc[2] == -7
+    assert pd.isna(got["k"].iloc[3])
+    assert got["k"].iloc[4] == 0
