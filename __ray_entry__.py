@@ -326,6 +326,43 @@ def _q_dedup_docs_pipeline(sf_dir: str):
     )
 
 
+def _q_incremental_dedup_docs(sf_dir: str):
+    """Daily-crawl merge (pipelines/incremental.py): bootstrap dedup
+    state on 2/3 of the corpus, fold the remaining 1/3 in
+    incrementally — old-old pairs are never regenerated; prior
+    connectivity enters as star edges.  The merged cluster table must
+    equal a from-scratch run over the union, so it shares the
+    recursive-CTE full-pipeline SQL oracle verbatim."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from gencore_ray.config import DedupConfig
+    from gencore_ray.pipelines.dedup import dedup_pages
+    from gencore_ray.pipelines.incremental import incremental_dedup
+
+    pages = _docs_as_pages(sf_dir)
+
+    def _part(t: pa.Table, want_new: bool) -> pa.Table:
+        did = np.array([int(u.rsplit("-", 1)[1]) for u in t["url"].to_pylist()])
+        m = (did % 3 == 0) == want_new
+        return t.take(pa.array(np.flatnonzero(m)))
+
+    old_p = pages.map_batches(lambda t: _part(t, False), batch_format="pyarrow")
+    new_p = pages.map_batches(lambda t: _part(t, True), batch_format="pyarrow")
+    sd = tempfile.mkdtemp(prefix="gencore_inc_state_")
+    try:
+        cfg = DedupConfig()
+        dedup_pages(old_p, cfg, state_dir=sd)
+        res = incremental_dedup(new_p, sd, cfg, update_state=False)
+        return res.clusters.select_columns(
+            ["url", "cluster_id", "cluster_size", "is_representative"]
+        ).materialize()
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+
+
 def _q_cluster_consensus(sf_dir: str):
     """G6 parity: one SYNTHESIZED record per cluster (gencore's
     quality-weighted consensus, /root/reference/src/group.cpp:320-526).
@@ -980,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": _q_events_value_quantiles,
         # engine-only (rows-only check)
         "dedup_docs_pipeline": _q_dedup_docs_pipeline,
+        "incremental_dedup_docs": _q_incremental_dedup_docs,
         "pages_dedup_pipeline": _q_pages_dedup_pipeline,
         "pages_dedup_sql": _q_pages_dedup_sql,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1114,7 +1152,7 @@ def oracle_sql() -> dict[str, str]:
     # the pages corpus must exist on disk before the driver can run its
     # SQL (idempotent, cached; ~1 s at the correctness scale)
     pages_cache_001 = _pages_cache("/root/testdata/sf0.01")
-    return {
+    d = {
         "pages_dedup_sql": _pages_pipeline_sql(pages_cache_001),
         "exact_dedup_docs": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count "
@@ -1514,3 +1552,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang"
         ),
     }
+    # the incremental merge must equal the from-scratch pipeline run
+    # over the union corpus, so it shares that oracle verbatim
+    d["incremental_dedup_docs"] = d["dedup_docs_pipeline"]
+    return d

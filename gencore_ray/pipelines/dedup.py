@@ -75,6 +75,7 @@ def dedup_pages(
     cc_mode: str = "auto",            # "auto" | "driver" | "distributed"
     checkpoint_dir: str | None = None,
     cc_driver_max_edges: int = 5_000_000,
+    state_dir: str | None = None,     # persist sig+clusters for incremental_dedup
 ) -> DedupResult:
     """Full near-dup detection + clustering + representative election."""
     cfg = cfg or DedupConfig()
@@ -343,6 +344,12 @@ def dedup_pages(
         ).to_pandas()
         hist = dict(zip(hdf["cluster_size"].astype(int), hdf["n"].astype(int)))
         ckpt.write_report(counters, histogram=hist)
+    if state_dir is not None:
+        # durable incremental state (pipelines/incremental.py): full
+        # signature table + the UNFILTERED clusters table
+        from gencore_ray.pipelines.incremental import save_state
+
+        save_state(state_dir, sig, clusters, cfg)
     if cfg.min_cluster_size > 1:
         n = cfg.min_cluster_size
         clusters = clusters.filter(expr=f"cluster_size >= {n}")

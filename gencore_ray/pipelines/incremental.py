@@ -1,0 +1,300 @@
+"""Incremental dedup: fold a NEW batch of pages into a prior run's
+cluster state without re-shuffling the prior corpus.
+
+This is the production daily-crawl pattern: yesterday's 10^12-doc
+corpus is already deduplicated; today's 10^8-doc crawl must be merged
+into it. gencore's analogue is the incremental cluster flush — only
+the active window of clusters stays live while the stream advances
+(/root/reference/src/gencore.cpp:319-389); our durable state dir is
+that window made persistent across runs.
+
+State layout (written by ``dedup_pages(..., state_dir=)`` or
+:func:`save_state`)::
+
+    state_dir/state.json            cfg fingerprint + row counts
+    state_dir/signatures/*.parquet  full signature table (append-only)
+    state_dir/clusters/*.parquet    current clusters table
+
+Scale contract — the incremental run never re-shuffles the old corpus:
+
+* old signatures are read with COLUMN PRUNING (4 key columns for the
+  explode, the slim 5-column projection for verify);
+* old exploded bucket keys are filtered by a Bloom filter of the NEW
+  batch's keys BEFORE the bucket exchange, so only buckets a new doc
+  touches ever move;
+* the old slim verify payload (tshash, ~2 KB/doc) is filtered by a
+  Bloom of the candidate-pair doc hashes — it ships only for docs that
+  actually appear in a candidate pair;
+* old-old pairs are never generated (``nw`` flag in the pairing
+  kernel): prior connectivity enters CC as star edges
+  (member -> prior cluster_id) for the AFFECTED clusters only.
+
+Equality: the merged cluster table equals a from-scratch
+``dedup_pages`` run over old+new (tested in
+tests/test_incremental.py), provided (a) urls are disjoint between
+batches (a re-crawl of the same url is an update, not an insert — out
+of scope here) and (b) no bucket crosses ``bucket_hard_cap`` between
+the two runs (neighbor-link pairing inside over-cap buckets depends on
+bucket membership).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from gencore_ray.config import DedupConfig
+from gencore_ray.functions.hashing import U64
+from gencore_ray.pipelines.dedup import DedupResult, compute_signatures
+from gencore_ray.stages.cc import driver_cc
+from gencore_ray.stages.elect import elect_representatives
+from gencore_ray.stages.lsh import _pairs_in_partition, explode_keys
+from gencore_ray.stages.verify import _SLIM_COLS, _bloom_add, _bloom_test, _BLOOM_WORDS
+from gencore_ray.stages.shuffle import grouped_map
+
+_EXPLODE_COLS = ["uhash", "simhash", "band_key", "ckeys"]
+_FEATURE_COLS = ["url", "warc_ts", "text_len", "quality"]
+_CLUSTER_COLS = _FEATURE_COLS + [
+    "cluster_id", "cluster_size", "is_representative", "rep_score",
+]
+
+
+def save_state(state_dir: str, sig: rd.Dataset, clusters: rd.Dataset,
+               cfg: DedupConfig) -> None:
+    """Persist a run's signature + cluster tables as incremental state."""
+    os.makedirs(state_dir, exist_ok=True)
+    sig.write_parquet(os.path.join(state_dir, "signatures"))
+    clusters.write_parquet(os.path.join(state_dir, "clusters"))
+    with open(os.path.join(state_dir, "state.json"), "w") as f:
+        json.dump({"cfg_fingerprint": cfg.fingerprint(),
+                   "pages": clusters.count()}, f)
+
+
+def _load_state_meta(state_dir: str, cfg: DedupConfig) -> dict:
+    path = os.path.join(state_dir, "state.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no incremental state at {state_dir} (run dedup_pages with "
+            "state_dir= first, or call save_state)"
+        )
+    with open(path) as f:
+        meta = json.load(f)
+    if meta["cfg_fingerprint"] != cfg.fingerprint():
+        raise ValueError(
+            "incremental state was built with a different DedupConfig — "
+            "signatures are not comparable; re-bootstrap the state"
+        )
+    return meta
+
+
+def _dataset_bloom(ds: rd.Dataset, col: str) -> np.ndarray:
+    """OR-reduced Bloom bitmap of one uint64 column (2 MB fixed)."""
+    def _b(t: pa.Table) -> pa.Table:
+        h = t[col].to_numpy(zero_copy_only=False).astype(U64)
+        return pa.table({"bloom": pa.array([_bloom_add(h).tobytes()], pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(
+        _b, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()["bloom"]
+    bits = np.zeros(_BLOOM_WORDS, dtype=U64)
+    for b in parts:
+        bits |= np.frombuffer(b, dtype=U64)
+    return bits
+
+
+def incremental_dedup(
+    new_pages: rd.Dataset,
+    state_dir: str,
+    cfg: DedupConfig | None = None,
+    extract_html: bool = False,
+    update_state: bool = True,
+) -> DedupResult:
+    """Merge a new page batch into prior dedup state.
+
+    Returns the UPDATED full clusters table (prior rows of untouched
+    clusters pass through byte-identical; affected clusters and all
+    new docs are re-labelled and re-elected). With ``update_state``
+    the state dir is advanced to reflect the merge (new signatures
+    appended; clusters dir atomically replaced).
+    """
+    cfg = cfg or DedupConfig()
+    meta = _load_state_meta(state_dir, cfg)
+    sig_dir = os.path.join(state_dir, "signatures")
+    cl_dir = os.path.join(state_dir, "clusters")
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    P = cfg.pair_num_partitions or ncpu
+    counters: dict[str, int] = {"prior_pages": int(meta.get("pages", 0))}
+
+    new_sig = compute_signatures(new_pages, cfg, extract_html).materialize()
+    counters["new_pages_in"] = new_sig.count()
+
+    # --- candidate pairs touching >=1 new doc ----------------------
+    sim_on = cfg.simhash_enabled
+
+    def _explode_new(t: pa.Table) -> pa.Table:
+        out = explode_keys(t, include_simhash_keys=sim_on)
+        return out.append_column("nw", pa.array(np.ones(out.num_rows, dtype=bool)))
+
+    new_expl = new_sig.map_batches(
+        _explode_new, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # Bloom of the new batch's bucket keys: old exploded rows pass the
+    # exchange only if their bucket may contain a new doc (FPs just add
+    # harmless rows — pairing still requires a real shared key).
+    key_bloom_ref = ray.put(_dataset_bloom(new_expl, "bkey"))
+
+    def _explode_old(t: pa.Table) -> pa.Table:
+        out = explode_keys(t, include_simhash_keys=sim_on)
+        bl = ray.get(key_bloom_ref)
+        k = out["bkey"].to_numpy(zero_copy_only=False).astype(U64)
+        out = out.take(pa.array(np.flatnonzero(_bloom_test(bl, k))))
+        return out.append_column("nw", pa.array(np.zeros(out.num_rows, dtype=bool)))
+
+    old_expl = rd.read_parquet(sig_dir, columns=_EXPLODE_COLS).map_batches(
+        _explode_old, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = grouped_map(
+        new_expl.union(old_expl), "bkey",
+        lambda df: _pairs_in_partition(df, cfg), num_parts=P,
+    ).materialize()
+    counters["candidate_pairs"] = pairs.count()
+
+    # --- verify ------------------------------------------------------
+    # slim payload: new docs fully, old docs only if a pair references
+    # them (Bloom of pair doc hashes — same trade as the multi-node
+    # verify prefilter, but here it is what keeps the increment O(new))
+    from gencore_ray.stages.verify import verified_edges
+
+    if counters["candidate_pairs"]:
+        doc_bloom = np.zeros(_BLOOM_WORDS, dtype=U64)
+        for colname in ("ha", "hb"):
+            doc_bloom |= _dataset_bloom(pairs, colname)
+        doc_bloom_ref = ray.put(doc_bloom)
+
+        def _filter_old_slim(t: pa.Table) -> pa.Table:
+            bl = ray.get(doc_bloom_ref)
+            uh = t["uhash"].to_numpy(zero_copy_only=False).astype(U64)
+            return t.take(pa.array(np.flatnonzero(_bloom_test(bl, uh))))
+
+        old_slim = rd.read_parquet(sig_dir, columns=_SLIM_COLS).map_batches(
+            _filter_old_slim, batch_format="pyarrow", zero_copy_batch=True
+        )
+        slim = new_sig.select_columns(_SLIM_COLS).union(old_slim)
+        edges = verified_edges(pairs, slim, cfg).materialize()
+        edf = edges.select_columns(["url_a", "url_b"]).to_pandas()
+    else:
+        edf = None
+    if edf is None or "url_a" not in edf.columns:   # zero verified edges
+        edf = pd.DataFrame({"url_a": pd.Series(dtype=str),
+                            "url_b": pd.Series(dtype=str)})
+    counters["new_edges"] = len(edf)
+
+    # --- affected prior clusters ------------------------------------
+    prior = rd.read_parquet(cl_dir)
+    # feature columns present in BOTH the prior state and the new batch
+    # (warc_ts is optional in the pages schema); the output schema
+    # follows the state
+    feat_cols = [c for c in _FEATURE_COLS
+                 if c in prior.columns() and c in new_sig.columns()]
+    cluster_cols = feat_cols + [
+        "cluster_id", "cluster_size", "is_representative", "rep_score",
+    ]
+    edge_urls = set(edf["url_a"]) | set(edf["url_b"])
+    urls_ref = ray.put(edge_urls)
+
+    def _touched_cids(t: pa.Table) -> pa.Table:
+        us = ray.get(urls_ref)
+        mask = t["url"].to_pandas().isin(us).to_numpy()
+        return pa.table({
+            "cluster_id": pa.array(
+                pd.unique(t["cluster_id"].to_pandas()[mask]), pa.string())
+        })
+
+    if edge_urls:
+        aff_cids = set(
+            prior.map_batches(_touched_cids, batch_format="pyarrow")
+            .to_pandas()["cluster_id"]
+        )
+    else:
+        aff_cids = set()
+    counters["affected_clusters"] = len(aff_cids)
+    cids_ref = ray.put(aff_cids)
+
+    def _split(t: pa.Table, affected: bool) -> pa.Table:
+        cs = ray.get(cids_ref)
+        mask = t["cluster_id"].to_pandas().isin(cs).to_numpy()
+        if not affected:
+            mask = ~mask
+        return t.take(pa.array(np.flatnonzero(mask)))
+
+    aff = prior.map_batches(
+        lambda t: _split(t, True), batch_format="pyarrow"
+    ).materialize() if aff_cids else None
+
+    # --- connected components over new edges + prior star edges -----
+    star = (
+        aff.select_columns(["url", "cluster_id"]).to_pandas()
+        if aff is not None else pd.DataFrame({"url": [], "cluster_id": []})
+    )
+    cc_edges = pa.table({
+        "url_a": pa.array(
+            list(edf["url_a"]) + list(star["url"]), pa.string()),
+        "url_b": pa.array(
+            list(edf["url_b"]) + list(star["cluster_id"]), pa.string()),
+    })
+    label_map = driver_cc(rd.from_arrow(cc_edges)) if cc_edges.num_rows else {}
+    map_ref = ray.put(label_map)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        urls = t["url"].to_pandas()
+        lab = urls.map(m).fillna(urls)
+        return t.append_column("cluster_id", pa.array(lab, pa.string()))
+
+    members = new_sig.select_columns(feat_cols).map_batches(
+        _assign, batch_format="pyarrow"
+    )
+    if aff is not None:
+        aff_members = aff.select_columns(feat_cols).map_batches(
+            _assign, batch_format="pyarrow"
+        )
+        members = members.union(aff_members)
+    updated = elect_representatives(members, cfg, num_parts=ncpu)
+    updated = updated.select_columns(cluster_cols)
+
+    untouched = prior.map_batches(
+        lambda t: _split(t, False), batch_format="pyarrow"
+    ).select_columns(cluster_cols)
+    clusters = updated.union(untouched).materialize()
+    counters["pages_out"] = clusters.count()
+
+    if update_state:
+        new_sig.write_parquet(sig_dir)  # unique file names -> append
+        tmp = cl_dir + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        clusters.write_parquet(tmp)
+        import shutil
+
+        old = cl_dir + ".old"
+        os.rename(cl_dir, old)
+        os.rename(tmp, cl_dir)
+        shutil.rmtree(old)
+        with open(os.path.join(state_dir, "state.json"), "w") as f:
+            json.dump({"cfg_fingerprint": cfg.fingerprint(),
+                       "pages": counters["pages_out"]}, f)
+
+    if cfg.min_cluster_size > 1:
+        clusters = clusters.filter(
+            expr=f"cluster_size >= {cfg.min_cluster_size}"
+        )
+    return DedupResult(clusters=clusters, counters=counters)

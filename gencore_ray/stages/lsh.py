@@ -161,6 +161,9 @@ def _pairs_in_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     bkey = df["bkey"].to_numpy().astype(np.uint64)
     uhash = df["uh"].to_numpy().astype(np.uint64)
     sort32 = df["sort32"].to_numpy().astype(np.uint32)
+    # optional new/old flag (incremental dedup): pairs where BOTH sides
+    # are old are skipped — prior connectivity is already in the state
+    nw = df["nw"].to_numpy().astype(bool) if "nw" in df.columns else None
 
     # pure uint64 path: docs are their uhash here; urls rejoin later.
     # TWO-key lexsort only — (bkey, uhash) gives bucket runs plus the
@@ -170,12 +173,16 @@ def _pairs_in_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
     # this stage is memory-bandwidth-bound at full concurrency).
     order = np.lexsort((uhash, bkey))
     bkey, sort32, uhash = bkey[order], sort32[order], uhash[order]
+    if nw is not None:
+        nw = nw[order]
     # drop duplicate (bkey, doc) membership (one doc can reach a bucket
     # through several key sources): consecutive after the sort
     dup = np.r_[False, (bkey[1:] == bkey[:-1]) & (uhash[1:] == uhash[:-1])]
     if dup.any():
         keepm = ~dup
         bkey, sort32, uhash = bkey[keepm], sort32[keepm], uhash[keepm]
+        if nw is not None:
+            nw = nw[keepm]
     # bucket boundaries
     starts = np.flatnonzero(np.r_[True, bkey[1:] != bkey[:-1]])
     sizes = np.diff(np.r_[starts, len(bkey)])
@@ -211,6 +218,11 @@ def _pairs_in_partition(df: pd.DataFrame, cfg: DedupConfig) -> pd.DataFrame:
         return empty
     ia = np.concatenate(ia_parts)
     ib = np.concatenate(ib_parts)
+    if nw is not None:
+        want = nw[ia] | nw[ib]           # >=1 new member, else already known
+        ia, ib = ia[want], ib[want]
+        if not len(ia):
+            return empty
     a, b = uhash[ia], uhash[ib]
     swap = a > b
     a2 = np.where(swap, b, a)
