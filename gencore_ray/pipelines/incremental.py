@@ -131,8 +131,22 @@ def incremental_dedup(
     P = cfg.pair_num_partitions or ncpu
     counters: dict[str, int] = {"prior_pages": int(meta.get("pages", 0))}
 
+    import sys
+    import time
+
+    _timing = os.environ.get("GENCORE_TIMING")
+    _t0 = time.monotonic()
+
+    def _t(label: str) -> None:
+        nonlocal _t0
+        if _timing:
+            now = time.monotonic()
+            print(f"[inc-timing] {label}: {now - _t0:.2f}s", file=sys.stderr)
+            _t0 = now
+
     new_sig = compute_signatures(new_pages, cfg, extract_html).materialize()
     counters["new_pages_in"] = new_sig.count()
+    _t("new_signatures")
 
     # --- candidate pairs touching >=1 new doc ----------------------
     sim_on = cfg.simhash_enabled
@@ -149,6 +163,7 @@ def incremental_dedup(
     # exchange only if their bucket may contain a new doc (FPs just add
     # harmless rows — pairing still requires a real shared key).
     key_bloom_ref = ray.put(_dataset_bloom(new_expl, "bkey"))
+    _t("new_explode+key_bloom")
 
     def _explode_old(t: pa.Table) -> pa.Table:
         out = explode_keys(t, include_simhash_keys=sim_on)
@@ -165,6 +180,7 @@ def incremental_dedup(
         lambda df: _pairs_in_partition(df, cfg), num_parts=P,
     ).materialize()
     counters["candidate_pairs"] = pairs.count()
+    _t("old_explode+pairing")
 
     # --- verify ------------------------------------------------------
     # slim payload: new docs fully, old docs only if a pair references
@@ -173,9 +189,22 @@ def incremental_dedup(
     from gencore_ray.stages.verify import verified_edges
 
     if counters["candidate_pairs"]:
+        # one pass builds the Bloom over BOTH pair columns
+        def _pair_bloom(t: pa.Table) -> pa.Table:
+            both = np.concatenate([
+                t["ha"].to_numpy(zero_copy_only=False),
+                t["hb"].to_numpy(zero_copy_only=False),
+            ]).astype(U64)
+            return pa.table(
+                {"bloom": pa.array([_bloom_add(both).tobytes()], pa.binary())}
+            )
+
+        parts = pairs.select_columns(["ha", "hb"]).map_batches(
+            _pair_bloom, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()["bloom"]
         doc_bloom = np.zeros(_BLOOM_WORDS, dtype=U64)
-        for colname in ("ha", "hb"):
-            doc_bloom |= _dataset_bloom(pairs, colname)
+        for b in parts:
+            doc_bloom |= np.frombuffer(b, dtype=U64)
         doc_bloom_ref = ray.put(doc_bloom)
 
         def _filter_old_slim(t: pa.Table) -> pa.Table:
@@ -187,8 +216,10 @@ def incremental_dedup(
             _filter_old_slim, batch_format="pyarrow", zero_copy_batch=True
         )
         slim = new_sig.select_columns(_SLIM_COLS).union(old_slim)
+        _t("pair_doc_bloom")
         edges = verified_edges(pairs, slim, cfg).materialize()
         edf = edges.select_columns(["url_a", "url_b"]).to_pandas()
+        _t("verify")
     else:
         edf = None
     if edf is None or "url_a" not in edf.columns:   # zero verified edges
@@ -225,6 +256,7 @@ def incremental_dedup(
     else:
         aff_cids = set()
     counters["affected_clusters"] = len(aff_cids)
+    _t("affected_scan")
     cids_ref = ray.put(aff_cids)
 
     def _split(t: pa.Table, affected: bool) -> pa.Table:
@@ -272,8 +304,15 @@ def incremental_dedup(
     untouched = prior.map_batches(
         lambda t: _split(t, False), batch_format="pyarrow"
     ).select_columns(cluster_cols)
-    clusters = updated.union(untouched).materialize()
-    counters["pages_out"] = clusters.count()
+    clusters = updated.union(untouched)
+    if update_state:
+        clusters = clusters.materialize()
+        counters["pages_out"] = clusters.count()
+    else:
+        # nothing is ever dropped by a merge: arithmetic beats a full
+        # count() pass over the (mostly untouched) union
+        counters["pages_out"] = counters["prior_pages"] + counters["new_pages_in"]
+    _t("cc+elect+assemble")
 
     if update_state:
         new_sig.write_parquet(sig_dir)  # unique file names -> append
