@@ -363,6 +363,107 @@ def _q_incremental_dedup_docs(sf_dir: str):
         shutil.rmtree(sd, ignore_errors=True)
 
 
+def _q_benchmark_contamination(sf_dir: str):
+    """Training-data decontamination (ops/decontam.py): docs sharing a
+    verbatim 5-gram shingle with a held-out benchmark slice (doc_id %
+    29 == 0) are flagged with their distinct-shingle overlap count.
+    Broadcast membership test — the benchmark hash set ships once via
+    ray.put; no shuffle touches the corpus."""
+    from gencore_ray.ops.decontam import contamination_check
+
+    import numpy as np
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _mod_split(t: pa.Table, is_bench: bool) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = (did % 29 == 0) == is_bench
+        return t.take(pa.array(np.flatnonzero(m)))
+
+    bench = docs.map_batches(
+        lambda t: _mod_split(t, True), batch_format="pyarrow"
+    )
+    corpus = docs.map_batches(
+        lambda t: _mod_split(t, False), batch_format="pyarrow"
+    )
+    return contamination_check(corpus, bench)
+
+
+def _q_url_canonical_dedup(sf_dir: str):
+    """URL-variant dedup (ops/urltools.py): messy url spellings —
+    scheme/host case, www., default :80 port, utm params, fragments,
+    trailing slashes — derived deterministically from doc_id, then
+    collapsed by the RE2-safe canonicalisation chain. The oracle
+    replays the exact rule chain with regexp_replace."""
+    import numpy as np
+
+    from gencore_ray.ops.urltools import url_variant_dedup
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = []
+        for di in d.tolist():
+            pi = di % 97
+            scheme = "http" if di % 2 == 0 else "HTTP"
+            www = "WWW." if di % 3 == 0 else ""
+            port = ":80" if di % 4 == 0 else ""
+            slash = "/" if di % 5 == 0 else ""
+            q = f"?utm_source=feed&id={pi}" if di % 6 == 0 else f"?id={pi}"
+            frag = "#top" if di % 7 == 0 else ""
+            urls.append(
+                f"{scheme}://{www}Site-{pi % 10}.Example{port}/a/{pi}{slash}{q}{frag}"
+            )
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    return url_variant_dedup(docs.map_batches(_mk, batch_format="pyarrow"))
+
+
+def _q_pages_domain_stats(sf_dir: str):
+    """Per-host crawl profile over the pages corpus (ops/urltools.py):
+    domain extraction + pre-aggregated grouped stats."""
+    import ray.data as rd
+
+    from gencore_ray.ops.urltools import domain_stats
+
+    cache = _pages_cache(sf_dir)
+    pages = rd.read_parquet(f"{cache}/pages.parquet", columns=["url", "text"])
+    return _round_cols(domain_stats(pages), {"avg_chars": 6})
+
+
+def _q_pii_redaction(sf_dir: str):
+    """PII scrub (functions/redact.py): a deterministic contact line
+    (email + IPv4 + intl phone derived from doc_id) is appended to
+    each doc, then redacted to typed tags; flags are computed on the
+    pre-redaction text. The oracle replays the exact regex chain with
+    regexp_replace/regexp_matches (patterns are RE2-safe and
+    ASCII-explicit so both engines agree)."""
+    from gencore_ray.functions.redact import redact_pii
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _aug_redact(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_pylist()
+        texts = [
+            f"{x or ''} contact user{d}@mail-{d % 7}.example.org or "
+            f"10.{d % 200}.{d % 97}.{d % 251} phone +1555{d:07d}"
+            for d, x in zip(did, t["text"].to_pylist())
+        ]
+        clean, flags = redact_pii(texts)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clean_text": pa.array(list(clean), pa.string()),
+            "has_email": pa.array(flags["email"]),
+            "has_ip": pa.array(flags["ipv4"]),
+            "has_phone": pa.array(flags["phone"]),
+        })
+
+    return docs.map_batches(
+        _aug_redact, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_cluster_consensus(sf_dir: str):
     """G6 parity: one SYNTHESIZED record per cluster (gencore's
     quality-weighted consensus, /root/reference/src/group.cpp:320-526).
@@ -1018,6 +1119,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # engine-only (rows-only check)
         "dedup_docs_pipeline": _q_dedup_docs_pipeline,
         "incremental_dedup_docs": _q_incremental_dedup_docs,
+        "benchmark_contamination": _q_benchmark_contamination,
+        "url_canonical_dedup": _q_url_canonical_dedup,
+        "pages_domain_stats": _q_pages_domain_stats,
+        "pii_redaction": _q_pii_redaction,
         "pages_dedup_pipeline": _q_pages_dedup_pipeline,
         "pages_dedup_sql": _q_pages_dedup_sql,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1555,4 +1660,64 @@ def oracle_sql() -> dict[str, str]:
     # the incremental merge must equal the from-scratch pipeline run
     # over the union corpus, so it shares that oracle verbatim
     d["incremental_dedup_docs"] = d["dedup_docs_pipeline"]
+    d["url_canonical_dedup"] = (
+        "WITH raw AS (SELECT doc_id, "
+        "(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTP' END) || '://' || "
+        "(CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) || "
+        "'Site-' || ((doc_id % 97) % 10) || '.Example' || "
+        "(CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END) || "
+        "'/a/' || (doc_id % 97) || "
+        "(CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) || "
+        "(CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&id=' || (doc_id % 97) "
+        "ELSE '?id=' || (doc_id % 97) END) || "
+        "(CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url FROM documents), "
+        "c1 AS (SELECT url, regexp_replace(url, '#.*$', '') AS u FROM raw), "
+        "c2 AS (SELECT url, concat("
+        "lower(regexp_extract(u, '^[^:/?#]+://[^/?#]*')), "
+        "substr(u, length(regexp_extract(u, '^[^:/?#]+://[^/?#]*')) + 1)) AS u FROM c1), "
+        "c3 AS (SELECT url, regexp_replace(u, '://www\\.', '://') AS u FROM c2), "
+        "c4 AS (SELECT url, regexp_replace(regexp_replace(u, "
+        "'^(http://[^/?#:]*):80(/)', '\\1\\2'), "
+        "'^(https://[^/?#:]*):443(/)', '\\1\\2') AS u FROM c3), "
+        "c5 AS (SELECT url, regexp_replace(u, 'utm_[a-z_]+=[^&#]*&', '', 'g') AS u FROM c4), "
+        "c6 AS (SELECT url, regexp_replace(u, '[?&]utm_[a-z_]+=[^&#]*$', '') AS u FROM c5), "
+        "c7 AS (SELECT url, regexp_replace(regexp_replace(u, '/\\?', '?', 'g'), "
+        "'/$', '') AS u FROM c6) "
+        "SELECT u AS canonical_url, count(*) AS n_variants, "
+        "min(url) AS first_url FROM c7 GROUP BY u"
+    )
+    d["pages_domain_stats"] = (
+        "WITH p AS (SELECT url, text FROM read_parquet('"
+        + pages_cache_001 + "/pages.parquet')) "
+        "SELECT regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) "
+        "AS domain, count(*) AS n_pages, "
+        "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+        "round(avg(length(text)), 6) AS avg_chars "
+        "FROM p GROUP BY 1"
+    )
+    d["pii_redaction"] = (
+        "WITH aug AS (SELECT doc_id, "
+        "coalesce(text, '') || ' contact user' || doc_id || '@mail-' || "
+        "(doc_id % 7) || '.example.org or 10.' || (doc_id % 200) || '.' || "
+        "(doc_id % 97) || '.' || (doc_id % 251) || ' phone +1555' || "
+        "lpad(CAST(doc_id AS VARCHAR), 7, '0') AS t FROM documents) "
+        "SELECT doc_id, "
+        "regexp_replace(regexp_replace(regexp_replace(t, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'), "
+        "'\\+[0-9]{7,15}', '<PHONE>', 'g') AS clean_text, "
+        "regexp_matches(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS has_email, "
+        "regexp_matches(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b') AS has_ip, "
+        "regexp_matches(t, '\\+[0-9]{7,15}') AS has_phone "
+        "FROM aug"
+    )
+    d["benchmark_contamination"] = (
+        "WITH " + _SHINGLE_CTE + ", "
+        "bench AS (SELECT DISTINCT g FROM s WHERE doc_id % 29 = 0), "
+        "hits AS (SELECT s.doc_id, count(*) AS n_shared "
+        "FROM s JOIN bench USING (g) WHERE s.doc_id % 29 <> 0 "
+        "GROUP BY s.doc_id) "
+        "SELECT h.doc_id, sz AS n_shingles, n_shared "
+        "FROM hits h JOIN sizes ON sizes.doc_id = h.doc_id"
+    )
     return d
