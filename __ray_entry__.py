@@ -464,6 +464,27 @@ def _q_pii_redaction(sf_dir: str):
     )
 
 
+def _q_mixture_token_sample(sf_dir: str):
+    """Training-mixture sampling (ops/packing.py): per source, take
+    docs in deterministic multiplicative-hash order until the source's
+    running token count reaches 20k — reproducible by any engine, no
+    RNG state."""
+    from gencore_ray.ops.packing import token_budget_sample
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source", "text"])
+    return token_budget_sample(docs, budget_tokens=20_000)
+
+
+def _q_sequence_packing(sf_dir: str):
+    """GPT-style concat-and-chunk packing (ops/packing.py): global
+    token offsets via a distributed prefix sum, then 2048-token chunk
+    spans per doc."""
+    from gencore_ray.ops.packing import pack_sequences
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return pack_sequences(docs, seq_len=2048)
+
+
 def _q_cluster_consensus(sf_dir: str):
     """G6 parity: one SYNTHESIZED record per cluster (gencore's
     quality-weighted consensus, /root/reference/src/group.cpp:320-526).
@@ -1123,6 +1144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "pages_domain_stats": _q_pages_domain_stats,
         "pii_redaction": _q_pii_redaction,
+        "mixture_token_sample": _q_mixture_token_sample,
+        "sequence_packing": _q_sequence_packing,
         "pages_dedup_pipeline": _q_pages_dedup_pipeline,
         "pages_dedup_sql": _q_pages_dedup_sql,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1710,6 +1733,31 @@ def oracle_sql() -> dict[str, str]:
         "regexp_matches(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b') AS has_ip, "
         "regexp_matches(t, '\\+[0-9]{7,15}') AS has_phone "
         "FROM aug"
+    )
+    d["mixture_token_sample"] = (
+        "WITH t AS (SELECT source, doc_id, "
+        "len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens "
+        "FROM documents), "
+        "w AS (SELECT source, doc_id, n_tokens, "
+        "coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY "
+        "((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761) % 4294967296, "
+        "doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS before FROM t) "
+        "SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens "
+        "FROM w WHERE before < 20000"
+    )
+    d["sequence_packing"] = (
+        "WITH t AS (SELECT doc_id, "
+        "len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens "
+        "FROM documents), "
+        "w AS (SELECT doc_id, n_tokens, "
+        "coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so FROM t) "
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(so AS BIGINT) AS start_offset, "
+        "CAST(so // 2048 AS BIGINT) AS first_chunk, "
+        "CAST((CASE WHEN n_tokens = 0 THEN so ELSE so + n_tokens - 1 END) "
+        "// 2048 AS BIGINT) AS last_chunk FROM w"
     )
     d["benchmark_contamination"] = (
         "WITH " + _SHINGLE_CTE + ", "

@@ -109,3 +109,70 @@ def test_url_variant_dedup_collapses(ray_session):
         "HTTP://WWW.A.Example:80/p?id=1#frag"
     )
     assert out.loc["https://b.example/q", "n_variants"] == 1
+
+
+# --- mixture sampling + sequence packing (ops/packing.py) ------------
+
+def _tok_count(s):
+    import re
+    return len(re.findall(r"[a-z0-9_]+", s.lower()))
+
+
+def test_token_budget_sample_semantics(ray_session):
+    from gencore_ray.ops.packing import token_budget_sample
+
+    rng = np.random.default_rng(3)
+    n = 120
+    texts = [" ".join(f"w{rng.integers(0, 50)}" for _ in range(int(rng.integers(5, 40))))
+             for _ in range(n)]
+    tbl = pa.table({
+        "doc_id": list(range(n)),
+        "source": [f"s{i % 3}" for i in range(n)],
+        "text": texts,
+    })
+    budget = 200
+    out = token_budget_sample(
+        rd.from_arrow(tbl), budget_tokens=budget, num_parts=4
+    ).to_pandas()
+
+    # reference: per-source hash order, exclusive cumsum < budget
+    import pandas as pd
+    ref = pd.DataFrame({
+        "doc_id": range(n),
+        "source": [f"s{i % 3}" for i in range(n)],
+        "n_tokens": [_tok_count(t) for t in texts],
+    })
+    h = ((ref["doc_id"].to_numpy().astype(np.uint64) % np.uint64(1 << 32))
+         * np.uint64(2654435761)) % np.uint64(1 << 32)
+    ref = ref.assign(_h=h).sort_values(["_h", "doc_id"], kind="mergesort")
+    before = ref.groupby("source", sort=False)["n_tokens"].cumsum() - ref["n_tokens"]
+    want = set(ref[before < budget]["doc_id"])
+    assert set(out["doc_id"]) == want
+    # each source lands within one doc of its budget
+    per_src = out.groupby("source")["n_tokens"].sum()
+    max_doc = out.groupby("source")["n_tokens"].max()
+    assert ((per_src < budget + max_doc) & (per_src > 0)).all()
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    from gencore_ray.ops.packing import pack_sequences
+
+    rng = np.random.default_rng(4)
+    n = 200
+    # non-contiguous sparse ids: the range partitioner must not care
+    ids = sorted(rng.choice(100_000, size=n, replace=False).tolist())
+    texts = [" ".join("tok" for _ in range(int(rng.integers(0, 30)))) for _ in range(n)]
+    tbl = pa.table({"doc_id": ids, "text": texts})
+    L = 64
+    for parts in (3, 7):
+        out = pack_sequences(
+            rd.from_arrow(tbl), seq_len=L, num_parts=parts
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        ntok = np.array([_tok_count(t) for t in texts])
+        want_start = np.concatenate([[0], ntok[:-1].cumsum()])
+        assert (out["doc_id"].to_numpy() == np.array(ids)).all()
+        assert (out["n_tokens"].to_numpy() == ntok).all()
+        assert (out["start_offset"].to_numpy() == want_start).all()
+        assert (out["first_chunk"].to_numpy() == want_start // L).all()
+        last_tok = np.where(ntok == 0, want_start, want_start + ntok - 1)
+        assert (out["last_chunk"].to_numpy() == last_tok // L).all()
