@@ -9,11 +9,17 @@ the active window of clusters stays live while the stream advances
 that window made persistent across runs.
 
 State layout (written by ``dedup_pages(..., state_dir=)`` or
-:func:`save_state`)::
+:func:`save_state`) — VERSIONED, with ``state.json`` as the atomic
+commit point (os.replace); readers resolve every path through it, so a
+crash mid-merge leaves at worst unlisted orphan dirs and the prior
+state fully consistent::
 
-    state_dir/state.json            cfg fingerprint + row counts
-    state_dir/signatures/*.parquet  full signature table (append-only)
-    state_dir/clusters/*.parquet    current clusters table
+    state_dir/state.json                     commit point: cfg
+                                             fingerprint, page count,
+                                             sig batch list, current
+                                             clusters dir name
+    state_dir/signatures/batch-NNNNNN/*.parquet   one dir per merged batch
+    state_dir/clusters-NNNNNN/*.parquet           current clusters table
 
 Scale contract — the incremental run never re-shuffles the old corpus:
 
@@ -65,15 +71,40 @@ _CLUSTER_COLS = _FEATURE_COLS + [
 ]
 
 
+def _commit_state(state_dir: str, meta: dict) -> None:
+    """state.json is the COMMIT POINT: it is replaced atomically
+    (os.replace) and every reader resolves sig batches / clusters
+    through it, so a crash at any earlier point leaves only unlisted
+    orphan dirs — the prior state stays fully consistent."""
+    tmp = os.path.join(state_dir, "state.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(state_dir, "state.json"))
+
+
 def save_state(state_dir: str, sig: rd.Dataset, clusters: rd.Dataset,
                cfg: DedupConfig) -> None:
-    """Persist a run's signature + cluster tables as incremental state."""
-    os.makedirs(state_dir, exist_ok=True)
-    sig.write_parquet(os.path.join(state_dir, "signatures"))
-    clusters.write_parquet(os.path.join(state_dir, "clusters"))
-    with open(os.path.join(state_dir, "state.json"), "w") as f:
-        json.dump({"cfg_fingerprint": cfg.fingerprint(),
-                   "pages": clusters.count()}, f)
+    """Persist a run's signature + cluster tables as incremental state
+    (versioned layout: signatures/batch-NNNNNN dirs + clusters-NNNNNN,
+    resolved through the atomically-committed state.json)."""
+    import shutil
+
+    os.makedirs(os.path.join(state_dir, "signatures"), exist_ok=True)
+    # target dirs are unlisted (orphans from a crashed run at worst):
+    # clear them so no stale file rides into the committed batch
+    b0 = os.path.join(state_dir, "signatures", "batch-000000")
+    c0 = os.path.join(state_dir, "clusters-000000")
+    shutil.rmtree(b0, ignore_errors=True)
+    shutil.rmtree(c0, ignore_errors=True)
+    sig.write_parquet(b0)
+    clusters.write_parquet(c0)
+    _commit_state(state_dir, {
+        "version": 1,
+        "cfg_fingerprint": cfg.fingerprint(),
+        "pages": clusters.count(),
+        "sig_batches": ["batch-000000"],
+        "clusters": "clusters-000000",
+    })
 
 
 def _load_state_meta(state_dir: str, cfg: DedupConfig) -> dict:
@@ -91,6 +122,19 @@ def _load_state_meta(state_dir: str, cfg: DedupConfig) -> dict:
             "signatures are not comparable; re-bootstrap the state"
         )
     return meta
+
+
+def _sig_paths(state_dir: str, meta: dict) -> list[str]:
+    """Parquet FILES of every committed signature batch (read_parquet
+    expands a single directory but not directories inside a list)."""
+    files: list[str] = []
+    for b in meta["sig_batches"]:
+        d = os.path.join(state_dir, "signatures", b)
+        files.extend(
+            os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        )
+    return files
 
 
 def _dataset_bloom(ds: rd.Dataset, col: str) -> np.ndarray:
@@ -125,8 +169,8 @@ def incremental_dedup(
     """
     cfg = cfg or DedupConfig()
     meta = _load_state_meta(state_dir, cfg)
-    sig_dir = os.path.join(state_dir, "signatures")
-    cl_dir = os.path.join(state_dir, "clusters")
+    sig_paths = _sig_paths(state_dir, meta)
+    cl_dir = os.path.join(state_dir, meta["clusters"])
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     P = cfg.pair_num_partitions or ncpu
     counters: dict[str, int] = {"prior_pages": int(meta.get("pages", 0))}
@@ -172,7 +216,7 @@ def incremental_dedup(
         out = out.take(pa.array(np.flatnonzero(_bloom_test(bl, k))))
         return out.append_column("nw", pa.array(np.zeros(out.num_rows, dtype=bool)))
 
-    old_expl = rd.read_parquet(sig_dir, columns=_EXPLODE_COLS).map_batches(
+    old_expl = rd.read_parquet(sig_paths, columns=_EXPLODE_COLS).map_batches(
         _explode_old, batch_format="pyarrow", zero_copy_batch=True
     )
     pairs = grouped_map(
@@ -212,7 +256,7 @@ def incremental_dedup(
             uh = t["uhash"].to_numpy(zero_copy_only=False).astype(U64)
             return t.take(pa.array(np.flatnonzero(_bloom_test(bl, uh))))
 
-        old_slim = rd.read_parquet(sig_dir, columns=_SLIM_COLS).map_batches(
+        old_slim = rd.read_parquet(sig_paths, columns=_SLIM_COLS).map_batches(
             _filter_old_slim, batch_format="pyarrow", zero_copy_batch=True
         )
         slim = new_sig.select_columns(_SLIM_COLS).union(old_slim)
@@ -315,22 +359,32 @@ def incremental_dedup(
     _t("cc+elect+assemble")
 
     if update_state:
-        new_sig.write_parquet(sig_dir)  # unique file names -> append
-        tmp = cl_dir + ".tmp"
-        if os.path.exists(tmp):
-            import shutil
-
-            shutil.rmtree(tmp)
-        clusters.write_parquet(tmp)
+        # versioned advance: write the new sig batch + clusters dir,
+        # THEN atomically commit state.json pointing at them; only
+        # after the commit is the superseded clusters dir removed.
+        # A crash at any point leaves the prior state fully usable
+        # (orphan unlisted dirs at worst).
         import shutil
 
-        old = cl_dir + ".old"
-        os.rename(cl_dir, old)
-        os.rename(tmp, cl_dir)
-        shutil.rmtree(old)
-        with open(os.path.join(state_dir, "state.json"), "w") as f:
-            json.dump({"cfg_fingerprint": cfg.fingerprint(),
-                       "pages": counters["pages_out"]}, f)
+        k = len(meta["sig_batches"])
+        batch_name = f"batch-{k:06d}"
+        clusters_name = f"clusters-{k:06d}"
+        bdir = os.path.join(state_dir, "signatures", batch_name)
+        cdir = os.path.join(state_dir, clusters_name)
+        # unlisted orphans (crashed prior attempt) must not leak stale
+        # files into the batch we are about to commit
+        shutil.rmtree(bdir, ignore_errors=True)
+        shutil.rmtree(cdir, ignore_errors=True)
+        new_sig.write_parquet(bdir)
+        clusters.write_parquet(cdir)
+        _commit_state(state_dir, {
+            "version": 1,
+            "cfg_fingerprint": cfg.fingerprint(),
+            "pages": counters["pages_out"],
+            "sig_batches": meta["sig_batches"] + [batch_name],
+            "clusters": clusters_name,
+        })
+        shutil.rmtree(cl_dir, ignore_errors=True)   # superseded
 
     if cfg.min_cluster_size > 1:
         clusters = clusters.filter(

@@ -123,3 +123,68 @@ def test_missing_state_rejected(split_corpus, tmp_path):
     _, _, new_t = split_corpus
     with pytest.raises(FileNotFoundError):
         incremental_dedup(rd.from_arrow(new_t), str(tmp_path / "nope"), CFG)
+
+
+def test_crashed_merge_leaves_prior_state_usable(split_corpus, tmp_path):
+    """A merge that died after writing data dirs but BEFORE the
+    state.json commit must be invisible: orphan dirs are ignored and
+    re-running the increment produces the correct result."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl, old_t, new_t = split_corpus
+    sd = str(tmp_path / "state5")
+    dedup_pages(rd.from_arrow(old_t), CFG, state_dir=sd)
+
+    # simulate the crash: orphan sig batch + orphan clusters dir exist
+    # on disk but state.json still points at the bootstrap state
+    orphan_sig = os.path.join(sd, "signatures", "batch-000001")
+    os.makedirs(orphan_sig)
+    pq.write_table(pa.table({"garbage": [1, 2, 3]}),
+                   os.path.join(orphan_sig, "part.parquet"))
+    os.makedirs(os.path.join(sd, "clusters-000001"))
+
+    full = _cluster_frame(dedup_pages(rd.from_arrow(tbl), CFG).clusters)
+    res = incremental_dedup(rd.from_arrow(new_t), sd, CFG)
+    inc = _cluster_frame(res.clusters)
+    assert (full["cluster_id"] == inc["cluster_id"]).all()
+    assert (full["is_representative"] == inc["is_representative"]).all()
+
+    # the successful merge committed OVER the orphan names
+    import json
+
+    meta = json.load(open(os.path.join(sd, "state.json")))
+    assert meta["sig_batches"] == ["batch-000000", "batch-000001"]
+    assert meta["clusters"] == "clusters-000001"
+    assert meta["pages"] == len(inc)
+
+
+def test_merge_over_orphans_is_clean(split_corpus, tmp_path):
+    """The committed batch must not inherit stale files from an orphan
+    dir of the same name: a SECOND merge (which reads every committed
+    batch) must succeed and stay correct."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl, _, _ = split_corpus
+    idx = np.arange(tbl.num_rows)
+    b0 = tbl.take([int(i) for i in idx if i % 3 == 0])
+    b1 = tbl.take([int(i) for i in idx if i % 3 == 1])
+    b2 = tbl.take([int(i) for i in idx if i % 3 == 2])
+
+    sd = str(tmp_path / "state6")
+    dedup_pages(rd.from_arrow(b0), CFG, state_dir=sd)
+    orphan = os.path.join(sd, "signatures", "batch-000001")
+    os.makedirs(orphan)
+    pq.write_table(pa.table({"garbage": [1]}),
+                   os.path.join(orphan, "stale.parquet"))
+
+    incremental_dedup(rd.from_arrow(b1), sd, CFG)   # commits batch-000001
+    res = incremental_dedup(rd.from_arrow(b2), sd, CFG)  # reads it back
+    full = _cluster_frame(dedup_pages(rd.from_arrow(tbl), CFG).clusters)
+    inc = _cluster_frame(res.clusters)
+    assert (full["cluster_id"] == inc["cluster_id"]).all()
