@@ -933,6 +933,16 @@ def _q_repetition_profile(sf_dir: str):
     return repetition_profile(_docs(sf_dir))
 
 
+def _q_corpus_filter(sf_dir: str):
+    """Gopher-rules pre-training corpus filter (Rae et al. 2021 §A1.1):
+    per-doc keep/drop verdict + first-failing-rule reason over token
+    count, mean word length, alnum ratio, duplicate-line fraction and
+    top-bigram fraction — one vectorized map, SQL-replayed exactly."""
+    from gencore_ray.ops.textstats import corpus_filter
+
+    return corpus_filter(_docs(sf_dir))
+
+
 def _q_multimodal_features(sf_dir: str):
     from gencore_ray.ops.multimodal import decode_media
 
@@ -1158,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "media_decode_real": _q_media_decode_real,
         "repetition_profile": _q_repetition_profile,
+        "corpus_filter": _q_corpus_filter,
         "events_asof_click": _q_events_asof_click,
         "events_lag_lead": _q_events_lag_lead,
         "doc_ranks_per_lang": _q_doc_ranks_per_lang,
@@ -1596,6 +1607,47 @@ def oracle_sql() -> dict[str, str]:
             "AS dup_line_frac, "
             "coalesce(round(agg.mx * 1.0 / agg.tot, 6), 0.0) AS top_bigram_frac "
             "FROM lc LEFT JOIN agg USING (doc_id)"
+        ),
+        "corpus_filter": (
+            # Gopher-rules filter: same signal definitions as
+            # repetition_profile / text_metrics, plus a first-failing-
+            # rule CASE chain in the engine's deterministic rule order.
+            "WITH t AS (SELECT doc_id, coalesce(text, '') AS text, "
+            "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS toks "
+            "FROM documents), "
+            "base AS (SELECT doc_id, "
+            "CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "round(length(array_to_string(toks, '')) * 1.0 "
+            "/ greatest(len(toks), 1), 6) AS mean_word_len, "
+            "round(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) * 1.0 "
+            "/ greatest(length(text), 1), 6) AS alnum_ratio FROM t), "
+            "l AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), "
+            "chr(10))) AS line FROM documents), "
+            "lc AS (SELECT doc_id, round((count(*) - count(DISTINCT line)) "
+            "* 1.0 / count(*), 6) AS dup_line_frac FROM l GROUP BY doc_id), "
+            "g AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], chr(31)) "
+            "FOR i IN generate_series(1, len(toks)-1)]) AS gram FROM t), "
+            "cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS tb "
+            "FROM cnt GROUP BY doc_id), "
+            "sig AS (SELECT base.doc_id, n_tokens, mean_word_len, alnum_ratio, "
+            "lc.dup_line_frac, coalesce(agg.tb, 0.0) AS top_bigram_frac "
+            "FROM base JOIN lc USING (doc_id) LEFT JOIN agg USING (doc_id)) "
+            "SELECT doc_id, "
+            "CASE WHEN n_tokens < 10 THEN 'too_few_tokens' "
+            "WHEN n_tokens > 100000 THEN 'too_many_tokens' "
+            "WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 "
+            "THEN 'mean_word_len' "
+            "WHEN alnum_ratio < 0.5 THEN 'alnum_ratio' "
+            "WHEN dup_line_frac > 0.3 THEN 'dup_lines' "
+            "WHEN top_bigram_frac > 0.2 THEN 'top_bigram' ELSE 'ok' END "
+            "AS reason, "
+            "(n_tokens >= 10 AND n_tokens <= 100000 "
+            "AND mean_word_len >= 2.0 AND mean_word_len <= 12.0 "
+            "AND alnum_ratio >= 0.5 AND dup_line_frac <= 0.3 "
+            "AND top_bigram_frac <= 0.2) AS keep, "
+            "n_tokens, mean_word_len, alnum_ratio, dup_line_frac, "
+            "top_bigram_frac FROM sig"
         ),
         "media_decode_real": (
             # expected decode output recomputed in closed form: pixels

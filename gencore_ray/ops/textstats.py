@@ -63,6 +63,66 @@ def text_stats(ds: rd.Dataset, text_col: str = "text", **kw) -> rd.Dataset:
     )
 
 
+def _round_half_away(x: np.ndarray, round_to: int) -> np.ndarray:
+    p = 10.0 ** round_to
+    return np.floor(x * p + 0.5) / p            # DuckDB round(): half-away
+
+
+def _repetition_signals(texts: list, round_to: int = 6):
+    """(n_lines, dup_line_frac, top_bigram_frac, TextFeatures) for one
+    batch — the shared vectorised core of repetition_profile and
+    corpus_filter. Lines are factorized per (doc, line) pair and
+    counted with segment sums; bigram counting runs on uint64 window
+    hashes of the token-hash stream (no gram strings)."""
+    import pandas as pd
+
+    from gencore_ray.functions.hashing import pow_array, splitmix64
+    from gencore_ray.functions.text import _POLY
+
+    powers2 = pow_array(_POLY, 2)
+    n = len(texts)
+    # --- duplicate-line fraction -----------------------------------
+    line_lists = [s.split("\n") for s in texts]
+    lens = np.fromiter(map(len, line_lists), dtype=np.int64, count=n)
+    doc_of = np.repeat(np.arange(n), lens)
+    from itertools import chain
+
+    flat = pd.factorize(
+        pd.Index(list(chain.from_iterable(line_lists)))
+    )[0]
+    # distinct (doc, line) pairs via lexsort + boundary count
+    o = np.lexsort((flat, doc_of))
+    d1, f1 = doc_of[o], flat[o]
+    uniq_mask = np.r_[True, (d1[1:] != d1[:-1]) | (f1[1:] != f1[:-1])]
+    n_uniq = np.bincount(d1[uniq_mask], minlength=n)
+    dup_frac = _round_half_away((lens - n_uniq) / np.maximum(lens, 1), round_to)
+
+    # --- top-bigram fraction (hash-counted) ------------------------
+    feats = TextFeatures(texts)
+    tlens = np.fromiter(map(len, feats.tok_hashes), dtype=np.int64, count=n)
+    top_frac = np.zeros(n, dtype=np.float64)
+    total = int(tlens.sum())
+    if total >= 2:
+        tflat = np.concatenate(feats.tok_hashes)
+        tdoc = np.repeat(np.arange(n), tlens)
+        win = np.lib.stride_tricks.sliding_window_view(tflat, 2)
+        with np.errstate(over="ignore"):
+            wh = splitmix64((win * powers2).sum(axis=1, dtype=U64))
+        valid = tdoc[: total - 1] == tdoc[1:]
+        wd, wh2 = tdoc[: total - 1][valid], wh[valid]
+        o2 = np.lexsort((wh2, wd))
+        d2, h2 = wd[o2], wh2[o2]
+        seg = np.r_[True, (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])]
+        starts = np.flatnonzero(seg)
+        counts = np.diff(np.r_[starts, len(d2)])
+        mx = np.zeros(n, dtype=np.int64)
+        np.maximum.at(mx, d2[starts], counts)
+        tot = np.bincount(wd, minlength=n)
+        has = tot > 0
+        top_frac[has] = _round_half_away(mx[has] / tot[has], round_to)
+    return lens, dup_frac, top_frac, feats
+
+
 def repetition_profile(
     ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
     round_to: int = 6,
@@ -77,68 +137,77 @@ def repetition_profile(
                            2-gram over all 2-gram occurrences (0.0 for
                            docs with fewer than 2 tokens)
 
-    One vectorised pass per batch: lines are factorized per (doc, line)
-    pair and counted with segment sums; bigram counting runs on uint64
-    window hashes of the token-hash stream (no gram strings).  All
-    fractions round half-away-from-zero to match the SQL oracle.
+    All fractions round half-away-from-zero to match the SQL oracle.
     """
-    from gencore_ray.functions.hashing import pow_array, splitmix64
-    from gencore_ray.functions.text import _POLY
-
-    powers2 = pow_array(_POLY, 2)
-
-    def _round(x: np.ndarray) -> np.ndarray:
-        p = 10.0 ** round_to
-        return np.floor(x * p + 0.5) / p        # DuckDB round(): half-away
 
     def batch_fn(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         texts = [x or "" for x in t[text_col].to_pylist()]
-        n = len(texts)
-        # --- duplicate-line fraction -------------------------------
-        line_lists = [s.split("\n") for s in texts]
-        lens = np.fromiter(map(len, line_lists), dtype=np.int64, count=n)
-        doc_of = np.repeat(np.arange(n), lens)
-        from itertools import chain
-
-        flat = pd.factorize(
-            pd.Index(list(chain.from_iterable(line_lists)))
-        )[0]
-        # distinct (doc, line) pairs via lexsort + boundary count
-        o = np.lexsort((flat, doc_of))
-        d1, f1 = doc_of[o], flat[o]
-        uniq_mask = np.r_[True, (d1[1:] != d1[:-1]) | (f1[1:] != f1[:-1])]
-        n_uniq = np.bincount(d1[uniq_mask], minlength=n)
-        dup_frac = _round((lens - n_uniq) / np.maximum(lens, 1))
-
-        # --- top-bigram fraction (hash-counted) --------------------
-        feats = TextFeatures(texts)
-        tlens = np.fromiter(map(len, feats.tok_hashes), dtype=np.int64, count=n)
-        top_frac = np.zeros(n, dtype=np.float64)
-        total = int(tlens.sum())
-        if total >= 2:
-            tflat = np.concatenate(feats.tok_hashes)
-            tdoc = np.repeat(np.arange(n), tlens)
-            win = np.lib.stride_tricks.sliding_window_view(tflat, 2)
-            with np.errstate(over="ignore"):
-                wh = splitmix64((win * powers2).sum(axis=1, dtype=U64))
-            valid = tdoc[: total - 1] == tdoc[1:]
-            wd, wh2 = tdoc[: total - 1][valid], wh[valid]
-            o2 = np.lexsort((wh2, wd))
-            d2, h2 = wd[o2], wh2[o2]
-            seg = np.r_[True, (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])]
-            starts = np.flatnonzero(seg)
-            counts = np.diff(np.r_[starts, len(d2)])
-            mx = np.zeros(n, dtype=np.int64)
-            np.maximum.at(mx, d2[starts], counts)
-            tot = np.bincount(wd, minlength=n)
-            has = tot > 0
-            top_frac[has] = _round(mx[has] / tot[has])
-
+        lens, dup_frac, top_frac, _ = _repetition_signals(texts, round_to)
         return pa.table({
             id_col: t[id_col],
             "n_lines": pa.array(lens),
+            "dup_line_frac": pa.array(dup_frac),
+            "top_bigram_frac": pa.array(top_frac),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        batch_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def corpus_filter(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alnum_ratio: float = 0.5,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Gopher-rules pre-training filter: every doc gets a keep/drop
+    verdict plus the FIRST failing rule as its reason (deterministic
+    rule order below), alongside the raw signals. Pure map — no
+    shuffle; the corpus-scale consumer filters on ``keep``.
+
+    Rule order: too_few_tokens, too_many_tokens, mean_word_len,
+    alnum_ratio, dup_lines, top_bigram; survivors get reason 'ok'.
+    (Rae et al. 2021 §A1.1 thresholds, defaults relaxed for short
+    synthetic docs; override per corpus.)"""
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t[text_col].to_pylist()]
+        n = len(texts)
+        lens, dup_frac, top_frac, feats = _repetition_signals(texts, round_to)
+        mwl = _round_half_away(feats.mean_word_len, round_to)
+        alnum = _round_half_away(
+            feats.alnum_count / np.maximum(feats.text_len, 1), round_to
+        )
+        ntok = feats.token_count
+        reason = np.full(n, "ok", dtype=object)
+        keep = np.ones(n, dtype=bool)
+        # reverse order so earlier rules overwrite later ones
+        for cond, tag in [
+            (top_frac > max_top_bigram_frac, "top_bigram"),
+            (dup_frac > max_dup_line_frac, "dup_lines"),
+            (alnum < min_alnum_ratio, "alnum_ratio"),
+            ((mwl < min_mean_word_len) | (mwl > max_mean_word_len),
+             "mean_word_len"),
+            (ntok > max_tokens, "too_many_tokens"),
+            (ntok < min_tokens, "too_few_tokens"),
+        ]:
+            reason[cond] = tag
+            keep &= ~cond
+        return pa.table({
+            id_col: t[id_col],
+            "keep": pa.array(keep),
+            "reason": pa.array(reason, pa.string()),
+            "n_tokens": pa.array(ntok),
+            "mean_word_len": pa.array(mwl),
+            "alnum_ratio": pa.array(alnum),
             "dup_line_frac": pa.array(dup_frac),
             "top_bigram_frac": pa.array(top_frac),
         })

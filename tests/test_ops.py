@@ -469,6 +469,40 @@ def test_repetition_profile_matches_scalar(ray_session):
     assert got.loc[5, "dup_line_frac"] == 0.75
 
 
+def test_corpus_filter_rules_and_precedence(ray_session):
+    """Gopher-rules filter: every rule fires on its crafted doc, the
+    FIRST failing rule wins (deterministic order), clean docs keep."""
+    from gencore_ray.ops.textstats import corpus_filter
+
+    clean = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    docs = {
+        0: clean,                                            # ok
+        1: "too few",                                        # too_few_tokens
+        2: " ".join("supercalifragilistic" for _ in range(20)),  # mean_word_len (long)
+        3: "!!! ??? *** " * 20 + "aa bb cc dd ee ff gg hh ii jj",  # alnum_ratio
+        4: ("line one two three\n" * 3) + clean,             # dup_lines
+        5: "spam ham " * 20,                                 # top_bigram
+        # fails BOTH mean_word_len and top_bigram -> first rule wins
+        6: "supercalifragilistically expialidocious " * 20,
+    }
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs.items()])
+    got = corpus_filter(ds, max_tokens=50).to_pandas().set_index("doc_id")
+    assert got.loc[0, "reason"] == "ok" and bool(got.loc[0, "keep"])
+    assert got.loc[1, "reason"] == "too_few_tokens"
+    assert got.loc[2, "reason"] == "mean_word_len"
+    assert got.loc[3, "reason"] == "alnum_ratio"
+    assert got.loc[4, "reason"] == "dup_lines"
+    assert got.loc[5, "reason"] == "top_bigram"
+    assert got.loc[6, "reason"] == "mean_word_len"           # precedence
+    assert not got.drop(index=0)["keep"].any()
+    # max_tokens gate: clean doc trips too_many_tokens when capped low
+    got2 = corpus_filter(ds, max_tokens=20).to_pandas().set_index("doc_id")
+    assert got2.loc[0, "reason"] == "too_many_tokens"
+    # signal columns ride along for downstream threshold tuning
+    assert {"n_tokens", "mean_word_len", "alnum_ratio", "dup_line_frac",
+            "top_bigram_frac"} <= set(got.columns)
+
+
 def test_asof_join_matches_pandas(events_df):
     """Backward as-of join vs a global pandas merge_asof reference."""
     from gencore_ray.ops.relational import asof_join
