@@ -933,6 +933,24 @@ def _q_repetition_profile(sf_dir: str):
     return repetition_profile(_docs(sf_dir))
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """CCNet-style corpus-LM quality scoring: top-1000-vocab unigram
+    LM (add-1 smoothing, <unk> fold) fit by one token-count exchange,
+    broadcast once, per-doc perplexity in a pure scoring map."""
+    from gencore_ray.ops.lm import lm_unigram_perplexity
+
+    return lm_unigram_perplexity(_docs(sf_dir), vocab_cap=1000, num_parts=8)
+
+
+def _q_duplicate_span_stats(sf_dir: str):
+    """Lee et al. 2022 exact-substring-dedup signal, per doc: fraction
+    of 8-token sliding windows whose gram occurs in >= 1 OTHER doc.
+    Pure shuffle (gram-keyed then id-keyed exchange), no driver state."""
+    from gencore_ray.ops.substrings import duplicate_span_stats
+
+    return duplicate_span_stats(_docs(sf_dir), span_tokens=8, num_parts=8)
+
+
 def _q_corpus_filter(sf_dir: str):
     """Gopher-rules pre-training corpus filter (Rae et al. 2021 §A1.1):
     per-doc keep/drop verdict + first-failing-rule reason over token
@@ -1169,6 +1187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_real": _q_media_decode_real,
         "repetition_profile": _q_repetition_profile,
         "corpus_filter": _q_corpus_filter,
+        "duplicate_span_stats": _q_duplicate_span_stats,
+        "lm_perplexity": _q_lm_perplexity,
         "events_asof_click": _q_events_asof_click,
         "events_lag_lead": _q_events_lag_lead,
         "doc_ranks_per_lang": _q_doc_ranks_per_lang,
@@ -1648,6 +1668,49 @@ def oracle_sql() -> dict[str, str]:
             "AND top_bigram_frac <= 0.2) AS keep, "
             "n_tokens, mean_word_len, alnum_ratio, dup_line_frac, "
             "top_bigram_frac FROM sig"
+        ),
+        "duplicate_span_stats": (
+            # engine counts on uint64 polynomial window hashes; the
+            # oracle on chr(31)-joined gram strings (collision-free
+            # over [a-z0-9_] tokens) — hash equality proves the window
+            # machinery exact.  L = 8 tokens; slice toks[i:i+7] is
+            # DuckDB-inclusive, so width 8.
+            "WITH tok AS (SELECT doc_id, regexp_extract_all("
+            "lower(coalesce(text, '')), '[a-z0-9_]+') AS toks FROM documents), "
+            "w AS (SELECT doc_id, unnest([array_to_string(toks[i:i+7], chr(31)) "
+            "FOR i IN generate_series(1, len(toks)-7)]) AS g FROM tok), "
+            "m AS (SELECT doc_id, g, count(*) AS m FROM w GROUP BY 1, 2), "
+            "d AS (SELECT g FROM m GROUP BY g HAVING count(*) >= 2), "
+            "dupw AS (SELECT doc_id, sum(m.m) AS dup_windows FROM m "
+            "JOIN d USING (g) GROUP BY doc_id), "
+            "base AS (SELECT doc_id, greatest(len(toks) - 7, 0) AS n_windows "
+            "FROM tok) "
+            "SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows, "
+            "CAST(coalesce(dup_windows, 0) AS BIGINT) AS dup_windows, "
+            "round(coalesce(dup_windows, 0) * 1.0 / greatest(n_windows, 1), 6) "
+            "AS dup_span_frac FROM base LEFT JOIN dupw USING (doc_id)"
+        ),
+        "lm_perplexity": (
+            # top-1000-vocab unigram LM with add-1 smoothing; dropped
+            # terms fold into one <unk> symbol (count cu), so the model
+            # has v+1 symbols and p(w) = (c+1)/(n + (v+1)).  Zero-token
+            # docs drop out of the GROUP BY on both sides.
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all("
+            "lower(coalesce(text, '')), '[a-z0-9_]+')) AS w FROM documents), "
+            "cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w), "
+            "topv AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 1000), "
+            "par AS (SELECT (SELECT coalesce(sum(c), 0) FROM cnt) AS n, "
+            "(SELECT count(*) FROM topv) AS v, "
+            "(SELECT coalesce(sum(c), 0) FROM cnt) "
+            "- (SELECT coalesce(sum(c), 0) FROM topv) AS cu), "
+            "sc AS (SELECT t.doc_id, "
+            "ln((coalesce(tv.c, (SELECT cu FROM par)) + 1.0) "
+            "/ ((SELECT n FROM par) + (SELECT v FROM par) + 1.0)) AS lp "
+            "FROM tok t LEFT JOIN topv tv ON t.w = tv.w) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "round(avg(lp), 6) AS avg_logp, "
+            "round(exp(-avg(lp)), 6) AS perplexity "
+            "FROM sc GROUP BY doc_id"
         ),
         "media_decode_real": (
             # expected decode output recomputed in closed form: pixels

@@ -1,0 +1,115 @@
+"""Corpus-LM quality scoring (CCNet-style perplexity filtering).
+
+CCNet (Wenzek et al. 2020) ranks Common-Crawl documents by the
+perplexity of a language model trained on a trusted corpus; documents
+whose perplexity is far above the corpus norm are boilerplate/gibberish
+candidates.  Here the model is a top-V unigram LM with add-alpha
+smoothing trained on the corpus itself — the dependency-free analogue
+with the same pipeline shape as a real KenLM scorer:
+
+  1. token-count exchange: per-batch ``value_counts`` partials (one row
+     per DISTINCT term per batch, never per occurrence), one term-keyed
+     ``grouped_map`` sum — vocabulary-sized output, Zipf-small.
+  2. model fit on the driver: global top-V terms by (count desc, term
+     asc), every dropped term folded into one ``<unk>`` symbol; V+1
+     symbol probabilities p(w) = (c(w)+alpha) / (N + alpha*(V+1)).
+     The model is O(V) — broadcast once via ``ray.put``.
+  3. scoring map: tokenize once per batch, gather log-probs through a
+     vectorised hash-map lookup, per-doc mean -> perplexity =
+     exp(-mean).  Pure map, no exchange.
+
+The reference's analogous shape is the quality-score map over decoded
+reads (/root/reference/src/pair.cpp:70-86): a per-record score from a
+small broadcast table, derived once and reused downstream.
+
+Docs with zero tokens are EXCLUDED from the output (no token stream ->
+no likelihood; SQL GROUP BY drops them identically).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def lm_unigram_perplexity(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_cap: int = 1000,
+    alpha: float = 1.0,
+    num_parts: int = 16,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """(id, n_tokens, avg_logp, perplexity) per doc with >= 1 token.
+
+    ``vocab_cap`` bounds the broadcast model (the 100-TB-safety knob:
+    the count exchange is vocabulary-sized, the model top-V-sized);
+    ties at the cap break deterministically on term ascending.
+    """
+    import ray
+
+    from gencore_ray.functions.text import _TOKEN_RE
+    from gencore_ray.ops.relational import topk
+    from gencore_ray.stages.shuffle import grouped_map
+
+    slim = ds.select_columns([id_col, text_col])
+
+    def _count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [_TOKEN_RE.findall((t or "").lower())
+                for t in df[text_col].tolist()]
+        flat = [w for t in toks for w in t]
+        if not flat:
+            return pd.DataFrame({"term": pd.Series(dtype=object),
+                                 "c": pd.Series(dtype=np.int64)})
+        vc = pd.Series(flat).value_counts(sort=False)
+        return pd.DataFrame({"term": vc.index, "c": vc.to_numpy()})
+
+    def _count_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", sort=False)["c"].sum().reset_index()
+
+    counts = grouped_map(
+        slim.map_batches(_count_partial, batch_format="pandas"),
+        "term", _count_final, num_parts=num_parts,
+    ).materialize()
+
+    # --- fit: top-V + <unk>, all driver-side state O(V) -------------
+    n_total = int(counts.sum("c") or 0)
+    topv = topk(counts, ["c", "term"], vocab_cap,
+                descending=[True, False]).to_pandas()
+    unk_c = n_total - int(topv["c"].sum())
+    v_eff = len(topv)
+    denom = n_total + alpha * (v_eff + 1)
+    logp = np.log((topv["c"].to_numpy(dtype=np.float64) + alpha) / denom)
+    unk_logp = float(np.log((unk_c + alpha) / denom))
+    model_ref = ray.put(pd.Series(logp, index=topv["term"].to_numpy()))
+
+    p = 10.0 ** round_to
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        model = ray.get(model_ref)
+        toks = [_TOKEN_RE.findall((t or "").lower())
+                for t in df[text_col].tolist()]
+        lens = np.fromiter(map(len, toks), dtype=np.int64, count=len(toks))
+        keep = lens > 0
+        out_ids = df[id_col].to_numpy()[keep]
+        if not keep.any():
+            return pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
+                                 "n_tokens": pd.Series(dtype=np.int64),
+                                 "avg_logp": pd.Series(dtype=np.float64),
+                                 "perplexity": pd.Series(dtype=np.float64)})
+        flat = pd.Index([w for t in toks for w in t])
+        lp = model.reindex(flat).to_numpy(dtype=np.float64)
+        lp[np.isnan(lp)] = unk_logp
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        sums = np.bincount(doc_of, weights=lp, minlength=len(lens))[keep]
+        avg = sums / lens[keep]
+        return pd.DataFrame({
+            id_col: out_ids,
+            "n_tokens": lens[keep],
+            "avg_logp": np.sign(avg) * np.floor(np.abs(avg) * p + 0.5) / p,
+            "perplexity": np.floor(np.exp(-avg) * p + 0.5) / p,
+        })
+
+    return slim.map_batches(_score, batch_format="pandas")

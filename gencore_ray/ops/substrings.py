@@ -116,3 +116,112 @@ def substring_dup_pairs(
         return out
 
     return j2.map_batches(check, batch_format="pandas")
+
+
+def duplicate_span_stats(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    num_parts: int = 16,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Per-document duplicated-span profile (the Lee et al. 2022
+    "Deduplicating Training Data" exact-substring signal, aggregated
+    per doc instead of cutting the spans out): for every document,
+    the fraction of its L-token sliding windows whose token L-gram
+    also occurs in at least one OTHER document.
+
+    Contract — CROSS-document only: within-doc repetition is already
+    measured by ``repetition_profile``; a gram repeated ten times in
+    one doc but nowhere else contributes nothing here.  Docs with
+    fewer than ``span_tokens`` tokens have 0 windows and frac 0.0
+    (no short-text fallback, unlike ``shingle_hashes``).
+
+    Scale shape: one explode row per DISTINCT (doc, gram) — ~n_tokens
+    rows/doc of (u64 gram hash, id, count), the same order of exchange
+    mass as a suffix-array dedup pass and inherent to the semantics.
+    Cross-doc grams are found by one gram-keyed exchange (group size
+    >= 2 — no driver state, no broadcast), per-doc sums by a second
+    id-keyed exchange over only the surviving dup rows.
+    """
+    import pandas as pd
+
+    from gencore_ray.functions.hashing import pow_array, splitmix64
+    from gencore_ray.functions.text import _POLY, TextFeatures
+    from gencore_ray.stages.shuffle import grouped_map, hash_join
+
+    L = int(span_tokens)
+    powers = pow_array(_POLY, L)
+    p = 10.0 ** round_to
+
+    def _gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        """(id, ghash, m): per-doc occurrence count of each distinct
+        L-gram — windows hashed on the flat token-hash stream, cross-
+        doc windows masked, multiplicities by lexsort segment count."""
+        feats = TextFeatures(df[text_col].fillna("").tolist())
+        lens = np.fromiter(map(len, feats.tok_hashes), dtype=np.int64,
+                           count=len(feats.tok_hashes))
+        nwin = np.maximum(lens - L + 1, 0)
+        empty = pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
+                              "ghash": pd.Series(dtype=np.uint64),
+                              "m": pd.Series(dtype=np.int64)})
+        total = int(lens.sum())
+        if total < L:
+            return empty
+        flat = np.concatenate(feats.tok_hashes)
+        tdoc = np.repeat(np.arange(len(lens)), lens)
+        win = np.lib.stride_tricks.sliding_window_view(flat, L)
+        with np.errstate(over="ignore"):
+            wh = splitmix64((win * powers).sum(axis=1, dtype=np.uint64))
+        valid = tdoc[: total - L + 1] == tdoc[L - 1:]
+        wd, wh = tdoc[: total - L + 1][valid], wh[valid]
+        if not len(wd):
+            return empty
+        o = np.lexsort((wh, wd))
+        d1, h1 = wd[o], wh[o]
+        seg = np.r_[True, (d1[1:] != d1[:-1]) | (h1[1:] != h1[:-1])]
+        starts = np.flatnonzero(seg)
+        m = np.diff(np.r_[starts, len(d1)])
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[d1[starts]],
+            "ghash": h1[starts],
+            "m": m.astype(np.int64),
+        })
+
+    def _cross_doc(df: pd.DataFrame) -> pd.DataFrame:
+        """Keep rows whose gram occurs in >= 2 docs of its group (the
+        exchange co-locates each gram, so group size IS doc count)."""
+        sz = df.groupby("ghash", sort=False)["m"].transform("size")
+        return df.loc[sz.to_numpy() >= 2, [id_col, "m"]]
+
+    def _doc_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(id_col, sort=False)["m"].sum()
+                .rename("dup_windows").reset_index())
+
+    grams = ds.select_columns([id_col, text_col]).map_batches(
+        _gram_rows, batch_format="pandas")
+    dup_rows = grouped_map(grams, "ghash", _cross_doc, num_parts=num_parts)
+    per_doc = grouped_map(dup_rows, id_col, _doc_sum, num_parts=num_parts)
+
+    def _base(df: pd.DataFrame) -> pd.DataFrame:
+        feats = TextFeatures(df[text_col].fillna("").tolist(),
+                             need_hashes=False)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_windows": np.maximum(feats.token_count - L + 1, 0),
+        })
+
+    base = ds.select_columns([id_col, text_col]).map_batches(
+        _base, batch_format="pandas")
+    joined = hash_join(base, per_doc, id_col, id_col,
+                       num_parts=num_parts, how="left_outer")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        nw = df["n_windows"].to_numpy(dtype=np.int64)
+        dw = df["dup_windows"].fillna(0).to_numpy(dtype=np.int64)
+        frac = np.floor(dw / np.maximum(nw, 1) * p + 0.5) / p
+        return pd.DataFrame({id_col: df[id_col], "n_windows": nw,
+                             "dup_windows": dw, "dup_span_frac": frac})
+
+    return joined.map_batches(_finish, batch_format="pandas")

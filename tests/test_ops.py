@@ -503,6 +503,74 @@ def test_corpus_filter_rules_and_precedence(ray_session):
             "top_bigram_frac"} <= set(got.columns)
 
 
+def test_duplicate_span_stats_matches_brute_force(ray_session):
+    """Cross-doc L-gram window dedup signal vs an all-pairs reference;
+    within-doc-only repeats and sub-L docs must contribute nothing."""
+    from gencore_ray.functions.text import _TOKEN_RE
+    from gencore_ray.ops.substrings import duplicate_span_stats
+
+    docs = {
+        0: " ".join(f"w{i}" for i in range(20)),              # shares w5..w12
+        1: "x y z " + " ".join(f"w{i}" for i in range(5, 13)) + " q r s t",
+        2: "unique words only here nothing shared at all ok",  # clean
+        3: "short",                                            # < L tokens
+        4: "rep rep rep rep rep rep rep rep rep",              # within-doc only
+    }
+    L = 4
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = (duplicate_span_stats(ds, span_tokens=L, num_parts=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    grams = {d: [tuple(_TOKEN_RE.findall(t.lower())[i:i + L])
+                 for i in range(len(_TOKEN_RE.findall(t.lower())) - L + 1)]
+             for d, t in docs.items()}
+    owners = {}
+    for d, gs in grams.items():
+        for g in set(gs):
+            owners.setdefault(g, set()).add(d)
+    for d, gs in grams.items():
+        dup = sum(1 for g in gs if len(owners[g]) >= 2)
+        assert got.loc[d, "n_windows"] == len(gs), d
+        assert got.loc[d, "dup_windows"] == dup, d
+        assert abs(got.loc[d, "dup_span_frac"]
+                   - round(dup / max(len(gs), 1), 6)) < 1e-9, d
+    assert got.loc[4, "dup_windows"] == 0          # within-doc not counted
+    assert got.loc[3, "n_windows"] == 0            # sub-L doc: no windows
+
+
+def test_lm_perplexity_closed_form(ray_session):
+    """Unigram perplexity vs a Counter-based reference, including the
+    <unk> fold at a tiny vocab cap and zero-token-doc exclusion."""
+    import math
+    from collections import Counter
+
+    from gencore_ray.functions.text import _TOKEN_RE
+    from gencore_ray.ops.lm import lm_unigram_perplexity
+
+    docs = {0: "the cat sat on the mat", 1: "the the the dog",
+            2: "zebra quokka axolotl", 3: "", 4: "the cat"}
+    cap = 3
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = (lm_unigram_perplexity(ds, vocab_cap=cap, num_parts=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert 3 not in got.index                      # zero-token doc dropped
+    toks = {d: _TOKEN_RE.findall(t.lower()) for d, t in docs.items()}
+    cnt = Counter(w for t in toks.values() for w in t)
+    n = sum(cnt.values())
+    topv = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:cap])
+    cu = n - sum(topv.values())
+    denom = n + len(topv) + 1.0
+    for d, t in toks.items():
+        if not t:
+            continue
+        lps = [math.log((topv.get(w, cu) + 1.0) / denom) for w in t]
+        avg = sum(lps) / len(lps)
+        assert got.loc[d, "n_tokens"] == len(t), d
+        assert abs(got.loc[d, "avg_logp"] - round(avg, 6)) < 2e-6, d
+        assert abs(got.loc[d, "perplexity"] - round(math.exp(-avg), 6)) < 2e-6, d
+    # rarer-token docs must score strictly higher perplexity
+    assert got.loc[2, "perplexity"] > got.loc[0, "perplexity"]
+
+
 def test_asof_join_matches_pandas(events_df):
     """Backward as-of join vs a global pandas merge_asof reference."""
     from gencore_ray.ops.relational import asof_join
