@@ -933,6 +933,37 @@ def _q_repetition_profile(sf_dir: str):
     return repetition_profile(_docs(sf_dir))
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means-bucketed exact near-dup
+    pairs — the O(n^2/k) scale path for embedding dedup.  The corpus
+    has no true near-identical pairs (max cos 0.513), so the query
+    deterministically plants 20 exact duplicates (vec_id+10000 copies
+    of vec_id<20) — an augmentation the SQL oracle replays verbatim;
+    at threshold 0.95 the output is exactly those 20 pairs, proving
+    fit + assign + within-cluster verify end-to-end."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gencore_ray.ops.kmeans import semantic_dedup_pairs
+
+    base = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < 500),
+    )
+    dup = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < 20),
+    ).map_batches(
+        lambda t: pa.table({"vec_id": pc.add(t["vec_id"], 10000),
+                            "embedding": t["embedding"]}),
+        batch_format="pyarrow",
+    )
+    return semantic_dedup_pairs(base.union(dup), threshold=0.95,
+                                k=8, iters=5, num_parts=8)
+
+
 def _q_lm_perplexity(sf_dir: str):
     """CCNet-style corpus-LM quality scoring: top-1000-vocab unigram
     LM (add-1 smoothing, <unk> fold) fit by one token-count exchange,
@@ -1189,6 +1220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": _q_corpus_filter,
         "duplicate_span_stats": _q_duplicate_span_stats,
         "lm_perplexity": _q_lm_perplexity,
+        "semantic_dedup_pairs": _q_semantic_dedup,
         "events_asof_click": _q_events_asof_click,
         "events_lag_lead": _q_events_lag_lead,
         "doc_ranks_per_lang": _q_doc_ranks_per_lang,
@@ -1711,6 +1743,22 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(lp), 6) AS avg_logp, "
             "round(exp(-avg(lp)), 6) AS perplexity "
             "FROM sc GROUP BY doc_id"
+        ),
+        "semantic_dedup_pairs": (
+            # replay the query's deterministic duplicate augmentation,
+            # then the exact all-pairs check at 0.95 — the k-means
+            # bucketing must not change the >= 0.95 pair set (planted
+            # exact duplicates always share their copy's cluster)
+            "WITH aug AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id < 500 UNION ALL "
+            "SELECT vec_id + 10000, embedding FROM embeddings "
+            "WHERE vec_id < 20) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim "
+            "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.95"
         ),
         "media_decode_real": (
             # expected decode output recomputed in closed form: pixels

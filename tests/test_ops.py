@@ -571,6 +571,87 @@ def test_lm_perplexity_closed_form(ray_session):
     assert got.loc[2, "perplexity"] > got.loc[0, "perplexity"]
 
 
+def _blob_corpus(n=300, n_dups=12, noise=0.7, seed=11):
+    """3 separable gaussian blobs + planted near-identical pairs."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(3, 16)
+    mat = np.vstack([centers[i % 3] + noise * rng.randn(16) for i in range(n)])
+    for i in range(n_dups):
+        mat = np.vstack([mat, mat[i] + 0.002 * rng.randn(16)])
+    return mat
+
+
+def test_kmeans_fit_matches_local_lloyd(ray_session):
+    """Distributed partial-sum Lloyd == a local numpy replay with the
+    same hash-min seeding and iteration count."""
+    from gencore_ray.functions.hashing import U64, splitmix64
+    from gencore_ray.ops.kmeans import kmeans_assign, kmeans_fit
+
+    mat = _blob_corpus()
+    ids = np.arange(len(mat))
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": list(mat)}))
+    cent = kmeans_fit(ds, k=3, iters=5)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+
+    def unit(m):
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1
+        return m / nrm
+
+    h = splitmix64(ids.astype(np.int64).view(U64))
+    c = unit(mat[np.lexsort((ids, h))[:3]].astype(np.float64))
+    mm = unit(mat.astype(np.float64))
+    for _ in range(5):
+        a = np.argmax(mm @ c.T, axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, mm)
+        c = unit(np.where((np.bincount(a, minlength=3) > 0)[:, None], sums, c))
+    assert np.allclose(cent, c, atol=1e-9)
+    asg = kmeans_assign(ds, cent).to_pandas()
+    assert len(asg) == len(mat)
+    assert (asg["cluster_id"].to_numpy()
+            == np.argmax(mm @ cent.T, axis=1)[asg["vec_id"].to_numpy()]).all()
+
+
+def test_semantic_dedup_planted_recall(ray_session):
+    """SemDeDup finds every planted near-identical pair with zero false
+    positives and brute-force-identical cosines; blob pairs sit below
+    the threshold so cluster-straddle cannot hide a true dup."""
+    from gencore_ray.ops.kmeans import semantic_dedup_pairs
+
+    mat = _blob_corpus()
+    ids = np.arange(len(mat))
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": list(mat)}))
+    sd = semantic_dedup_pairs(ds, threshold=0.95, k=3, iters=5,
+                              num_parts=4).to_pandas()
+    bf = near_dup_pairs(ds, threshold=0.95).to_pandas()
+    bs, ss = set(zip(bf["id_a"], bf["id_b"])), set(zip(sd["id_a"], sd["id_b"]))
+    assert {(i, 300 + i) for i in range(12)} <= bs
+    assert ss == bs                                  # recall 1.0, no FPs
+    m = sd.merge(bf, on=["id_a", "id_b"], suffixes=("_s", "_b"))
+    assert (m["cos_sim_s"] == m["cos_sim_b"]).all()  # exact verify parity
+
+
+def test_semantic_dedup_hot_cluster_cap(ray_session):
+    """max_cluster_size subsamples deterministically instead of going
+    quadratic on a hot cluster — output stays a subset of brute force."""
+    from gencore_ray.ops.kmeans import semantic_dedup_pairs
+
+    mat = _blob_corpus()
+    ids = np.arange(len(mat))
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": list(mat)}))
+    capped = semantic_dedup_pairs(ds, threshold=0.95, k=3, iters=5,
+                                  num_parts=4, max_cluster_size=50).to_pandas()
+    full = semantic_dedup_pairs(ds, threshold=0.95, k=3, iters=5,
+                                num_parts=4).to_pandas()
+    cs = set(zip(capped["id_a"], capped["id_b"]))
+    fs = set(zip(full["id_a"], full["id_b"]))
+    assert cs <= fs
+    again = semantic_dedup_pairs(ds, threshold=0.95, k=3, iters=5,
+                                 num_parts=4, max_cluster_size=50).to_pandas()
+    assert cs == set(zip(again["id_a"], again["id_b"]))  # deterministic
+
+
 def test_asof_join_matches_pandas(events_df):
     """Backward as-of join vs a global pandas merge_asof reference."""
     from gencore_ray.ops.relational import asof_join
