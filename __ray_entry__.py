@@ -933,6 +933,30 @@ def _q_repetition_profile(sf_dir: str):
     return repetition_profile(_docs(sf_dir))
 
 
+def _q_nb_lang_classifier(sf_dir: str):
+    """Model-based filtering (fasttext-style, dependency-free):
+    Gaussian Naive Bayes fit on (text_len, alnum_count, token_count)
+    to predict lang='en', then per-doc log-odds scoring.  Closed-form
+    fit = one aggregate pass, so the full fit+score path is
+    SQL-replayed exactly."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gencore_ray.ops.classifier import gaussian_nb_scores
+    from gencore_ray.ops.textstats import text_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    feat = text_stats(docs, with_heuristics=False)
+
+    def label(t: pa.Table) -> pa.Table:
+        return t.append_column("is_en", pc.equal(t["lang"], "en"))
+
+    feat = feat.map_batches(label, batch_format="pyarrow")
+    return gaussian_nb_scores(
+        feat, ["text_len", "alnum_count", "token_count"], "is_en")
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means-bucketed exact near-dup
     pairs — the O(n^2/k) scale path for embedding dedup.  The corpus
@@ -1221,6 +1245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_span_stats": _q_duplicate_span_stats,
         "lm_perplexity": _q_lm_perplexity,
         "semantic_dedup_pairs": _q_semantic_dedup,
+        "nb_lang_classifier": _q_nb_lang_classifier,
         "events_asof_click": _q_events_asof_click,
         "events_lag_lead": _q_events_lag_lead,
         "doc_ranks_per_lang": _q_doc_ranks_per_lang,
@@ -1759,6 +1784,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.95"
+        ),
+        "nb_lang_classifier": (
+            # mirror the engine's explicit moment formulas (variance =
+            # E[x^2] - E[x]^2 + 1e-6), NOT var_pop's internal algorithm
+            "WITH f AS (SELECT doc_id, "
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, "
+            "CAST(length(coalesce(text, '')) AS DOUBLE) AS f1, "
+            "CAST(length(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]', "
+            "'', 'g')) AS DOUBLE) AS f2, "
+            "CAST(len(regexp_extract_all(lower(coalesce(text, '')), "
+            "'[a-z0-9_]+')) AS DOUBLE) AS f3 FROM documents), "
+            "s AS (SELECT y, CAST(count(*) AS DOUBLE) AS n, "
+            "sum(f1) AS s1, sum(f1*f1) AS q1, sum(f2) AS s2, "
+            "sum(f2*f2) AS q2, sum(f3) AS s3, sum(f3*f3) AS q3 "
+            "FROM f GROUP BY y), "
+            "m AS (SELECT y, n, s1/n AS m1, q1/n - (s1/n)*(s1/n) + 1e-6 AS v1, "
+            "s2/n AS m2, q2/n - (s2/n)*(s2/n) + 1e-6 AS v2, "
+            "s3/n AS m3, q3/n - (s3/n)*(s3/n) + 1e-6 AS v3 FROM s), "
+            "t AS (SELECT sum(n) AS n FROM s), "
+            "sc AS (SELECT f.doc_id, "
+            "(ln(a.n / t.n) - 0.5*ln(2*pi()*a.v1) - (f1-a.m1)*(f1-a.m1)/(2*a.v1) "
+            "- 0.5*ln(2*pi()*a.v2) - (f2-a.m2)*(f2-a.m2)/(2*a.v2) "
+            "- 0.5*ln(2*pi()*a.v3) - (f3-a.m3)*(f3-a.m3)/(2*a.v3)) "
+            "- (ln(b.n / t.n) - 0.5*ln(2*pi()*b.v1) - (f1-b.m1)*(f1-b.m1)/(2*b.v1) "
+            "- 0.5*ln(2*pi()*b.v2) - (f2-b.m2)*(f2-b.m2)/(2*b.v2) "
+            "- 0.5*ln(2*pi()*b.v3) - (f3-b.m3)*(f3-b.m3)/(2*b.v3)) AS lo "
+            "FROM f, m a, m b, t WHERE a.y = 1 AND b.y = 0) "
+            "SELECT doc_id, round(lo, 6) AS log_odds, lo > 0 AS pred FROM sc"
         ),
         "media_decode_real": (
             # expected decode output recomputed in closed form: pixels

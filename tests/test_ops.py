@@ -652,6 +652,41 @@ def test_semantic_dedup_hot_cluster_cap(ray_session):
     assert cs == set(zip(again["id_a"], again["id_b"]))  # deterministic
 
 
+def test_gaussian_nb_matches_numpy_replay(ray_session):
+    """Distributed moment-partial NB == a local closed-form fit, and it
+    separates an obviously separable two-class corpus."""
+    from gencore_ray.ops.classifier import gaussian_nb_scores
+
+    rng = np.random.RandomState(4)
+    n = 400
+    y = rng.rand(n) < 0.4
+    f1 = np.where(y, 100.0, 30.0) + rng.randn(n) * 5
+    f2 = np.where(y, 10.0, 40.0) + rng.randn(n) * 3
+    df = pd.DataFrame({"doc_id": np.arange(n), "lab": y, "f1": f1, "f2": f2})
+    got = (gaussian_nb_scores(rd.from_pandas(df), ["f1", "f2"], "lab")
+           .to_pandas().set_index("doc_id").sort_index())
+
+    lo = np.zeros(n)
+    n1, n0 = y.sum(), (~y).sum()
+    for sign, mask, cnt in [(1.0, y, n1), (-1.0, ~y, n0)]:
+        prior = np.log(cnt / n)
+        ll = np.full(n, prior)
+        for f in (f1, f2):
+            mu = f[mask].sum() / cnt
+            var = (f[mask] ** 2).sum() / cnt - mu ** 2 + 1e-6
+            ll += -0.5 * np.log(2 * np.pi * var) - (f - mu) ** 2 / (2 * var)
+        lo += sign * ll
+    np.testing.assert_allclose(got["log_odds"].to_numpy(),
+                               np.round(lo, 6), atol=1e-6)
+    assert (got["pred"].to_numpy() == (lo > 0)).all()
+    acc = (got["pred"].to_numpy() == y).mean()
+    assert acc > 0.97                       # separable -> near-perfect
+
+    one_class = df.assign(lab=True)
+    with pytest.raises(ValueError):
+        gaussian_nb_scores(rd.from_pandas(one_class), ["f1", "f2"], "lab")
+
+
 def test_asof_join_matches_pandas(events_df):
     """Backward as-of join vs a global pandas merge_asof reference."""
     from gencore_ray.ops.relational import asof_join
