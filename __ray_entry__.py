@@ -933,6 +933,31 @@ def _q_repetition_profile(sf_dir: str):
     return repetition_profile(_docs(sf_dir))
 
 
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style cross-doc line dedup: every line occurring in >= 3
+    distinct docs is boilerplate and removed from all of them; cleaned
+    text reassembled in line order.  Two shuffles, no driver state.
+    The corpus has no naturally-shared lines, so the query plants a
+    deterministic cookie banner (even doc_ids) and footer (doc_id % 3)
+    that the SQL oracle replays — the hash match proves removal AND
+    byte-exact reassembly of the untouched lines."""
+    from gencore_ray.ops.linedup import line_dedup
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        txt = [x or "" for x in t["text"].to_pylist()]
+        out = [
+            ("cookie banner\n" + s if i % 2 == 0 else s)
+            + ("\nsite footer" if i % 3 == 0 else "")
+            for i, s in zip(ids, txt)
+        ]
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    return line_dedup(_docs(sf_dir).map_batches(plant, batch_format="pyarrow"),
+                      min_docs=3, num_parts=8)
+
+
 def _q_nb_lang_classifier(sf_dir: str):
     """Model-based filtering (fasttext-style, dependency-free):
     Gaussian Naive Bayes fit on (text_len, alnum_count, token_count)
@@ -1246,6 +1271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "nb_lang_classifier": _q_nb_lang_classifier,
+        "line_dedup": _q_line_dedup,
         "events_asof_click": _q_events_asof_click,
         "events_lag_lead": _q_events_lag_lead,
         "doc_ranks_per_lang": _q_doc_ranks_per_lang,
@@ -1812,6 +1838,28 @@ def oracle_sql() -> dict[str, str]:
             "- 0.5*ln(2*pi()*b.v3) - (f3-b.m3)*(f3-b.m3)/(2*b.v3)) AS lo "
             "FROM f, m a, m b, t WHERE a.y = 1 AND b.y = 0) "
             "SELECT doc_id, round(lo, 6) AS log_odds, lo > 0 AS pred FROM sc"
+        ),
+        "line_dedup": (
+            # engine marks by 64-bit line hash, oracle by line string;
+            # parallel unnest of equal-length lists zips (line, line_no)
+            "WITH aug AS (SELECT doc_id, "
+            "(CASE WHEN doc_id % 2 = 0 THEN 'cookie banner' || chr(10) "
+            "ELSE '' END) || coalesce(text, '') || "
+            "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'site footer' "
+            "ELSE '' END) AS text FROM documents), "
+            "t AS (SELECT doc_id, string_split(coalesce(text, ''), "
+            "chr(10)) AS ls FROM aug), "
+            "l AS (SELECT doc_id, unnest(generate_series(1, len(ls))) "
+            "AS line_no, unnest(ls) AS line FROM t), "
+            "freq AS (SELECT line FROM l GROUP BY line "
+            "HAVING count(DISTINCT doc_id) >= 3), "
+            "k AS (SELECT l.doc_id, l.line_no, l.line, "
+            "f.line IS NOT NULL AS rm FROM l LEFT JOIN freq f USING (line)) "
+            "SELECT doc_id, count(*) AS n_lines, "
+            "CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, "
+            "coalesce(string_agg(CASE WHEN rm THEN NULL ELSE line END, "
+            "chr(10) ORDER BY line_no), '') AS clean_text "
+            "FROM k GROUP BY doc_id"
         ),
         "media_decode_real": (
             # expected decode output recomputed in closed form: pixels

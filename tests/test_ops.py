@@ -687,6 +687,38 @@ def test_gaussian_nb_matches_numpy_replay(ray_session):
         gaussian_nb_scores(rd.from_pandas(one_class), ["f1", "f2"], "lab")
 
 
+def test_line_dedup_removes_boilerplate(ray_session):
+    """CCNet-style line dedup: lines in >= min_docs distinct docs are
+    removed everywhere, unique lines survive byte-identically in order,
+    and within-doc-only repeats are NOT boilerplate."""
+    from gencore_ray.ops.linedup import line_dedup
+
+    banner = "accept cookies"
+    docs = {
+        0: f"{banner}\nalpha unique\nbeta unique",
+        1: f"intro line\n{banner}\ngamma text",
+        2: f"delta text\n{banner}",
+        3: "solo doc no banner",
+        4: "self\nself\nself",              # within-doc repeat only
+        5: "",                               # empty doc
+    }
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = (line_dedup(ds, min_docs=3, num_parts=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert got.loc[0, "clean_text"] == "alpha unique\nbeta unique"
+    assert got.loc[1, "clean_text"] == "intro line\ngamma text"
+    assert got.loc[2, "clean_text"] == "delta text"
+    assert got.loc[3, "clean_text"] == docs[3]       # untouched
+    assert got.loc[4, "clean_text"] == docs[4]       # 1 doc -> kept
+    assert got.loc[5, "clean_text"] == ""
+    assert got.loc[0, "n_lines"] == 3 and got.loc[0, "n_removed"] == 1
+    assert got.loc[4, "n_removed"] == 0
+    # min_docs=2: "self" still survives (distinct-DOC count is 1)
+    got2 = (line_dedup(ds, min_docs=2, num_parts=4)
+            .to_pandas().set_index("doc_id").sort_index())
+    assert got2.loc[4, "clean_text"] == docs[4]
+
+
 def test_asof_join_matches_pandas(events_df):
     """Backward as-of join vs a global pandas merge_asof reference."""
     from gencore_ray.ops.relational import asof_join
