@@ -933,6 +933,18 @@ def _q_repetition_profile(sf_dir: str):
     return repetition_profile(_docs(sf_dir))
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """End-to-end curation verdict: exact-dup hash exchange + Gopher
+    rules + unigram-LM perplexity threshold, stitched by slim id-keyed
+    joins into one keep/reason row per doc (priority: exact_dup >
+    gopher rule > high_perplexity).  Every stage is independently
+    oracled; this query proves the COMPOSITION."""
+    from gencore_ray.pipelines.curate import curate_documents
+
+    return curate_documents(_docs(sf_dir), ppl_threshold=31.0,
+                            vocab_cap=1000, num_parts=8)
+
+
 def _q_line_dedup(sf_dir: str):
     """CCNet-style cross-doc line dedup: every line occurring in >= 3
     distinct docs is boilerplate and removed from all of them; cleaned
@@ -1272,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_pairs": _q_semantic_dedup,
         "nb_lang_classifier": _q_nb_lang_classifier,
         "line_dedup": _q_line_dedup,
+        "curation_pipeline": _q_curation_pipeline,
         "events_asof_click": _q_events_asof_click,
         "events_lag_lead": _q_events_lag_lead,
         "doc_ranks_per_lang": _q_doc_ranks_per_lang,
@@ -1860,6 +1873,63 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(string_agg(CASE WHEN rm THEN NULL ELSE line END, "
             "chr(10) ORDER BY line_no), '') AS clean_text "
             "FROM k GROUP BY doc_id"
+        ),
+        "curation_pipeline": (
+            # composition of the exact-dup, corpus_filter and
+            # lm_perplexity oracles; threshold applies to the ROUNDED
+            # perplexity on both sides so a boundary doc cannot split
+            "WITH t AS (SELECT doc_id, coalesce(text, '') AS text, "
+            "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS toks "
+            "FROM documents), "
+            "dup AS (SELECT doc_id, doc_id <> min(doc_id) OVER "
+            "(PARTITION BY text) AS is_dup FROM t), "
+            "base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "round(length(array_to_string(toks, '')) * 1.0 "
+            "/ greatest(len(toks), 1), 6) AS mean_word_len, "
+            "round(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) * 1.0 "
+            "/ greatest(length(text), 1), 6) AS alnum_ratio FROM t), "
+            "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line "
+            "FROM t), "
+            "lc AS (SELECT doc_id, round((count(*) - count(DISTINCT line)) "
+            "* 1.0 / count(*), 6) AS dup_line_frac FROM l GROUP BY doc_id), "
+            "g AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], chr(31)) "
+            "FOR i IN generate_series(1, len(toks)-1)]) AS gram FROM t), "
+            "cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS tb "
+            "FROM cnt GROUP BY doc_id), "
+            "gr AS (SELECT base.doc_id, CASE "
+            "WHEN n_tokens < 10 THEN 'too_few_tokens' "
+            "WHEN n_tokens > 100000 THEN 'too_many_tokens' "
+            "WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 "
+            "THEN 'mean_word_len' "
+            "WHEN alnum_ratio < 0.5 THEN 'alnum_ratio' "
+            "WHEN lc.dup_line_frac > 0.3 THEN 'dup_lines' "
+            "WHEN coalesce(agg.tb, 0.0) > 0.2 THEN 'top_bigram' "
+            "ELSE 'ok' END AS greason FROM base JOIN lc USING (doc_id) "
+            "LEFT JOIN agg USING (doc_id)), "
+            "wtok AS (SELECT doc_id, unnest(toks) AS w FROM t), "
+            "wc AS (SELECT w, count(*) AS c FROM wtok GROUP BY w), "
+            "topv AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 1000), "
+            "par AS (SELECT (SELECT coalesce(sum(c), 0) FROM wc) AS n, "
+            "(SELECT count(*) FROM topv) AS v, "
+            "(SELECT coalesce(sum(c), 0) FROM wc) "
+            "- (SELECT coalesce(sum(c), 0) FROM topv) AS cu), "
+            "sc AS (SELECT wt.doc_id, "
+            "ln((coalesce(tv.c, (SELECT cu FROM par)) + 1.0) "
+            "/ ((SELECT n FROM par) + (SELECT v FROM par) + 1.0)) AS lp "
+            "FROM wtok wt LEFT JOIN topv tv USING (w)), "
+            "pp AS (SELECT doc_id, round(exp(-avg(lp)), 6) AS perplexity "
+            "FROM sc GROUP BY doc_id), "
+            "fin AS (SELECT t.doc_id, dup.is_dup, gr.greason, "
+            "coalesce(pp.perplexity, 0.0) AS perplexity FROM t "
+            "JOIN dup USING (doc_id) JOIN gr USING (doc_id) "
+            "LEFT JOIN pp USING (doc_id)) "
+            "SELECT doc_id, "
+            "(NOT is_dup AND greason = 'ok' AND perplexity <= 31.0) AS keep, "
+            "CASE WHEN is_dup THEN 'exact_dup' "
+            "WHEN greason <> 'ok' THEN greason "
+            "WHEN perplexity > 31.0 THEN 'high_perplexity' ELSE 'ok' END "
+            "AS reason, perplexity FROM fin"
         ),
         "media_decode_real": (
             # expected decode output recomputed in closed form: pixels

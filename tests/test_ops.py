@@ -719,6 +719,40 @@ def test_line_dedup_removes_boilerplate(ray_session):
     assert got2.loc[4, "clean_text"] == docs[4]
 
 
+def test_curation_pipeline_reason_priority(ray_session):
+    """Composed curation verdict: exact_dup outranks gopher rules
+    outranks high_perplexity; clean docs keep."""
+    from gencore_ray.pipelines.curate import curate_documents
+
+    clean = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    docs = {
+        0: clean,                       # ok (common vocab, low ppl)
+        1: clean,                       # exact dup of 0 -> exact_dup
+        2: "tiny",                      # too_few_tokens
+        3: "tiny",                      # dup of 2: exact_dup WINS over gopher
+        # rare vocab -> high perplexity, passes gopher
+        4: " ".join(f"zzqx{i} wwvy{i} kkjh{i}" for i in range(12)),
+        5: "",                          # zero tokens -> too_few_tokens
+    }
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    # corpus ppl baseline ~ uniform over the clean vocab; threshold set
+    # between the clean docs' ppl and the rare-vocab doc's ppl
+    probe = curate_documents(ds, ppl_threshold=1e18, num_parts=4,
+                             vocab_cap=100).to_pandas().set_index("doc_id")
+    thr = (probe.loc[0, "perplexity"] + probe.loc[4, "perplexity"]) / 2
+    assert probe.loc[4, "perplexity"] > probe.loc[0, "perplexity"]
+    got = curate_documents(ds, ppl_threshold=thr, num_parts=4,
+                           vocab_cap=100).to_pandas().set_index("doc_id")
+    assert got.loc[0, "reason"] == "ok" and bool(got.loc[0, "keep"])
+    assert got.loc[1, "reason"] == "exact_dup"
+    assert got.loc[2, "reason"] == "too_few_tokens"
+    assert got.loc[3, "reason"] == "exact_dup"       # dup outranks gopher
+    assert got.loc[4, "reason"] == "high_perplexity"
+    assert got.loc[5, "reason"] == "too_few_tokens"  # no ppl row needed
+    assert got.loc[5, "perplexity"] == 0.0
+    assert not got.drop(index=0)["keep"].any()
+
+
 def test_asof_join_matches_pandas(events_df):
     """Backward as-of join vs a global pandas merge_asof reference."""
     from gencore_ray.ops.relational import asof_join
