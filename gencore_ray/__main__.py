@@ -98,6 +98,61 @@ def _cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_curate(args: argparse.Namespace) -> int:
+    """Training-data curation verdicts (exact-dup + Gopher rules +
+    LM-perplexity threshold) over a documents parquet."""
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if args.address == "local":
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address=args.address, **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from gencore_ray.pipelines.curate import curate_documents
+    from gencore_ray.stages.shuffle import hash_join
+
+    num_parts = args.num_cpus or int(ray.cluster_resources().get("CPU", 8))
+    t0 = time.monotonic()
+    docs = rd.read_parquet(args.input)
+    verdicts = curate_documents(
+        docs, id_col=args.id_col, text_col=args.text_col,
+        ppl_threshold=args.ppl_threshold, vocab_cap=args.vocab_cap,
+        num_parts=num_parts, min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+    ).materialize()
+    if args.emit == "kept":
+        kept = verdicts.filter(expr="keep")
+        out = hash_join(docs, kept.select_columns([args.id_col, "reason"]),
+                        args.id_col, args.id_col, num_parts=num_parts,
+                        how="semi")
+        out.write_parquet(args.output)
+    else:
+        verdicts.write_parquet(args.output)
+    by_reason = dict(
+        verdicts.groupby("reason").count().to_pandas()
+        .itertuples(index=False, name=None)
+    )
+    report = {
+        "docs": verdicts.count(),
+        "kept": int(by_reason.get("ok", 0)),
+        "dropped_by_reason": {k: int(v) for k, v in sorted(by_reason.items())
+                              if k != "ok"},
+        "wall_sec": round(time.monotonic() - t0, 2),
+        "output": args.output,
+        "emit": args.emit,
+    }
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
 def _cmd_test(_args: argparse.Namespace) -> int:
     """Builtin unit vectors, reference-style (prints PASSED/FAILED)."""
     import numpy as np
@@ -161,6 +216,22 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--num-cpus", type=int, default=None)
     d.add_argument("--quiet", action="store_true", default=True)
     d.set_defaults(fn=_cmd_dedup)
+
+    c = sub.add_parser("curate", help="training-data curation verdicts "
+                       "(exact-dup + Gopher rules + perplexity)")
+    c.add_argument("-i", "--input", required=True, help="documents parquet")
+    c.add_argument("-o", "--output", required=True, help="output dir")
+    c.add_argument("--emit", choices=["verdicts", "kept"], default="verdicts",
+                   help="write per-doc verdicts, or only surviving docs")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--ppl-threshold", type=float, default=31.0)
+    c.add_argument("--vocab-cap", type=int, default=1000)
+    c.add_argument("--min-tokens", type=int, default=10)
+    c.add_argument("--max-tokens", type=int, default=100_000)
+    c.add_argument("--address", default="local")
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=_cmd_curate)
 
     t = sub.add_parser("test", help="builtin unit vectors (reference EP2)")
     t.set_defaults(fn=_cmd_test)

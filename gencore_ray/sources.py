@@ -123,6 +123,45 @@ def read_pages_jsonl(path: str, **kwargs) -> rd.Dataset:
     return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def write_pages_jsonl(ds: rd.Dataset, out_dir: str, **kwargs) -> None:
+    """Inverse of :func:`read_pages_jsonl` — the training-data export
+    format (one JSON object per line, one shard file per block).
+
+    JSON has no bytes or timestamp types, so binary columns are
+    base64-encoded and timestamp columns ISO-formatted at microsecond
+    precision; ``read_pages_jsonl`` reverses both, making the round
+    trip table-identical.  Sharding is Ray's native JSON sink — per-
+    block writer tasks, no driver materialisation; ``repartition``
+    first to control shard count.
+    """
+    import base64
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def enc(t: pa.Table) -> pa.Table:
+        for i, f in enumerate(t.schema):
+            if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type):
+                col = pa.array(
+                    [base64.b64encode(x).decode("ascii")
+                     if x is not None else None
+                     for x in t[f.name].to_pylist()],
+                    pa.string(),
+                )
+                t = t.set_column(i, f.name, col)
+            elif pa.types.is_timestamp(f.type):
+                # Arrow's %S already carries the fractional digits for
+                # sub-second units (%f is unsupported and stays literal)
+                t = t.set_column(
+                    i, f.name,
+                    pc.strftime(t[f.name], format="%Y-%m-%dT%H:%M:%S"),
+                )
+        return t
+
+    ds.map_batches(enc, batch_format="pyarrow",
+                   zero_copy_batch=True).write_json(out_dir, **kwargs)
+
+
 def read_pages_csv(path: str, **kwargs) -> rd.Dataset:
     """Pages from CSV (text corpora without html payloads)."""
     return rd.read_csv(path, **kwargs)

@@ -88,6 +88,25 @@ def test_jsonl_reader(ray_session, tmp_path):
     assert (got["warc_ts"] == want["warc_ts"]).all()
 
 
+def test_jsonl_writer_roundtrip(ray_session, tmp_path):
+    """write_pages_jsonl -> read_pages_jsonl is table-identical
+    (binary via base64, timestamps via ISO microseconds)."""
+    import ray.data as rd
+
+    from gencore_ray.sources import write_pages_jsonl
+
+    pages_tbl = generate_pages(50, seed=7)
+    out = str(tmp_path / "shards")
+    write_pages_jsonl(rd.from_arrow(pages_tbl), out)
+    got = (read_pages_jsonl(out).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    want = pages_tbl.to_pandas().sort_values("url").reset_index(drop=True)
+    assert got["html"].tolist() == want["html"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert (got["warc_ts"] == want["warc_ts"]).all()
+
+
 def test_csv_reader(ray_session, tmp_path):
     from gencore_ray.sources import read_pages_csv
 
