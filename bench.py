@@ -42,6 +42,7 @@ QUERY_NAMES = [
     "top_ngrams",
     "events_value_quantiles",
     "distinct_users_by_type",
+    "curation_pipeline",
 ]
 
 

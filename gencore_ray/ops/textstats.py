@@ -110,6 +110,10 @@ def _repetition_signals(texts: list, round_to: int = 6):
             wh = splitmix64((win * powers2).sum(axis=1, dtype=U64))
         valid = tdoc[: total - 1] == tdoc[1:]
         wd, wh2 = tdoc[: total - 1][valid], wh[valid]
+        if not len(wd):
+            # >= 2 tokens overall but none adjacent within one doc
+            # (e.g. many 1-token docs): no bigrams anywhere
+            return lens, dup_frac, top_frac, feats
         o2 = np.lexsort((wh2, wd))
         d2, h2 = wd[o2], wh2[o2]
         seg = np.r_[True, (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])]

@@ -136,3 +136,30 @@ def test_join_part_equals_pandas_merge(lk, rk):
     key = ["k", "lv", "pay_r"]
     assert sorted(map(tuple, got[key].to_numpy().tolist())) == \
         sorted(map(tuple, want[key].to_numpy().tolist()))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="ab x\n", max_size=50),
+                   min_size=1, max_size=8)
+)
+def test_repetition_signals_match_scalar(texts):
+    """The factorized batch kernel behind repetition_profile and
+    corpus_filter equals the per-doc scalar definitions on arbitrary
+    line/token layouts (empty docs, all-dup lines, 1-token docs)."""
+    from collections import Counter
+
+    from gencore_ray.ops.textstats import _repetition_signals
+
+    lens, dup, top, feats = _repetition_signals(texts)
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        assert lens[i] == len(lines)
+        want_dup = round((len(lines) - len(set(lines))) / len(lines), 6)
+        assert abs(dup[i] - want_dup) < 1e-9
+        toks = tokenize(t)
+        grams = Counter(zip(toks, toks[1:]))
+        want_top = (round(max(grams.values()) / sum(grams.values()), 6)
+                    if grams else 0.0)
+        assert abs(top[i] - want_top) < 1e-9
+        assert feats.token_count[i] == len(toks)
