@@ -1025,6 +1025,15 @@ def _q_semantic_dedup(sf_dir: str):
                                 k=8, iters=5, num_parts=8)
 
 
+def _q_span_dedup_rewrite(sf_dir: str):
+    """Lee et al. exact-substring dedup as a transform: cut every token
+    covered by an 8-gram owned by a smaller doc_id, reassemble the
+    survivors (the corpus has ~1000 natural cross-doc 8-grams)."""
+    from gencore_ray.ops.substrings import span_dedup_rewrite
+
+    return span_dedup_rewrite(_docs(sf_dir), span_tokens=8, num_parts=8)
+
+
 def _q_lm_perplexity(sf_dir: str):
     """CCNet-style corpus-LM quality scoring: top-1000-vocab unigram
     LM (add-1 smoothing, <unk> fold) fit by one token-count exchange,
@@ -1281,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": _q_corpus_filter,
         "duplicate_span_stats": _q_duplicate_span_stats,
         "lm_perplexity": _q_lm_perplexity,
+        "span_dedup_rewrite": _q_span_dedup_rewrite,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "nb_lang_classifier": _q_nb_lang_classifier,
         "line_dedup": _q_line_dedup,
@@ -1785,6 +1795,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(dup_windows, 0) AS BIGINT) AS dup_windows, "
             "round(coalesce(dup_windows, 0) * 1.0 / greatest(n_windows, 1), 6) "
             "AS dup_span_frac FROM base LEFT JOIN dupw USING (doc_id)"
+        ),
+        "span_dedup_rewrite": (
+            # owner-doc-keeps policy: gram owner = min doc_id; every
+            # window of that gram in a LARGER doc is removed, covered
+            # token positions cut, survivors space-joined in order
+            "WITH t AS (SELECT doc_id, regexp_extract_all("
+            "lower(coalesce(text, '')), '[a-z0-9_]+') AS toks FROM documents), "
+            "w AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(toks)-7)) AS p, "
+            "unnest([array_to_string(toks[i:i+7], chr(31)) "
+            "FOR i IN generate_series(1, len(toks)-7)]) AS g FROM t), "
+            "own AS (SELECT g, min(doc_id) AS owner FROM w GROUP BY g), "
+            "rem AS (SELECT w.doc_id, w.p FROM w JOIN own USING (g) "
+            "WHERE w.doc_id > own.owner), "
+            "cutd AS (SELECT DISTINCT doc_id, "
+            "unnest(generate_series(p, p+7)) AS tp FROM rem), "
+            "tokrows AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(toks))) AS tp, "
+            "unnest(toks) AS tok FROM t), "
+            "agg AS (SELECT tr.doc_id, "
+            "string_agg(CASE WHEN c.tp IS NULL THEN tr.tok END, ' ' "
+            "ORDER BY tr.tp) AS clean_text, "
+            "sum(CASE WHEN c.tp IS NULL THEN 0 ELSE 1 END) AS ncut "
+            "FROM tokrows tr LEFT JOIN cutd c "
+            "ON c.doc_id = tr.doc_id AND c.tp = tr.tp GROUP BY tr.doc_id), "
+            "base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens "
+            "FROM t) "
+            "SELECT b.doc_id, b.n_tokens, "
+            "CAST(coalesce(ncut, 0) AS BIGINT) AS n_cut, "
+            "coalesce(clean_text, '') AS clean_text "
+            "FROM base b LEFT JOIN agg USING (doc_id)"
         ),
         "lm_perplexity": (
             # top-1000-vocab unigram LM with add-1 smoothing; dropped

@@ -118,6 +118,116 @@ def substring_dup_pairs(
     return j2.map_batches(check, batch_format="pandas")
 
 
+def span_dedup_rewrite(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """Lee et al. 2022 exact-substring dedup as a TRANSFORM: cut every
+    token covered by a duplicated L-gram window, keep the owner doc's
+    copy, reassemble the survivors.
+
+    Policy (deterministic, owner-doc-keeps): each L-gram's OWNER is the
+    smallest doc_id containing it; in every other doc, all windows of
+    that gram are removed and every token position covered by a removed
+    window is cut.  The owner doc keeps all its occurrences (a simpler,
+    partition-stable variant of Lee et al.'s keep-one-occurrence).
+    Output: (id, n_tokens, n_cut, clean_text) — clean_text is the
+    space-joined surviving tokens of the NORMALISED stream (lowercase
+    ``[a-z0-9_]+``; dedup is about content, same contract as
+    ``substring_dup_pairs``).
+
+    Scale shape: window rows (ghash, id, pos — 24 B) through one
+    gram-keyed exchange that computes owners and emits only the losing
+    windows; per-doc removed positions aggregate through one id-keyed
+    exchange (bounded by the doc's window count); the text is then cut
+    in a pure map joined by id — text never rides the gram exchange.
+    """
+    from gencore_ray.functions.hashing import pow_array, splitmix64
+    from gencore_ray.functions.text import _POLY, TextFeatures
+    from gencore_ray.stages.shuffle import grouped_map, hash_join
+
+    L = int(span_tokens)
+    powers = pow_array(_POLY, L)
+
+    def _window_rows(df: pd.DataFrame) -> pd.DataFrame:
+        feats = TextFeatures(df[text_col].fillna("").tolist())
+        lens = np.fromiter(map(len, feats.tok_hashes), dtype=np.int64,
+                           count=len(feats.tok_hashes))
+        empty = pd.DataFrame({"ghash": pd.Series(dtype=np.uint64),
+                              id_col: pd.Series(dtype=df[id_col].dtype),
+                              "p": pd.Series(dtype=np.int64)})
+        total = int(lens.sum())
+        if total < L:
+            return empty
+        flat = np.concatenate(feats.tok_hashes)
+        tdoc = np.repeat(np.arange(len(lens)), lens)
+        offs = np.repeat(np.cumsum(lens) - lens, lens)
+        win = np.lib.stride_tricks.sliding_window_view(flat, L)
+        with np.errstate(over="ignore"):
+            wh = splitmix64((win * powers).sum(axis=1, dtype=np.uint64))
+        valid = tdoc[: total - L + 1] == tdoc[L - 1:]
+        if not valid.any():
+            return empty
+        idx = np.flatnonzero(valid)
+        return pd.DataFrame({
+            "ghash": wh[idx],
+            id_col: df[id_col].to_numpy()[tdoc[idx]],
+            "p": idx - offs[idx],
+        })
+
+    def _losers(df: pd.DataFrame) -> pd.DataFrame:
+        """Windows whose gram is owned by a smaller doc_id (the gram
+        exchange co-locates every occurrence of a hash)."""
+        owner = df.groupby("ghash", sort=False)[id_col].transform("min")
+        lose = df[id_col].to_numpy() != owner.to_numpy()
+        return df.loc[lose, [id_col, "p"]]
+
+    def _collect(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(id_col, sort=False)["p"]
+                .agg(lambda s: s.to_numpy().tolist())
+                .rename("cut_ps").reset_index())
+
+    wins = ds.select_columns([id_col, text_col]).map_batches(
+        _window_rows, batch_format="pandas")
+    losers = grouped_map(wins, "ghash", _losers, num_parts=num_parts)
+    per_doc = grouped_map(losers, id_col, _collect, num_parts=num_parts)
+    joined = hash_join(ds.select_columns([id_col, text_col]), per_doc,
+                       id_col, id_col, num_parts=num_parts,
+                       how="left_outer")
+
+    def _rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        feats = TextFeatures(df[text_col].fillna("").tolist(),
+                             need_hashes=False)
+        out_text, n_cut = [], []
+        for toks, ps in zip(feats.tok_lists, df["cut_ps"].tolist()):
+            if ps is None or (isinstance(ps, float) and pd.isna(ps)) \
+                    or not len(toks):
+                out_text.append(" ".join(toks))
+                n_cut.append(0)
+                continue
+            # coverage via a difference array: +1 at window start,
+            # -1 past its end, cumsum > 0 == covered
+            diff = np.zeros(len(toks) + 1, dtype=np.int64)
+            pa_ = np.asarray(ps, dtype=np.int64)
+            np.add.at(diff, pa_, 1)
+            np.add.at(diff, np.minimum(pa_ + L, len(toks)), -1)
+            cut = np.cumsum(diff[:-1]) > 0
+            kept = [t for t, c in zip(toks, cut) if not c]
+            out_text.append(" ".join(kept))
+            n_cut.append(int(cut.sum()))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": feats.token_count,
+            "n_cut": np.asarray(n_cut, dtype=np.int64),
+            "clean_text": out_text,
+        })
+
+    return joined.map_batches(_rewrite, batch_format="pandas")
+
+
 def duplicate_span_stats(
     ds: rd.Dataset,
     id_col: str = "doc_id",

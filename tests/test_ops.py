@@ -719,6 +719,42 @@ def test_line_dedup_removes_boilerplate(ray_session):
     assert got2.loc[4, "clean_text"] == docs[4]
 
 
+def test_span_dedup_rewrite_owner_keeps(ray_session):
+    """Owner doc (smallest id per gram) keeps its text; larger docs
+    lose every token covered by a shared L-gram window; partial
+    overlaps cut exactly the covered positions."""
+    from gencore_ray.functions.text import _TOKEN_RE
+    from gencore_ray.ops.substrings import span_dedup_rewrite
+
+    L = 4
+    docs = {
+        0: " ".join(f"w{i}" for i in range(12)),
+        1: "x y z " + " ".join(f"w{i}" for i in range(4, 12)) + " q r",
+        2: "unique text here totally fresh stuff",
+        3: "tiny",
+    }
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = (span_dedup_rewrite(ds, span_tokens=L, num_parts=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    toks = {d: _TOKEN_RE.findall(t.lower()) for d, t in docs.items()}
+    owners = {}
+    for d in sorted(toks):
+        for i in range(len(toks[d]) - L + 1):
+            owners.setdefault(tuple(toks[d][i:i + L]), d)
+    for d, t in toks.items():
+        cut = [False] * len(t)
+        for i in range(len(t) - L + 1):
+            if owners[tuple(t[i:i + L])] < d:
+                for j in range(i, i + L):
+                    cut[j] = True
+        want = " ".join(tok for tok, c in zip(t, cut) if not c)
+        assert got.loc[d, "clean_text"] == want, d
+        assert got.loc[d, "n_cut"] == sum(cut), d
+        assert got.loc[d, "n_tokens"] == len(t), d
+    assert got.loc[0, "n_cut"] == 0          # owner untouched
+    assert got.loc[1, "n_cut"] == 8          # the shared w4..w11 run
+
+
 def test_curation_pipeline_reason_priority(ray_session):
     """Composed curation verdict: exact_dup outranks gopher rules
     outranks high_perplexity; clean docs keep."""
