@@ -719,6 +719,37 @@ def test_line_dedup_removes_boilerplate(ray_session):
     assert got2.loc[4, "clean_text"] == docs[4]
 
 
+def test_new_exchange_ops_partition_invariant(ray_session):
+    """duplicate_span_stats / line_dedup / span_dedup_rewrite results
+    must not depend on the exchange partition count (the global
+    property each op's per-partition logic relies on)."""
+    from gencore_ray.ops.linedup import line_dedup
+    from gencore_ray.ops.substrings import (
+        duplicate_span_stats, span_dedup_rewrite,
+    )
+
+    rng = np.random.RandomState(13)
+    vocab = [f"tok{i}" for i in range(30)]
+    docs = {}
+    for d in range(20):
+        words = list(rng.choice(vocab, size=rng.randint(5, 30)))
+        docs[d] = " ".join(words)
+    # plant a shared run + a shared line
+    shared = "alpha beta gamma delta epsilon zeta"
+    for d in (3, 7, 11):
+        docs[d] = docs[d] + " " + shared
+        docs[d] = "shared banner line\n" + docs[d]
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    for op, kw in [(duplicate_span_stats, {"span_tokens": 4}),
+                   (span_dedup_rewrite, {"span_tokens": 4}),
+                   (line_dedup, {"min_docs": 3})]:
+        a = (op(ds, num_parts=2, **kw).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (op(ds, num_parts=9, **kw).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
 def test_span_dedup_rewrite_owner_keeps(ray_session):
     """Owner doc (smallest id per gram) keeps its text; larger docs
     lose every token covered by a shared L-gram window; partial
