@@ -1025,6 +1025,14 @@ def _q_semantic_dedup(sf_dir: str):
                                 k=8, iters=5, num_parts=8)
 
 
+def _q_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail: per-language perplexity tertiles over
+    the rounded per-doc perplexity, broadcast-threshold assignment."""
+    from gencore_ray.ops.lm import ppl_buckets
+
+    return ppl_buckets(_docs(sf_dir), vocab_cap=1000, num_parts=8)
+
+
 def _q_span_dedup_rewrite(sf_dir: str):
     """Lee et al. exact-substring dedup as a transform: cut every token
     covered by an 8-gram owned by a smaller doc_id, reassemble the
@@ -1291,6 +1299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_span_stats": _q_duplicate_span_stats,
         "lm_perplexity": _q_lm_perplexity,
         "span_dedup_rewrite": _q_span_dedup_rewrite,
+        "ppl_buckets": _q_ppl_buckets,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "nb_lang_classifier": _q_nb_lang_classifier,
         "line_dedup": _q_line_dedup,
@@ -1848,6 +1857,34 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(lp), 6) AS avg_logp, "
             "round(exp(-avg(lp)), 6) AS perplexity "
             "FROM sc GROUP BY doc_id"
+        ),
+        "ppl_buckets": (
+            # lm_perplexity's CTEs + per-language tertiles of the
+            # ROUNDED perplexity + threshold CASE — CCNet's split
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all("
+            "lower(coalesce(text, '')), '[a-z0-9_]+')) AS w FROM documents), "
+            "cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w), "
+            "topv AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 1000), "
+            "par AS (SELECT (SELECT coalesce(sum(c), 0) FROM cnt) AS n, "
+            "(SELECT count(*) FROM topv) AS v, "
+            "(SELECT coalesce(sum(c), 0) FROM cnt) "
+            "- (SELECT coalesce(sum(c), 0) FROM topv) AS cu), "
+            "sc AS (SELECT t.doc_id, "
+            "ln((coalesce(tv.c, (SELECT cu FROM par)) + 1.0) "
+            "/ ((SELECT n FROM par) + (SELECT v FROM par) + 1.0)) AS lp "
+            "FROM tok t LEFT JOIN topv tv ON t.w = tv.w), "
+            "pp AS (SELECT doc_id, round(exp(-avg(lp)), 6) AS perplexity "
+            "FROM sc GROUP BY doc_id), "
+            "pl AS (SELECT d.doc_id, d.lang, pp.perplexity "
+            "FROM documents d JOIN pp USING (doc_id)), "
+            "th AS (SELECT lang, "
+            "round(quantile_cont(perplexity, 1.0/3), 6) AS p33, "
+            "round(quantile_cont(perplexity, 2.0/3), 6) AS p66 "
+            "FROM pl GROUP BY lang) "
+            "SELECT doc_id, lang, perplexity, "
+            "CASE WHEN perplexity <= p33 THEN 'head' "
+            "WHEN perplexity <= p66 THEN 'middle' ELSE 'tail' END AS bucket "
+            "FROM pl JOIN th USING (lang)"
         ),
         "semantic_dedup_pairs": (
             # replay the query's deterministic duplicate augmentation,

@@ -113,3 +113,60 @@ def lm_unigram_perplexity(
         })
 
     return slim.map_batches(_score, batch_format="pandas")
+
+
+def ppl_buckets(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    vocab_cap: int = 1000,
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """CCNet's head/middle/tail split: per-language perplexity
+    tertiles over the ROUNDED perplexity column (so the SQL replay can
+    never disagree on a boundary), then one broadcast threshold lookup.
+
+    (id, lang, perplexity, bucket) per doc with >= 1 token —
+    ``head`` = cleanest third of its language, ``tail`` = worst.
+    Exchange cost: the lm fit's count exchange + one (lang, ppl)
+    quantile exchange; the bucket assignment is a pure map.
+    """
+    import ray
+
+    from gencore_ray.ops.relational import grouped_quantiles
+    from gencore_ray.stages.shuffle import hash_join
+
+    ppl = lm_unigram_perplexity(
+        ds, id_col=id_col, text_col=text_col, vocab_cap=vocab_cap,
+        num_parts=num_parts,
+    ).select_columns([id_col, "perplexity"])
+
+    def _slim_lang(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lid": df[id_col].to_numpy(),
+                             lang_col: df[lang_col].to_numpy()})
+
+    langs = ds.select_columns([id_col, lang_col]).map_batches(
+        _slim_lang, batch_format="pandas")
+    pl = hash_join(ppl, langs, id_col, "lid", num_parts=num_parts)
+    th = grouped_quantiles(
+        pl, [lang_col], "perplexity",
+        [("p33", 1.0 / 3.0), ("p66", 2.0 / 3.0)], num_parts=num_parts,
+    ).to_pandas().set_index(lang_col)
+    ref = ray.put(th)
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(ref)
+        p33 = t["p33"].reindex(df[lang_col]).to_numpy(dtype=np.float64)
+        p66 = t["p66"].reindex(df[lang_col]).to_numpy(dtype=np.float64)
+        v = df["perplexity"].to_numpy(dtype=np.float64)
+        bucket = np.where(v <= p33, "head",
+                          np.where(v <= p66, "middle", "tail"))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            lang_col: df[lang_col].to_numpy(),
+            "perplexity": v,
+            "bucket": bucket.astype(object),
+        })
+
+    return pl.map_batches(_bucket, batch_format="pandas")

@@ -719,6 +719,36 @@ def test_line_dedup_removes_boilerplate(ray_session):
     assert got2.loc[4, "clean_text"] == docs[4]
 
 
+def test_ppl_buckets_tertiles_per_lang(ray_session):
+    """head/middle/tail assignment equals numpy tertiles computed per
+    language on the rounded perplexities; thirds are balanced."""
+    from gencore_ray.ops.lm import ppl_buckets
+
+    rng = np.random.RandomState(8)
+    vocab = {"en": [f"en{i}" for i in range(20)],
+             "de": [f"de{i}" for i in range(20)]}
+    docs = []
+    for d in range(60):
+        lang = "en" if d % 2 == 0 else "de"
+        # vary rarity so perplexities spread within each language
+        hi = 3 + (d % 10)
+        words = [vocab[lang][rng.randint(0, hi)] for _ in range(15)]
+        docs.append({"doc_id": d, "lang": lang, "text": " ".join(words)})
+    ds = rd.from_items(docs)
+    got = (ppl_buckets(ds, vocab_cap=100, num_parts=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert len(got) == 60
+    for lang, grp in got.groupby("lang"):
+        v = grp["perplexity"].to_numpy()
+        p33 = round(float(np.percentile(v, 100 / 3, method="linear")), 6)
+        p66 = round(float(np.percentile(v, 200 / 3, method="linear")), 6)
+        want = np.where(v <= p33, "head",
+                        np.where(v <= p66, "middle", "tail"))
+        assert (grp["bucket"].to_numpy() == want).all(), lang
+        counts = grp["bucket"].value_counts()
+        assert counts.min() >= len(grp) // 3 - 2  # balanced thirds
+
+
 def test_new_exchange_ops_partition_invariant(ray_session):
     """duplicate_span_stats / line_dedup / span_dedup_rewrite results
     must not depend on the exchange partition count (the global
