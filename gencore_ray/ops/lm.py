@@ -51,10 +51,48 @@ def lm_unigram_perplexity(
     import ray
 
     from gencore_ray.functions.text import _TOKEN_RE
+
+    model, unk_logp = fit_unigram_lm(ds, text_col=text_col,
+                                     vocab_cap=vocab_cap, alpha=alpha,
+                                     num_parts=num_parts)
+    model_ref = ray.put(model)
+    p = 10.0 ** round_to
+    slim = ds.select_columns([id_col, text_col])
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [_TOKEN_RE.findall((t or "").lower())
+                for t in df[text_col].tolist()]
+        lens, avg = score_token_lists(toks, ray.get(model_ref), unk_logp)
+        keep = lens > 0
+        if not keep.any():
+            return pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
+                                 "n_tokens": pd.Series(dtype=np.int64),
+                                 "avg_logp": pd.Series(dtype=np.float64),
+                                 "perplexity": pd.Series(dtype=np.float64)})
+        avg = avg[keep]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[keep],
+            "n_tokens": lens[keep],
+            "avg_logp": np.sign(avg) * np.floor(np.abs(avg) * p + 0.5) / p,
+            "perplexity": np.floor(np.exp(-avg) * p + 0.5) / p,
+        })
+
+    return slim.map_batches(_score, batch_format="pandas")
+
+
+def fit_unigram_lm(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    vocab_cap: int = 1000,
+    alpha: float = 1.0,
+    num_parts: int = 16,
+) -> tuple[pd.Series, float]:
+    """One token-count exchange + O(V) driver fit; returns
+    (term -> logp Series, unk_logp).  Shared by the perplexity op and
+    the fused curation map."""
+    from gencore_ray.functions.text import _TOKEN_RE
     from gencore_ray.ops.relational import topk
     from gencore_ray.stages.shuffle import grouped_map
-
-    slim = ds.select_columns([id_col, text_col])
 
     def _count_partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = [_TOKEN_RE.findall((t or "").lower())
@@ -70,49 +108,35 @@ def lm_unigram_perplexity(
         return df.groupby("term", sort=False)["c"].sum().reset_index()
 
     counts = grouped_map(
-        slim.map_batches(_count_partial, batch_format="pandas"),
+        ds.select_columns([text_col]).map_batches(
+            _count_partial, batch_format="pandas"),
         "term", _count_final, num_parts=num_parts,
     ).materialize()
-
-    # --- fit: top-V + <unk>, all driver-side state O(V) -------------
     n_total = int(counts.sum("c") or 0)
     topv = topk(counts, ["c", "term"], vocab_cap,
                 descending=[True, False]).to_pandas()
     unk_c = n_total - int(topv["c"].sum())
-    v_eff = len(topv)
-    denom = n_total + alpha * (v_eff + 1)
+    denom = n_total + alpha * (len(topv) + 1)
     logp = np.log((topv["c"].to_numpy(dtype=np.float64) + alpha) / denom)
     unk_logp = float(np.log((unk_c + alpha) / denom))
-    model_ref = ray.put(pd.Series(logp, index=topv["term"].to_numpy()))
+    return pd.Series(logp, index=topv["term"].to_numpy()), unk_logp
 
-    p = 10.0 ** round_to
 
-    def _score(df: pd.DataFrame) -> pd.DataFrame:
-        model = ray.get(model_ref)
-        toks = [_TOKEN_RE.findall((t or "").lower())
-                for t in df[text_col].tolist()]
-        lens = np.fromiter(map(len, toks), dtype=np.int64, count=len(toks))
-        keep = lens > 0
-        out_ids = df[id_col].to_numpy()[keep]
-        if not keep.any():
-            return pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
-                                 "n_tokens": pd.Series(dtype=np.int64),
-                                 "avg_logp": pd.Series(dtype=np.float64),
-                                 "perplexity": pd.Series(dtype=np.float64)})
-        flat = pd.Index([w for t in toks for w in t])
-        lp = model.reindex(flat).to_numpy(dtype=np.float64)
-        lp[np.isnan(lp)] = unk_logp
-        doc_of = np.repeat(np.arange(len(lens)), lens)
-        sums = np.bincount(doc_of, weights=lp, minlength=len(lens))[keep]
-        avg = sums / lens[keep]
-        return pd.DataFrame({
-            id_col: out_ids,
-            "n_tokens": lens[keep],
-            "avg_logp": np.sign(avg) * np.floor(np.abs(avg) * p + 0.5) / p,
-            "perplexity": np.floor(np.exp(-avg) * p + 0.5) / p,
-        })
-
-    return slim.map_batches(_score, batch_format="pandas")
+def score_token_lists(
+    tok_lists: list, model: pd.Series, unk_logp: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(token counts, raw mean log-prob per doc); zero-token docs get
+    avg 0.0 — callers decide whether to exclude or default them."""
+    n = len(tok_lists)
+    lens = np.fromiter(map(len, tok_lists), dtype=np.int64, count=n)
+    if not int(lens.sum()):
+        return lens, np.zeros(n)
+    flat = pd.Index([w for t in tok_lists for w in t])
+    lp = model.reindex(flat).to_numpy(dtype=np.float64)
+    lp[np.isnan(lp)] = unk_logp
+    doc_of = np.repeat(np.arange(n), lens)
+    sums = np.bincount(doc_of, weights=lp, minlength=n)
+    return lens, np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
 
 
 def ppl_buckets(

@@ -159,6 +159,46 @@ def repetition_profile(
     )
 
 
+def gopher_signals(
+    texts: list,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alnum_ratio: float = 0.5,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    round_to: int = 6,
+):
+    """Per-batch Gopher-rule core shared by ``corpus_filter`` and the
+    fused curation map: returns (reason array, signals dict incl. the
+    batch TextFeatures) from ONE tokenisation pass."""
+    n = len(texts)
+    lens, dup_frac, top_frac, feats = _repetition_signals(texts, round_to)
+    mwl = _round_half_away(feats.mean_word_len, round_to)
+    alnum = _round_half_away(
+        feats.alnum_count / np.maximum(feats.text_len, 1), round_to
+    )
+    ntok = feats.token_count
+    reason = np.full(n, "ok", dtype=object)
+    # reverse order so earlier rules overwrite later ones
+    for cond, tag in [
+        (top_frac > max_top_bigram_frac, "top_bigram"),
+        (dup_frac > max_dup_line_frac, "dup_lines"),
+        (alnum < min_alnum_ratio, "alnum_ratio"),
+        ((mwl < min_mean_word_len) | (mwl > max_mean_word_len),
+         "mean_word_len"),
+        (ntok > max_tokens, "too_many_tokens"),
+        (ntok < min_tokens, "too_few_tokens"),
+    ]:
+        reason[cond] = tag
+    return reason, {
+        "n_tokens": ntok, "mean_word_len": mwl, "alnum_ratio": alnum,
+        "dup_line_frac": dup_frac, "top_bigram_frac": top_frac,
+        "n_lines": lens, "feats": feats,
+    }
+
+
 def corpus_filter(
     ds: rd.Dataset,
     id_col: str = "doc_id",
@@ -184,27 +224,17 @@ def corpus_filter(
 
     def batch_fn(t: pa.Table) -> pa.Table:
         texts = [x or "" for x in t[text_col].to_pylist()]
-        n = len(texts)
-        lens, dup_frac, top_frac, feats = _repetition_signals(texts, round_to)
-        mwl = _round_half_away(feats.mean_word_len, round_to)
-        alnum = _round_half_away(
-            feats.alnum_count / np.maximum(feats.text_len, 1), round_to
+        reason, sig = gopher_signals(
+            texts, min_tokens=min_tokens, max_tokens=max_tokens,
+            min_mean_word_len=min_mean_word_len,
+            max_mean_word_len=max_mean_word_len,
+            min_alnum_ratio=min_alnum_ratio,
+            max_dup_line_frac=max_dup_line_frac,
+            max_top_bigram_frac=max_top_bigram_frac, round_to=round_to,
         )
-        ntok = feats.token_count
-        reason = np.full(n, "ok", dtype=object)
-        keep = np.ones(n, dtype=bool)
-        # reverse order so earlier rules overwrite later ones
-        for cond, tag in [
-            (top_frac > max_top_bigram_frac, "top_bigram"),
-            (dup_frac > max_dup_line_frac, "dup_lines"),
-            (alnum < min_alnum_ratio, "alnum_ratio"),
-            ((mwl < min_mean_word_len) | (mwl > max_mean_word_len),
-             "mean_word_len"),
-            (ntok > max_tokens, "too_many_tokens"),
-            (ntok < min_tokens, "too_few_tokens"),
-        ]:
-            reason[cond] = tag
-            keep &= ~cond
+        keep = reason == "ok"
+        ntok, mwl, alnum = sig["n_tokens"], sig["mean_word_len"], sig["alnum_ratio"]
+        dup_frac, top_frac = sig["dup_line_frac"], sig["top_bigram_frac"]
         return pa.table({
             id_col: t[id_col],
             "keep": pa.array(keep),

@@ -17,8 +17,11 @@ Reason priority (first failing wins): exact_dup > gopher rule >
 high_perplexity > ok.  Zero-token docs never reach the perplexity
 check — they already failed ``too_few_tokens``.
 
-Two slim id-keyed joins stitch the stage outputs; text never rides a
-join (the dup check ships hashes, the signals ship scalars).
+The Gopher signals and LM scoring run FUSED in one tokenisation map
+(the LM fit's count exchange is the only other pass over the text),
+so the whole pipeline is: one slim hash exchange (dup), one
+vocabulary exchange (fit), one scoring map, one slim id-keyed join;
+text never rides a join.
 """
 
 from __future__ import annotations
@@ -39,9 +42,11 @@ def curate_documents(
 ) -> rd.Dataset:
     """(id, keep, reason, perplexity) — one row per doc; ``keep`` iff
     every stage passes.  ``perplexity`` is 0.0 for zero-token docs."""
+    import ray
+
     from gencore_ray.functions.hashing import hash_str_array_u64
-    from gencore_ray.ops.lm import lm_unigram_perplexity
-    from gencore_ray.ops.textstats import corpus_filter
+    from gencore_ray.ops.lm import fit_unigram_lm, score_token_lists
+    from gencore_ray.ops.textstats import gopher_signals
     from gencore_ray.stages.shuffle import grouped_map, hash_join
 
     slim = ds.select_columns([id_col, text_col])
@@ -63,23 +68,32 @@ def curate_documents(
     dup = grouped_map(slim.map_batches(_th, batch_format="pandas"),
                       "th", _mark_dup, num_parts=num_parts)
 
-    # --- stages 2+3: signals ----------------------------------------
-    gopher = corpus_filter(ds, id_col=id_col, text_col=text_col,
-                           **filter_kwargs).select_columns(
-        [id_col, "reason"]).map_batches(
-        lambda df: df.rename(columns={"reason": "gopher_reason"}),
-        batch_format="pandas")
-    ppl = lm_unigram_perplexity(ds, id_col=id_col, text_col=text_col,
-                                vocab_cap=vocab_cap,
-                                num_parts=num_parts).select_columns(
-        [id_col, "perplexity"])
+    # --- stages 2+3 fused: gopher signals + LM scoring in ONE
+    # tokenisation pass (the fit's count exchange is the only other
+    # pass over the text) --------------------------------------------
+    model, unk_logp = fit_unigram_lm(ds, text_col=text_col,
+                                     vocab_cap=vocab_cap,
+                                     num_parts=num_parts)
+    model_ref = ray.put(model)
 
-    j1 = hash_join(dup, gopher, id_col, id_col, num_parts=num_parts)
-    j2 = hash_join(j1, ppl, id_col, id_col, num_parts=num_parts,
-                   how="left_outer")
+    def _signals(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("").tolist()
+        reason, sig = gopher_signals(texts, **filter_kwargs)
+        lens, avg = score_token_lists(sig["feats"].tok_lists,
+                                      ray.get(model_ref), unk_logp)
+        ppl = np.where(lens > 0,
+                       np.floor(np.exp(-avg) * 1e6 + 0.5) / 1e6, 0.0)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "gopher_reason": reason,
+            "perplexity": ppl,
+        })
+
+    signals = slim.map_batches(_signals, batch_format="pandas")
+    j = hash_join(signals, dup, id_col, id_col, num_parts=num_parts)
 
     def _verdict(df: pd.DataFrame) -> pd.DataFrame:
-        ppl_v = df["perplexity"].fillna(0.0).to_numpy(dtype=np.float64)
+        ppl_v = df["perplexity"].to_numpy(dtype=np.float64)
         g = df["gopher_reason"].to_numpy(dtype=object)
         is_dup = df["is_dup"].to_numpy(dtype=bool)
         reason = np.where(ppl_v > ppl_threshold, "high_perplexity", "ok")
@@ -93,4 +107,4 @@ def curate_documents(
             "perplexity": ppl_v,
         })
 
-    return j2.map_batches(_verdict, batch_format="pandas")
+    return j.map_batches(_verdict, batch_format="pandas")
