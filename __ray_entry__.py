@@ -1916,9 +1916,9 @@ def oracle_sql() -> dict[str, str]:
             "sum(f1) AS s1, sum(f1*f1) AS q1, sum(f2) AS s2, "
             "sum(f2*f2) AS q2, sum(f3) AS s3, sum(f3*f3) AS q3 "
             "FROM f GROUP BY y), "
-            "m AS (SELECT y, n, s1/n AS m1, q1/n - (s1/n)*(s1/n) + 1e-6 AS v1, "
-            "s2/n AS m2, q2/n - (s2/n)*(s2/n) + 1e-6 AS v2, "
-            "s3/n AS m3, q3/n - (s3/n)*(s3/n) + 1e-6 AS v3 FROM s), "
+            "m AS (SELECT y, n, s1/n AS m1, greatest(q1/n - (s1/n)*(s1/n), 0) + 1e-6 AS v1, "
+            "s2/n AS m2, greatest(q2/n - (s2/n)*(s2/n), 0) + 1e-6 AS v2, "
+            "s3/n AS m3, greatest(q3/n - (s3/n)*(s3/n), 0) + 1e-6 AS v3 FROM s), "
             "t AS (SELECT sum(n) AS n FROM s), "
             "sc AS (SELECT f.doc_id, "
             "(ln(a.n / t.n) - 0.5*ln(2*pi()*a.v1) - (f1-a.m1)*(f1-a.m1)/(2*a.v1) "

@@ -70,10 +70,13 @@ def gaussian_nb_scores(
     for cls in (0, 1):
         n = float(agg.loc[cls, "n"])
         mu = np.array([agg.loc[cls, f"sum_{c}"] / n for c in feature_cols])
-        var = np.array([
+        # clamp at 0 before smoothing: E[x^2]-E[x]^2 can go slightly
+        # negative from float cancellation on large-magnitude features
+        # (mirrored as greatest(...,0) in the SQL oracle)
+        var = np.maximum(np.array([
             agg.loc[cls, f"ssq_{c}"] / n - (agg.loc[cls, f"sum_{c}"] / n) ** 2
             for c in feature_cols
-        ]) + var_smoothing
+        ]), 0.0) + var_smoothing
         model[cls] = (np.log(n / n_total), mu, var)
     ref = ray.put(model)
     p = 10.0 ** round_to

@@ -44,6 +44,8 @@ from gencore_ray.functions.hashing import U64, splitmix64
 
 
 def _batch_mat(df: pd.DataFrame, vec_col: str) -> np.ndarray:
+    if not len(df):
+        return np.empty((0, 0))
     m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -75,6 +77,8 @@ def kmeans_fit(
 
     cand = slim.map_batches(_seed_cand, batch_format="pandas").to_pandas()
     seeds = cand.sort_values(["_h", id_col], kind="mergesort").head(k)
+    if not len(seeds):
+        raise ValueError("kmeans_fit needs a non-empty dataset")
     cent = _batch_mat(seeds, vec_col)
     if len(cent) < k:
         k = len(cent)
@@ -84,6 +88,11 @@ def kmeans_fit(
 
         def _partial(df: pd.DataFrame) -> pd.DataFrame:
             c = ray.get(ref)
+            if not len(df):
+                return pd.DataFrame({"j": np.arange(len(c)),
+                                     "cnt": np.zeros(len(c)),
+                                     "vsum": [r.tolist()
+                                              for r in np.zeros_like(c)]})
             m = _batch_mat(df, vec_col)
             a = np.argmax(m @ c.T, axis=1)
             sums = np.zeros_like(c)
@@ -124,6 +133,10 @@ def kmeans_assign(
 
     def _assign(df: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(ref)
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
+                                 "cluster_id": pd.Series(dtype=np.int64),
+                                 "centroid_sim": pd.Series(dtype=np.float64)})
         m = _batch_mat(df, vec_col)
         sims = m @ c.T
         a = np.argmax(sims, axis=1)
@@ -167,6 +180,10 @@ def semantic_dedup_pairs(
 
     def _tag(df: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(ref)
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
+                                 "cluster_id": pd.Series(dtype=np.int64),
+                                 "vec": pd.Series(dtype=object)})
         m = _batch_mat(df, vec_col)
         a = np.argmax(m @ c.T, axis=1)
         return pd.DataFrame({
@@ -189,15 +206,24 @@ def semantic_dedup_pairs(
                 grp = grp.iloc[np.argsort(h, kind="stable")[:max_cluster_size]]
             ids = grp[id_col].to_numpy()
             m = np.stack(grp["vec"].to_numpy())
-            sims = m @ m.T
-            iu, ju = np.triu_indices(len(m), k=1)
-            vals = np.floor(sims[iu, ju] * p + 0.5) / p
-            keep = vals >= threshold
-            a, b = ids[iu[keep]], ids[ju[keep]]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            out_a.append(lo)
-            out_b.append(hi)
-            out_s.append(vals[keep])
+            # row-strip blocking: peak memory O(strip x n), not O(n^2)
+            # (a max-size cluster would otherwise build a multi-GB
+            # sims matrix inside one reduce task)
+            strip = max(1, min(len(m), 8_388_608 // max(len(m), 1) + 1))
+            for i0 in range(0, len(m), strip):
+                i1 = min(i0 + strip, len(m))
+                sims = m[i0:i1] @ m.T                    # (strip, n)
+                ii, jj = np.nonzero(
+                    sims >= threshold - 0.5 / p)         # pre-round gate
+                upper = jj > ii + i0                     # j > i only
+                ii, jj = ii[upper], jj[upper]
+                vals = np.floor(sims[ii, jj] * p + 0.5) / p
+                keep = vals >= threshold
+                a, b = ids[ii[keep] + i0], ids[jj[keep]]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_s.append(vals[keep])
         if not out_a:
             return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                                  "id_b": pd.Series(dtype=np.int64),

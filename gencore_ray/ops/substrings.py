@@ -118,6 +118,33 @@ def substring_dup_pairs(
     return j2.map_batches(check, batch_format="pandas")
 
 
+def _gram_window_coords(tok_hashes: list, L: int):
+    """(doc_idx, window_hash, pos) for every same-doc L-token window of
+    a batch — the shared hashing core of ``span_dedup_rewrite`` and
+    ``duplicate_span_stats``.  Returns None when the batch has no
+    window (short docs, empty batch)."""
+    from gencore_ray.functions.hashing import pow_array, splitmix64
+    from gencore_ray.functions.text import _POLY
+
+    lens = np.fromiter(map(len, tok_hashes), dtype=np.int64,
+                       count=len(tok_hashes))
+    total = int(lens.sum())
+    if total < L:
+        return None
+    flat = np.concatenate(tok_hashes)
+    tdoc = np.repeat(np.arange(len(lens)), lens)
+    offs = np.repeat(np.cumsum(lens) - lens, lens)
+    win = np.lib.stride_tricks.sliding_window_view(flat, L)
+    with np.errstate(over="ignore"):
+        wh = splitmix64((win * pow_array(_POLY, L)).sum(
+            axis=1, dtype=np.uint64))
+    valid = tdoc[: total - L + 1] == tdoc[L - 1:]
+    if not valid.any():
+        return None
+    idx = np.flatnonzero(valid)
+    return tdoc[idx], wh[idx], idx - offs[idx]
+
+
 def span_dedup_rewrite(
     ds: rd.Dataset,
     id_col: str = "doc_id",
@@ -145,37 +172,23 @@ def span_dedup_rewrite(
     exchange (bounded by the doc's window count); the text is then cut
     in a pure map joined by id — text never rides the gram exchange.
     """
-    from gencore_ray.functions.hashing import pow_array, splitmix64
-    from gencore_ray.functions.text import _POLY, TextFeatures
+    from gencore_ray.functions.text import TextFeatures
     from gencore_ray.stages.shuffle import grouped_map, hash_join
 
     L = int(span_tokens)
-    powers = pow_array(_POLY, L)
 
     def _window_rows(df: pd.DataFrame) -> pd.DataFrame:
         feats = TextFeatures(df[text_col].fillna("").tolist())
-        lens = np.fromiter(map(len, feats.tok_hashes), dtype=np.int64,
-                           count=len(feats.tok_hashes))
-        empty = pd.DataFrame({"ghash": pd.Series(dtype=np.uint64),
-                              id_col: pd.Series(dtype=df[id_col].dtype),
-                              "p": pd.Series(dtype=np.int64)})
-        total = int(lens.sum())
-        if total < L:
-            return empty
-        flat = np.concatenate(feats.tok_hashes)
-        tdoc = np.repeat(np.arange(len(lens)), lens)
-        offs = np.repeat(np.cumsum(lens) - lens, lens)
-        win = np.lib.stride_tricks.sliding_window_view(flat, L)
-        with np.errstate(over="ignore"):
-            wh = splitmix64((win * powers).sum(axis=1, dtype=np.uint64))
-        valid = tdoc[: total - L + 1] == tdoc[L - 1:]
-        if not valid.any():
-            return empty
-        idx = np.flatnonzero(valid)
+        coords = _gram_window_coords(feats.tok_hashes, L)
+        if coords is None:
+            return pd.DataFrame({"ghash": pd.Series(dtype=np.uint64),
+                                 id_col: pd.Series(dtype=df[id_col].dtype),
+                                 "p": pd.Series(dtype=np.int64)})
+        doc_idx, wh, pos = coords
         return pd.DataFrame({
-            "ghash": wh[idx],
-            id_col: df[id_col].to_numpy()[tdoc[idx]],
-            "p": idx - offs[idx],
+            "ghash": wh,
+            id_col: df[id_col].to_numpy()[doc_idx],
+            "p": pos,
         })
 
     def _losers(df: pd.DataFrame) -> pd.DataFrame:
@@ -257,37 +270,23 @@ def duplicate_span_stats(
     """
     import pandas as pd
 
-    from gencore_ray.functions.hashing import pow_array, splitmix64
-    from gencore_ray.functions.text import _POLY, TextFeatures
+    from gencore_ray.functions.text import TextFeatures
     from gencore_ray.stages.shuffle import grouped_map, hash_join
 
     L = int(span_tokens)
-    powers = pow_array(_POLY, L)
     p = 10.0 ** round_to
 
     def _gram_rows(df: pd.DataFrame) -> pd.DataFrame:
         """(id, ghash, m): per-doc occurrence count of each distinct
-        L-gram — windows hashed on the flat token-hash stream, cross-
-        doc windows masked, multiplicities by lexsort segment count."""
+        L-gram — windows from the shared ``_gram_window_coords`` core,
+        multiplicities by lexsort segment count."""
         feats = TextFeatures(df[text_col].fillna("").tolist())
-        lens = np.fromiter(map(len, feats.tok_hashes), dtype=np.int64,
-                           count=len(feats.tok_hashes))
-        nwin = np.maximum(lens - L + 1, 0)
-        empty = pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
-                              "ghash": pd.Series(dtype=np.uint64),
-                              "m": pd.Series(dtype=np.int64)})
-        total = int(lens.sum())
-        if total < L:
-            return empty
-        flat = np.concatenate(feats.tok_hashes)
-        tdoc = np.repeat(np.arange(len(lens)), lens)
-        win = np.lib.stride_tricks.sliding_window_view(flat, L)
-        with np.errstate(over="ignore"):
-            wh = splitmix64((win * powers).sum(axis=1, dtype=np.uint64))
-        valid = tdoc[: total - L + 1] == tdoc[L - 1:]
-        wd, wh = tdoc[: total - L + 1][valid], wh[valid]
-        if not len(wd):
-            return empty
+        coords = _gram_window_coords(feats.tok_hashes, L)
+        if coords is None:
+            return pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
+                                 "ghash": pd.Series(dtype=np.uint64),
+                                 "m": pd.Series(dtype=np.int64)})
+        wd, wh, _pos = coords
         o = np.lexsort((wh, wd))
         d1, h1 = wd[o], wh[o]
         seg = np.r_[True, (d1[1:] != d1[:-1]) | (h1[1:] != h1[:-1])]
