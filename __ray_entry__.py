@@ -1025,6 +1025,21 @@ def _q_semantic_dedup(sf_dir: str):
                                 k=8, iters=5, num_parts=8)
 
 
+def _q_events_profile(sf_dir: str):
+    """Table profiling: per-column rows/nulls/exact-distinct + numeric
+    min/max over events — one pass + one slim value-hash exchange."""
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import profile_columns
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    return profile_columns(ev, ["event_id", "user_id", "event_type", "value"],
+                           num_parts=8)
+
+
 def _q_ppl_buckets(sf_dir: str):
     """CCNet head/middle/tail: per-language perplexity tertiles over
     the rounded per-doc perplexity, broadcast-threshold assignment."""
@@ -1300,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "span_dedup_rewrite": _q_span_dedup_rewrite,
         "ppl_buckets": _q_ppl_buckets,
+        "events_profile": _q_events_profile,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "nb_lang_classifier": _q_nb_lang_classifier,
         "line_dedup": _q_line_dedup,
@@ -1885,6 +1901,23 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN perplexity <= p33 THEN 'head' "
             "WHEN perplexity <= p66 THEN 'middle' ELSE 'tail' END AS bucket "
             "FROM pl JOIN th USING (lang)"
+        ),
+        "events_profile": (
+            "SELECT 'event_id' AS column, count(*) AS n_rows, "
+            "count(*) - count(event_id) AS n_nulls, "
+            "count(DISTINCT event_id) AS n_distinct, "
+            "round(CAST(min(event_id) AS DOUBLE), 6) AS min_num, "
+            "round(CAST(max(event_id) AS DOUBLE), 6) AS max_num FROM events "
+            "UNION ALL SELECT 'user_id', count(*), "
+            "count(*) - count(user_id), count(DISTINCT user_id), "
+            "round(CAST(min(user_id) AS DOUBLE), 6), "
+            "round(CAST(max(user_id) AS DOUBLE), 6) FROM events "
+            "UNION ALL SELECT 'event_type', count(*), "
+            "count(*) - count(event_type), count(DISTINCT event_type), "
+            "NULL, NULL FROM events "
+            "UNION ALL SELECT 'value', count(*), "
+            "count(*) - count(value), count(DISTINCT value), "
+            "round(min(value), 6), round(max(value), 6) FROM events"
         ),
         "semantic_dedup_pairs": (
             # replay the query's deterministic duplicate augmentation,

@@ -838,3 +838,111 @@ def winsorize_by_group(
         return df
 
     return ds.map_batches(clip, batch_format="pandas")
+
+
+def profile_columns(
+    ds: rd.Dataset,
+    cols: Sequence[str],
+    num_parts: int = 8,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Table profiling — the data-quality prelude of every large
+    pipeline: per column, (n_rows, n_nulls, n_distinct exact,
+    min_num, max_num).
+
+    One pass computes the associative stats (counts, nulls, numeric
+    min/max as tiny per-batch partials) AND emits one slim
+    (column, value-hash) row per DISTINCT value per batch; a single
+    hash-keyed exchange counts exact distincts.  min/max are reported
+    (rounded) only for numeric columns — NULL otherwise — so the SQL
+    replay never depends on engine-specific string formatting of
+    floats/timestamps.  NULLs are excluded from the distinct count
+    (SQL ``count(DISTINCT c)`` semantics).  Caveat: distinct doubles
+    compare by BITS here (-0.0 != 0.0), by value in SQL.
+    """
+    import numpy as np
+
+    from gencore_ray.functions.hashing import U64, hash_str_array_u64, splitmix64
+    from gencore_ray.stages.shuffle import grouped_map
+
+    cols = list(cols)
+    slim = ds.select_columns(cols)
+
+    def _vhash(s: pd.Series) -> np.ndarray:
+        v = s.dropna()
+        if not len(v):
+            return np.empty(0, dtype=U64)
+        if pd.api.types.is_float_dtype(v):
+            return splitmix64(v.to_numpy(dtype=np.float64).view(U64))
+        if pd.api.types.is_integer_dtype(v):
+            return splitmix64(v.to_numpy(dtype=np.int64).view(U64))
+        if pd.api.types.is_datetime64_any_dtype(v):
+            return splitmix64(v.to_numpy(dtype="datetime64[us]")
+                              .view(np.int64).view(U64))
+        return hash_str_array_u64(v.astype(str).tolist())
+
+    def _stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = df[c]
+            numeric = (pd.api.types.is_numeric_dtype(s)
+                       and not pd.api.types.is_bool_dtype(s))
+            nn = s.dropna()
+            rows.append({
+                "column": c, "n_rows": len(s),
+                "n_nulls": int(s.isna().sum()),
+                "min_num": float(nn.min()) if numeric and len(nn) else np.nan,
+                "max_num": float(nn.max()) if numeric and len(nn) else np.nan,
+            })
+        return pd.DataFrame(rows)
+
+    def _distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            h = np.unique(_vhash(df[c]))
+            frames.append(pd.DataFrame({"column": np.repeat(c, len(h)),
+                                        "vh": h}))
+        out = pd.concat(frames, ignore_index=True)
+        out["column"] = out["column"].astype(object)
+        return out
+
+    def _count_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # the vh exchange co-locates every occurrence of a hash, so a
+        # per-partition dedupe is globally exact; emit tiny
+        # (column, cnt) partials — no column's distinct set ever
+        # funnels into one task
+        return (df.drop_duplicates(["column", "vh"])
+                .groupby("column", sort=False).size()
+                .rename("cnt").reset_index())
+
+    def _sum_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("column", sort=False)["cnt"].sum()
+                .rename("n_distinct").reset_index())
+
+    nd = grouped_map(
+        slim.map_batches(_distinct_partial, batch_format="pandas"),
+        "vh", _count_in_partition, num_parts=num_parts,
+    )
+    nd = grouped_map(nd, "column", _sum_counts,
+                     num_parts=min(num_parts, len(cols)))
+    nd = nd.to_pandas().set_index("column")["n_distinct"]
+
+    parts = slim.map_batches(_stats_partial, batch_format="pandas").to_pandas()
+    p = 10.0 ** round_to
+
+    def _r(x: float) -> float:
+        return float(np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p)
+
+    out_rows = []
+    for c in cols:
+        g = parts[parts["column"] == c]
+        mn, mx = g["min_num"].min(), g["max_num"].max()
+        out_rows.append({
+            "column": c,
+            "n_rows": int(g["n_rows"].sum()),
+            "n_nulls": int(g["n_nulls"].sum()),
+            "n_distinct": int(nd.get(c, 0)),
+            "min_num": _r(mn) if pd.notna(mn) else None,
+            "max_num": _r(mx) if pd.notna(mx) else None,
+        })
+    return rd.from_pandas(pd.DataFrame(out_rows))

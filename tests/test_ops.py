@@ -719,6 +719,27 @@ def test_line_dedup_removes_boilerplate(ray_session):
     assert got2.loc[4, "clean_text"] == docs[4]
 
 
+def test_profile_columns_nulls_and_types(ray_session):
+    """Per-column profile: exact distincts (nulls excluded), null
+    counts, numeric min/max, string columns get NULL min/max."""
+    from gencore_ray.ops.relational import profile_columns
+
+    df = pd.DataFrame({
+        "i": [1, 2, 2, None, 3],
+        "s": ["a", "a", None, "b", "c"],
+        "f": [1.5, -2.25, 1.5, 1.5, None],
+    })
+    got = (profile_columns(rd.from_pandas(df), ["i", "s", "f"], num_parts=3)
+           .to_pandas().set_index("column"))
+    assert got.loc["i", "n_rows"] == 5 and got.loc["i", "n_nulls"] == 1
+    assert got.loc["i", "n_distinct"] == 3
+    assert got.loc["i", "min_num"] == 1.0 and got.loc["i", "max_num"] == 3.0
+    assert got.loc["s", "n_distinct"] == 3 and got.loc["s", "n_nulls"] == 1
+    assert pd.isna(got.loc["s", "min_num"])
+    assert got.loc["f", "n_distinct"] == 2
+    assert got.loc["f", "min_num"] == -2.25 and got.loc["f", "max_num"] == 1.5
+
+
 def test_ppl_buckets_tertiles_per_lang(ray_session):
     """head/middle/tail assignment equals numpy tertiles computed per
     language on the rounded perplexities; thirds are balanced."""
