@@ -1025,6 +1025,29 @@ def _q_semantic_dedup(sf_dir: str):
                                 k=8, iters=5, num_parts=8)
 
 
+def _q_ann_ivf_persisted(sf_dir: str):
+    """Persisted-IVF retrieval: build the hive-partitioned index into a
+    fresh temp dir, query with nprobe == n_clusters — path-pruned read
+    must reproduce the exact brute-force top-k (same SQL oracle)."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gencore_ray.ops.ann import ivf_build, ivf_query
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    q = np.asarray(t.loc[t["vec_id"] == 0, "embedding"].iloc[0],
+                   dtype=np.float64)
+    idx_dir = tempfile.mkdtemp(prefix="ivfidx_", dir="/tmp")
+    ivf_build(emb, idx_dir, n_clusters=8)
+    return ivf_query(idx_dir, q, k=10, nprobe=8)
+
+
 def _q_events_profile(sf_dir: str):
     """Table profiling: per-column rows/nulls/exact-distinct + numeric
     min/max over events — one pass + one slim value-hash exchange."""
@@ -1316,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup_rewrite": _q_span_dedup_rewrite,
         "ppl_buckets": _q_ppl_buckets,
         "events_profile": _q_events_profile,
+        "ann_ivf_persisted": _q_ann_ivf_persisted,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "nb_lang_classifier": _q_nb_lang_classifier,
         "line_dedup": _q_line_dedup,
@@ -1918,6 +1942,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'value', count(*), "
             "count(*) - count(value), count(DISTINCT value), "
             "round(min(value), 6), round(max(value), 6) FROM events"
+        ),
+        "ann_ivf_persisted": (
+            # nprobe == n_clusters: the persisted path-pruned read must
+            # reproduce the exact brute-force top-k
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+            "WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 6) AS cos_sim "
+            "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
         ),
         "semantic_dedup_pairs": (
             # replay the query's deterministic duplicate augmentation,

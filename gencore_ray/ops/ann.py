@@ -408,3 +408,114 @@ def lsh_near_dup_pairs(
         )
 
     return j2.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ivf_build(
+    ds: rd.Dataset,
+    index_dir: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 2048,
+) -> np.ndarray:
+    """Build and PERSIST an IVF index: centroids in one small parquet,
+    vectors hive-partitioned by cell (``ivf_cell=<c>/`` directories via
+    Ray's native partitioned parquet sink).
+
+    This is the retrieval-index analogue of the dedup pipeline's
+    persisted state (pipelines/incremental.py): build once, then every
+    query reads ONLY its probed cells' files — at 10^12 vectors a
+    query touches nprobe/n_clusters of the data instead of scanning
+    everything (``ivf_topk`` scans all and masks; this prunes at the
+    READ).  Returns the centroid matrix.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+    n_total = ds.count()
+    frac = min(1.0, sample_size / max(n_total, 1))
+    sample_ds = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
+    sample = _normalize(
+        np.stack(sample_ds.to_pandas()[vec_col].to_numpy()).astype(np.float64)
+    )
+    cent = _kmeans(sample, n_clusters, seed)
+    cent_ref = ray.put(cent)
+
+    def tag(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(_batch_matrix(t, vec_col))
+        assign = (np.argmax(m @ c.T, axis=1) if len(m)
+                  else np.empty(0, dtype=np.int64))
+        return t.append_column("ivf_cell", pa.array(assign.astype(np.int64)))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True) \
+        .write_parquet(os.path.join(index_dir, "cells"),
+                       partition_cols=["ivf_cell"])
+    pq.write_table(
+        pa.table({"cell": np.arange(len(cent), dtype=np.int64),
+                  "centroid": list(cent)}),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    return cent
+
+
+def ivf_query(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> rd.Dataset:
+    """Query a persisted IVF index: read ONLY the nprobe nearest
+    cells' partitions (hive-pruned at the read), score, global top-k.
+    With nprobe == n_clusters the result equals ``brute_force_topk``
+    over the indexed vectors (equality-tested)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cent = np.stack(cent_t["centroid"].to_numpy(zero_copy_only=False))
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+    probe = np.argsort(-(cent @ q))[: min(nprobe, len(cent))]
+    # path-level pruning: list ONLY the probed cells' hive directories —
+    # unprobed cells' files are never opened (empty cells have no dir)
+    import glob as _glob
+
+    paths = [
+        f for c in probe
+        for f in sorted(_glob.glob(os.path.join(
+            index_dir, "cells", f"ivf_cell={int(c)}", "*.parquet")))
+    ]
+    if not paths:
+        return rd.from_items([]).map_batches(
+            lambda t: pa.table({id_col: pa.array([], pa.int64()),
+                                "cos_sim": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+    ds = rd.read_parquet(paths)
+    q_ref = ray.put(q)
+
+    def score(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table({id_col: t[id_col],
+                             "cos_sim": pa.array([], pa.float64())})
+        m = _normalize(_batch_matrix(t, vec_col))
+        cos = m @ qv
+        if round_to is not None:
+            cos = np.round(cos, round_to)
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table({id_col: t[id_col].take(pa.array(order)),
+                         "cos_sim": pa.array(cos[order])})
+
+    pruned = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return pruned.sort(["cos_sim", id_col],
+                       descending=[True, False]).limit(k)

@@ -719,6 +719,32 @@ def test_line_dedup_removes_boilerplate(ray_session):
     assert got2.loc[4, "clean_text"] == docs[4]
 
 
+def test_ivf_persisted_index_roundtrip(ray_session, tmp_path):
+    """Persisted IVF: full-probe query over the hive-partitioned index
+    equals brute force exactly; partial probe reads only its cells."""
+    import glob
+
+    from gencore_ray.ops.ann import ivf_build, ivf_query
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(400, 16)
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(400), "embedding": list(mat)}))
+    idx = str(tmp_path / "ivf")
+    cent = ivf_build(ds, idx, n_clusters=8)
+    assert cent.shape[1] == 16
+    assert len(glob.glob(f"{idx}/cells/ivf_cell=*")) >= 2
+    q = mat[7]
+    full = ivf_query(idx, q, k=5, nprobe=8).to_pandas()
+    bf = brute_force_topk(ds, q, k=5).to_pandas()
+    assert full["vec_id"].tolist() == bf["vec_id"].tolist()
+    assert (full["cos_sim"] == bf["cos_sim"]).all()
+    part = ivf_query(idx, q, k=5, nprobe=2).to_pandas()
+    assert part["vec_id"].iloc[0] == 7          # self-match survives pruning
+    assert set(part["vec_id"]) <= set(
+        ivf_query(idx, q, k=400, nprobe=8).to_pandas()["vec_id"])
+
+
 def test_profile_columns_nulls_and_types(ray_session):
     """Per-column profile: exact distincts (nulls excluded), null
     counts, numeric min/max, string columns get NULL min/max."""
