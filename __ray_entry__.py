@@ -1025,6 +1025,20 @@ def _q_semantic_dedup(sf_dir: str):
                                 k=8, iters=5, num_parts=8)
 
 
+def _q_lang_source_agreement(sf_dir: str):
+    """Pair-counting clustering agreement (Rand / Adjusted Rand) between
+    the lang and source labelings — the dedup-evaluation primitive
+    (score predicted clusters against truth), demonstrated on the two
+    categorical labelings the corpus ships."""
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import pair_agreement_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"])
+    return pair_agreement_stats(docs, "lang", "source", num_parts=4)
+
+
 def _q_ann_ivf_persisted(sf_dir: str):
     """Persisted-IVF retrieval: build the hive-partitioned index into a
     fresh temp dir, query with nprobe == n_clusters — path-pruned read
@@ -1340,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppl_buckets": _q_ppl_buckets,
         "events_profile": _q_events_profile,
         "ann_ivf_persisted": _q_ann_ivf_persisted,
+        "lang_source_agreement": _q_lang_source_agreement,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "nb_lang_classifier": _q_nb_lang_classifier,
         "line_dedup": _q_line_dedup,
@@ -1951,6 +1966,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 6) AS cos_sim "
             "FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+        "lang_source_agreement": (
+            # pair-counting Rand / ARI from the contingency table —
+            # all sums are exact integers in double, so the arithmetic
+            # is bit-identical on both sides
+            "WITH cells AS (SELECT lang, source, count(*) AS c "
+            "FROM documents GROUP BY 1, 2), "
+            "s AS (SELECT "
+            "(SELECT sum(c*(c-1)/2.0) FROM cells) AS sij, "
+            "(SELECT sum(n*(n-1)/2.0) FROM "
+            "(SELECT sum(c) AS n FROM cells GROUP BY lang)) AS sa, "
+            "(SELECT sum(n*(n-1)/2.0) FROM "
+            "(SELECT sum(c) AS n FROM cells GROUP BY source)) AS sb, "
+            "(SELECT sum(c)*(sum(c)-1)/2.0 FROM cells) AS tot, "
+            "(SELECT sum(c) FROM cells) AS n) "
+            "SELECT CAST(n AS BIGINT) AS n_rows, "
+            "CAST(sa AS BIGINT) AS pairs_a, CAST(sb AS BIGINT) AS pairs_b, "
+            "CAST(sij AS BIGINT) AS pairs_both, "
+            "round((tot + 2*sij - sa - sb) / tot, 6) AS rand_index, "
+            "round((sij - sa*sb/tot) / ((sa+sb)/2.0 - sa*sb/tot), 6) "
+            "AS adjusted_rand FROM s"
         ),
         "semantic_dedup_pairs": (
             # replay the query's deterministic duplicate augmentation,

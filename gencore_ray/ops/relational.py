@@ -946,3 +946,70 @@ def profile_columns(
             "max_num": _r(mx) if pd.notna(mx) else None,
         })
     return rd.from_pandas(pd.DataFrame(out_rows))
+
+
+def pair_agreement_stats(
+    ds: rd.Dataset,
+    label_a: str,
+    label_b: str,
+    num_parts: int = 8,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Pair-counting agreement between two labelings of the same rows —
+    the standard way to score a dedup/clustering output against truth
+    (or against another method): Rand index and Adjusted Rand Index
+    from the contingency table.
+
+    One slim exchange: per-batch (a, b) cell-count partials (one row
+    per distinct label pair per batch), merged by a grouped sum; every
+    C(n,2) sum then reduces driver-side from the cell counts (O(cells)
+    state).  Returns ONE row: n_rows, pairs_a (same-label-in-A pairs),
+    pairs_b, pairs_both, rand_index, adjusted_rand.
+
+    gencore analogue: the pre/post Stats comparison that quantifies
+    how much the dedup changed (/root/reference/src/stats.cpp:195-221),
+    upgraded to a proper cluster-agreement statistic.
+    """
+    import numpy as np
+
+    slim = ds.select_columns([label_a, label_b])
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([label_a, label_b], sort=False)
+                .size().rename("c").reset_index())
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([label_a, label_b], sort=False)["c"]
+                .sum().reset_index())
+
+    cells = grouped_map(
+        slim.map_batches(_cells, batch_format="pandas"),
+        label_a, _merge, num_parts=num_parts,
+    ).to_pandas()
+
+    n = int(cells["c"].sum())
+    nij = cells["c"].to_numpy(dtype=np.float64)
+    ai = cells.groupby(label_a)["c"].sum().to_numpy(dtype=np.float64)
+    bj = cells.groupby(label_b)["c"].sum().to_numpy(dtype=np.float64)
+
+    def c2(x):
+        return float((x * (x - 1) / 2.0).sum())
+
+    sum_ij, sum_a, sum_b = c2(nij), c2(ai), c2(bj)
+    total = n * (n - 1) / 2.0
+    # Rand = (agreements) / total; ARI = (sum_ij - E) / (max - E)
+    rand = ((total + 2 * sum_ij - sum_a - sum_b) / total) if total else 1.0
+    exp = sum_a * sum_b / total if total else 0.0
+    mx = (sum_a + sum_b) / 2.0
+    ari = ((sum_ij - exp) / (mx - exp)) if mx != exp else 1.0
+    p = 10.0 ** round_to
+
+    def _r(x):
+        return float(np.sign(x) * np.floor(abs(x) * p + 0.5) / p)
+
+    return rd.from_pandas(pd.DataFrame([{
+        "n_rows": n,
+        "pairs_a": int(sum_a), "pairs_b": int(sum_b),
+        "pairs_both": int(sum_ij),
+        "rand_index": _r(rand), "adjusted_rand": _r(ari),
+    }]))

@@ -719,6 +719,45 @@ def test_line_dedup_removes_boilerplate(ray_session):
     assert got2.loc[4, "clean_text"] == docs[4]
 
 
+def test_pair_agreement_stats(ray_session):
+    """Rand/ARI vs hand-computed values; identical labelings give 1.0;
+    the dedup use-case (pipeline clusters vs generator truth) too."""
+    from gencore_ray.ops.relational import pair_agreement_stats
+
+    # hand-checkable: a=[x,x,y,y], b=[1,2,1,2] -> contingency all 1s
+    df = pd.DataFrame({"a": ["x", "x", "y", "y"], "b": [1, 2, 1, 2]})
+    got = pair_agreement_stats(rd.from_pandas(df), "a", "b").to_pandas()
+    assert got["n_rows"].iloc[0] == 4
+    assert got["pairs_a"].iloc[0] == 2 and got["pairs_b"].iloc[0] == 2
+    assert got["pairs_both"].iloc[0] == 0
+    assert abs(got["rand_index"].iloc[0] - round((6 - 4) / 6, 6)) < 1e-9
+    # ARI for independent labelings: (0 - 2*2/6) / (2 - 2*2/6)
+    assert abs(got["adjusted_rand"].iloc[0] - round((-2 / 3) / (4 / 3), 6)) < 1e-9
+
+    same = pair_agreement_stats(
+        rd.from_pandas(df.assign(b=df["a"])), "a", "b").to_pandas()
+    assert same["rand_index"].iloc[0] == 1.0
+    assert same["adjusted_rand"].iloc[0] == 1.0
+
+    # dedup evaluation: pipeline clusters vs generator truth -> ARI 1.0
+    from gencore_ray.corpus import generate_pages
+    from gencore_ray.pipelines.dedup import dedup_pages
+
+    pages_tbl, truth = generate_pages(300, 11, with_truth=True)
+    res = dedup_pages(
+        rd.from_arrow(pages_tbl.select(["url", "warc_ts", "text", "lang"])),
+        DedupConfig())
+    pred = res.clusters.to_pandas()[["url", "cluster_id"]]
+    joined = pred.merge(
+        truth.to_pandas().rename(columns={"true_cluster": "truth"})
+        [["url", "truth"]], on="url")
+    score = pair_agreement_stats(
+        rd.from_pandas(joined), "cluster_id", "truth").to_pandas()
+    # truth includes planted near-dups BELOW the Jaccard threshold, so
+    # perfect oracle parity still scores slightly under 1.0 vs truth
+    assert score["adjusted_rand"].iloc[0] > 0.98
+
+
 def test_ivf_persisted_index_roundtrip(ray_session, tmp_path):
     """Persisted IVF: full-probe query over the hive-partitioned index
     equals brute force exactly; partial probe reads only its cells."""
