@@ -1025,6 +1025,36 @@ def _q_semantic_dedup(sf_dir: str):
                                 k=8, iters=5, num_parts=8)
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Corpus-version diff (added/removed/changed/unchanged by content
+    hash, slim full-outer exchange): the new snapshot is a
+    deterministic mutation of documents the SQL oracle replays —
+    doc_id%20==0 dropped, doc_id%7==0 text-modified, 10 new ids."""
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import snapshot_diff
+
+    old = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        keep = ids % 20 != 0
+        txt = [x or "" for x in t["text"].to_pylist()]
+        out_t = [s + " v2" if i % 7 == 0 else s for i, s in zip(ids, txt)]
+        base = pa.table({"doc_id": pa.array(ids[keep]),
+                         "text": pa.array([out_t[j] for j in np.flatnonzero(keep)],
+                                          pa.string())})
+        addmask = ids < 10
+        added = pa.table({"doc_id": pa.array(ids[addmask] + 100000),
+                          "text": pa.array([txt[j] for j in np.flatnonzero(addmask)],
+                                           pa.string())})
+        return pa.concat_tables([base, added])
+
+    new = old.map_batches(mutate, batch_format="pyarrow")
+    return snapshot_diff(old, new, num_parts=8)
+
+
 def _q_lang_source_agreement(sf_dir: str):
     """Pair-counting clustering agreement (Rand / Adjusted Rand) between
     the lang and source labelings — the dedup-evaluation primitive
@@ -1355,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": _q_events_profile,
         "ann_ivf_persisted": _q_ann_ivf_persisted,
         "lang_source_agreement": _q_lang_source_agreement,
+        "snapshot_diff": _q_snapshot_diff,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "nb_lang_classifier": _q_nb_lang_classifier,
         "line_dedup": _q_line_dedup,
@@ -1987,6 +2018,25 @@ def oracle_sql() -> dict[str, str]:
             "round((tot + 2*sij - sa - sb) / tot, 6) AS rand_index, "
             "round((sij - sa*sb/tot) / ((sa+sb)/2.0 - sa*sb/tot), 6) "
             "AS adjusted_rand FROM s"
+        ),
+        "snapshot_diff": (
+            # replay the deterministic mutation, then a full-outer
+            # diff by content (string equality — engine compares
+            # 64-bit blake2 hashes of the same strings)
+            "WITH old AS (SELECT doc_id, coalesce(text, '') AS text "
+            "FROM documents), "
+            "new AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' v2' "
+            "ELSE coalesce(text, '') END AS text "
+            "FROM documents WHERE doc_id % 20 <> 0 "
+            "UNION ALL SELECT doc_id + 100000, coalesce(text, '') "
+            "FROM documents WHERE doc_id < 10) "
+            "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' "
+            "WHEN o.text = n.text THEN 'unchanged' ELSE 'changed' END "
+            "AS status "
+            "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id"
         ),
         "semantic_dedup_pairs": (
             # replay the query's deterministic duplicate augmentation,

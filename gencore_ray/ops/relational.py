@@ -1013,3 +1013,51 @@ def pair_agreement_stats(
         "pairs_both": int(sum_ij),
         "rand_index": _r(rand), "adjusted_rand": _r(ari),
     }]))
+
+
+def snapshot_diff(
+    old: rd.Dataset,
+    new: rd.Dataset,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """Corpus-version diff — the audit primitive of an incremental
+    pipeline (what changed between yesterday's crawl state and
+    today's): (id, status) with status in
+    ``added | removed | changed | unchanged``.
+
+    Content comparison is by 64-bit content hash, so only (id, hash)
+    rows ride the full-outer exchange — the text never moves.  The
+    same slim-exchange discipline as stages/exact.py.
+    """
+    import numpy as np
+
+    from gencore_ray.functions.hashing import hash_str_array_u64
+    from gencore_ray.stages.shuffle import hash_join
+
+    def _hashed(ds: rd.Dataset, hcol: str, kcol: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                kcol: df[id_col].to_numpy(),
+                hcol: hash_str_array_u64(df[content_col].fillna("").tolist()),
+            })
+
+        return ds.select_columns([id_col, content_col]).map_batches(
+            fn, batch_format="pandas")
+
+    j = hash_join(_hashed(old, "h_old", id_col),
+                  _hashed(new, "h_new", "nid"),
+                  id_col, "nid", num_parts=num_parts, how="full_outer")
+
+    def _status(df: pd.DataFrame) -> pd.DataFrame:
+        ho = df["h_old"]
+        hn = df["h_new"]
+        status = np.where(
+            ho.isna(), "added",
+            np.where(hn.isna(), "removed",
+                     np.where(ho == hn, "unchanged", "changed")))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "status": status.astype(object)})
+
+    return j.map_batches(_status, batch_format="pandas")

@@ -719,6 +719,52 @@ def test_line_dedup_removes_boilerplate(ray_session):
     assert got2.loc[4, "clean_text"] == docs[4]
 
 
+def test_resilient_map_quarantines_poison_rows(ray_session, tmp_path):
+    """Healthy rows flow through vectorized; poison rows land in the
+    quarantine parquet with error strings; job never dies."""
+    from gencore_ray.ops.resilient import resilient_map_batches
+
+    qdir = str(tmp_path / "dead_letter")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if (df["x"] < 0).any():
+            raise ValueError("negative x")
+        return df.assign(y=df["x"] * 2)
+
+    df = pd.DataFrame({"doc_id": range(10),
+                       "x": [1, 2, -3, 4, 5, -6, 7, 8, 9, 10]})
+    got = (resilient_map_batches(rd.from_pandas(df), fn, qdir)
+           .to_pandas().sort_values("doc_id"))
+    assert got["doc_id"].tolist() == [0, 1, 3, 4, 6, 7, 8, 9]
+    assert (got["y"] == got["x"] * 2).all()
+    quarantined = rd.read_parquet(qdir).to_pandas().sort_values("doc_id")
+    assert quarantined["doc_id"].tolist() == [2, 5]
+    assert quarantined["error"].str.contains("negative x").all()
+    # no-failure path adds zero quarantine files
+    import glob
+    n_files = len(glob.glob(f"{qdir}/*.parquet"))
+    clean = resilient_map_batches(
+        rd.from_pandas(df.assign(x=df["x"].abs())), fn, qdir).to_pandas()
+    assert len(clean) == 10
+    assert len(glob.glob(f"{qdir}/*.parquet")) == n_files
+
+
+def test_snapshot_diff_statuses(ray_session):
+    """Four statuses over a crafted old/new pair; content compare, not
+    identity (same id + same text = unchanged even if row moved)."""
+    from gencore_ray.ops.relational import snapshot_diff
+
+    old = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                        "text": ["a", "b", "c", "d"]})
+    new = pd.DataFrame({"doc_id": [2, 3, 4, 5],
+                        "text": ["b", "c CHANGED", "d", "e"]})
+    got = (snapshot_diff(rd.from_pandas(old), rd.from_pandas(new),
+                         num_parts=3)
+           .to_pandas().set_index("doc_id")["status"].sort_index())
+    assert got.to_dict() == {1: "removed", 2: "unchanged", 3: "changed",
+                             4: "unchanged", 5: "added"}
+
+
 def test_pair_agreement_stats(ray_session):
     """Rand/ARI vs hand-computed values; identical labelings give 1.0;
     the dedup use-case (pipeline clusters vs generator truth) too."""
