@@ -109,3 +109,33 @@ def read_partitioned(out_dir: str) -> rd.Dataset:
         if f.endswith(".parquet")
     )
     return rd.read_parquet(files)
+
+
+def compact_parquet(
+    in_dir: str,
+    out_dir: str,
+    target_mb: int = 128,
+) -> dict:
+    """Small-file compaction — the data-lake hygiene op every
+    long-running incremental pipeline needs (daily merges leave
+    thousands of tiny part files; reads then pay per-file open cost).
+
+    Reads the directory, repartitions to ceil(total_bytes/target), and
+    rewrites.  Returns {files_in, files_out, rows, bytes_in}.  The
+    write is to a NEW directory (never in place) so a failed compaction
+    leaves the source intact — swap directories only after success.
+    """
+    import ray.data as rd
+
+    files = [
+        os.path.join(in_dir, f) for f in sorted(os.listdir(in_dir))
+        if f.endswith(".parquet")
+    ]
+    bytes_in = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-bytes_in // (target_mb * 1024 * 1024)))
+    ds = rd.read_parquet(in_dir)
+    rows = ds.count()
+    ds.repartition(int(n_out)).write_parquet(out_dir)
+    files_out = sum(1 for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    return {"files_in": len(files), "files_out": files_out,
+            "rows": rows, "bytes_in": bytes_in}

@@ -592,3 +592,27 @@ def test_bloom_prefilter_equivalent_and_gated(corpus, ray_session):
     on, off = edges_with("on"), edges_with("off")
     assert len(on) > 50
     pd.testing.assert_frame_equal(on, off)
+
+
+def test_compact_parquet_preserves_rows(ray_session, tmp_path):
+    """Compaction: many tiny files -> few target-sized files, rows and
+    values intact, source directory untouched."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from gencore_ray.state.sink import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    df = pd.DataFrame({"k": range(5000), "v": [f"v{i}" for i in range(5000)]})
+    rd.from_pandas(df).repartition(20).write_parquet(src)
+    n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_src >= 10
+    stats = compact_parquet(src, dst, target_mb=128)
+    assert stats["rows"] == 5000 and stats["files_in"] == n_src
+    assert stats["files_out"] < n_src
+    got = rd.read_parquet(dst).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, df, check_dtype=False)
+    # source untouched
+    assert sum(1 for f in os.listdir(src) if f.endswith(".parquet")) == n_src
