@@ -8,6 +8,8 @@ vectors (src/main.cpp:18-22) and `gencore -v` (src/main.cpp:24-27).
     python -m gencore_ray dedup  -i corpus/pages -o /tmp/clusters \
         [--checkpoint-dir D] [--extract-html] [--cc driver|distributed] \
         [--jaccard 0.7] [--bands 32] [--rows 4] [--num-cpus N] ...
+    python -m gencore_ray curate -i docs.parquet -o /tmp/verdicts \
+        [--emit verdicts|kept] [--ppl-threshold 31] [--min-tokens 10] ...
     python -m gencore_ray test       # reference-style builtin vectors
     python -m gencore_ray -v
 
