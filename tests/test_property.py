@@ -163,3 +163,36 @@ def test_repetition_signals_match_scalar(texts):
                     if grams else 0.0)
         assert abs(top[i] - want_top) < 1e-9
         assert feats.token_count[i] == len(toks)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    lens=st.lists(st.integers(0, 12), min_size=1, max_size=6),
+    L=st.integers(2, 5),
+)
+def test_gram_window_coords_invariants(lens, L):
+    """Shared window-hash core: window count per doc == max(len-L+1, 0),
+    positions in range, hashes equal for equal windows."""
+    rng = np.random.RandomState(5)
+    tok_hashes = [rng.randint(1, 2**32, size=n).astype(np.uint64)
+                  for n in lens]
+    from gencore_ray.ops.substrings import _gram_window_coords
+
+    coords = _gram_window_coords(tok_hashes, L)
+    want_counts = [max(n - L + 1, 0) for n in lens]
+    if sum(want_counts) == 0:
+        assert coords is None
+        return
+    doc_idx, wh, pos = coords
+    assert len(doc_idx) == sum(want_counts)
+    got_counts = np.bincount(doc_idx, minlength=len(lens))
+    assert got_counts.tolist() == want_counts
+    for d, p in zip(doc_idx, pos):
+        assert 0 <= p <= lens[d] - L
+    # identical windows hash identically: duplicate doc 0's stream
+    if want_counts[0]:
+        coords2 = _gram_window_coords([tok_hashes[0], tok_hashes[0]], L)
+        d2, h2, p2 = coords2
+        a = h2[d2 == 0]
+        b = h2[d2 == 1]
+        assert (a == b).all()
