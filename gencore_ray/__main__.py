@@ -125,7 +125,8 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     docs = rd.read_parquet(args.input)
     verdicts = curate_documents(
         docs, id_col=args.id_col, text_col=args.text_col,
-        ppl_threshold=args.ppl_threshold, vocab_cap=args.vocab_cap,
+        ppl_threshold=args.ppl_threshold,
+        ppl_drop_frac=args.ppl_drop_frac, vocab_cap=args.vocab_cap,
         num_parts=num_parts, min_tokens=args.min_tokens,
         max_tokens=args.max_tokens,
     ).materialize()
@@ -228,6 +229,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--id-col", default="doc_id")
     c.add_argument("--text-col", default="text")
     c.add_argument("--ppl-threshold", type=float, default=31.0)
+    c.add_argument("--ppl-drop-frac", type=float, default=None,
+                   help="adaptive gate: drop the worst FRAC of the "
+                        "corpus's own perplexity tail (overrides "
+                        "--ppl-threshold)")
     c.add_argument("--vocab-cap", type=int, default=1000)
     c.add_argument("--min-tokens", type=int, default=10)
     c.add_argument("--max-tokens", type=int, default=100_000)

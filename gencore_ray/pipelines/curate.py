@@ -35,13 +35,22 @@ def curate_documents(
     ds: rd.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
-    ppl_threshold: float = 31.0,
+    ppl_threshold: float | None = 31.0,
+    ppl_drop_frac: float | None = None,
     vocab_cap: int = 1000,
     num_parts: int = 16,
     **filter_kwargs,
 ) -> rd.Dataset:
     """(id, keep, reason, perplexity) — one row per doc; ``keep`` iff
-    every stage passes.  ``perplexity`` is 0.0 for zero-token docs."""
+    every stage passes.  ``perplexity`` is 0.0 for zero-token docs.
+
+    The perplexity gate is either ABSOLUTE (``ppl_threshold``) or
+    ADAPTIVE (``ppl_drop_frac=0.1`` drops the worst 10% of the
+    corpus's own rounded-perplexity distribution — absolute
+    thresholds don't transfer between corpora; CCNet's tail-drop is
+    the quantile form).  ``ppl_drop_frac`` overrides ``ppl_threshold``
+    and costs one extra tiny exchange (exact global quantile over the
+    per-doc perplexities)."""
     import ray
 
     from gencore_ray.functions.hashing import hash_str_array_u64
@@ -90,6 +99,22 @@ def curate_documents(
         })
 
     signals = slim.map_batches(_signals, batch_format="pandas")
+    if ppl_drop_frac is not None:
+        from gencore_ray.ops.relational import grouped_quantiles
+
+        signals = signals.materialize()
+
+        def _nonzero(df: pd.DataFrame) -> pd.DataFrame:
+            sub = df.loc[df["perplexity"] > 0, ["perplexity"]].copy()
+            sub["_g"] = 0
+            return sub
+
+        th = grouped_quantiles(
+            signals.map_batches(_nonzero, batch_format="pandas"),
+            ["_g"], "perplexity",
+            [("cut", 1.0 - float(ppl_drop_frac))], num_parts=1,
+        ).to_pandas()
+        ppl_threshold = float(th["cut"].iloc[0]) if len(th) else float("inf")
     j = hash_join(signals, dup, id_col, id_col, num_parts=num_parts)
 
     def _verdict(df: pd.DataFrame) -> pd.DataFrame:

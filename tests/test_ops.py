@@ -719,6 +719,26 @@ def test_line_dedup_removes_boilerplate(ray_session):
     assert got2.loc[4, "clean_text"] == docs[4]
 
 
+def test_curate_adaptive_ppl_threshold(ray_session):
+    """ppl_drop_frac drops ~the requested tail of the corpus's own
+    perplexity distribution regardless of its absolute level."""
+    from gencore_ray.pipelines.curate import curate_documents
+
+    rng = np.random.RandomState(6)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {d: " ".join(rng.choice(vocab, size=30).tolist())
+            for d in range(50)}
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = (curate_documents(ds, ppl_drop_frac=0.2, vocab_cap=100,
+                            num_parts=4).to_pandas())
+    dropped = (got["reason"] == "high_perplexity").sum()
+    # exact count depends on quantile ties; tail-drop must be ~20%
+    assert 5 <= dropped <= 12, dropped
+    # the dropped docs are exactly the highest-perplexity ones
+    cut = got.loc[got["reason"] == "high_perplexity", "perplexity"].min()
+    assert (got.loc[got["reason"] == "ok", "perplexity"] < cut).all()
+
+
 def test_resilient_map_quarantines_poison_rows(ray_session, tmp_path):
     """Healthy rows flow through vectorized; poison rows land in the
     quarantine parquet with error strings; job never dies."""
