@@ -1025,6 +1025,16 @@ def _q_semantic_dedup(sf_dir: str):
                                 k=8, iters=5, num_parts=8)
 
 
+def _q_curation_adaptive(sf_dir: str):
+    """Curation with the ADAPTIVE perplexity gate: the threshold is the
+    corpus's own 90th perplexity percentile (CCNet tail-drop form) —
+    the SQL oracle recomputes it with quantile_cont."""
+    from gencore_ray.pipelines.curate import curate_documents
+
+    return curate_documents(_docs(sf_dir), ppl_threshold=None,
+                            ppl_drop_frac=0.1, vocab_cap=1000, num_parts=8)
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Corpus-version diff (added/removed/changed/unchanged by content
     hash, slim full-outer exchange): the new snapshot is a
@@ -1386,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_persisted": _q_ann_ivf_persisted,
         "lang_source_agreement": _q_lang_source_agreement,
         "snapshot_diff": _q_snapshot_diff,
+        "curation_adaptive": _q_curation_adaptive,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "nb_lang_classifier": _q_nb_lang_classifier,
         "line_dedup": _q_line_dedup,
@@ -2159,6 +2170,65 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN is_dup THEN 'exact_dup' "
             "WHEN greason <> 'ok' THEN greason "
             "WHEN perplexity > 31.0 THEN 'high_perplexity' ELSE 'ok' END "
+            "AS reason, perplexity FROM fin"
+        ),
+        "curation_adaptive": (
+            # composition of the exact-dup, corpus_filter and
+            # lm_perplexity oracles; threshold applies to the ROUNDED
+            # perplexity on both sides so a boundary doc cannot split
+            "WITH t AS (SELECT doc_id, coalesce(text, '') AS text, "
+            "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS toks "
+            "FROM documents), "
+            "dup AS (SELECT doc_id, doc_id <> min(doc_id) OVER "
+            "(PARTITION BY text) AS is_dup FROM t), "
+            "base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "round(length(array_to_string(toks, '')) * 1.0 "
+            "/ greatest(len(toks), 1), 6) AS mean_word_len, "
+            "round(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) * 1.0 "
+            "/ greatest(length(text), 1), 6) AS alnum_ratio FROM t), "
+            "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line "
+            "FROM t), "
+            "lc AS (SELECT doc_id, round((count(*) - count(DISTINCT line)) "
+            "* 1.0 / count(*), 6) AS dup_line_frac FROM l GROUP BY doc_id), "
+            "g AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], chr(31)) "
+            "FOR i IN generate_series(1, len(toks)-1)]) AS gram FROM t), "
+            "cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS tb "
+            "FROM cnt GROUP BY doc_id), "
+            "gr AS (SELECT base.doc_id, CASE "
+            "WHEN n_tokens < 10 THEN 'too_few_tokens' "
+            "WHEN n_tokens > 100000 THEN 'too_many_tokens' "
+            "WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 "
+            "THEN 'mean_word_len' "
+            "WHEN alnum_ratio < 0.5 THEN 'alnum_ratio' "
+            "WHEN lc.dup_line_frac > 0.3 THEN 'dup_lines' "
+            "WHEN coalesce(agg.tb, 0.0) > 0.2 THEN 'top_bigram' "
+            "ELSE 'ok' END AS greason FROM base JOIN lc USING (doc_id) "
+            "LEFT JOIN agg USING (doc_id)), "
+            "wtok AS (SELECT doc_id, unnest(toks) AS w FROM t), "
+            "wc AS (SELECT w, count(*) AS c FROM wtok GROUP BY w), "
+            "topv AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 1000), "
+            "par AS (SELECT (SELECT coalesce(sum(c), 0) FROM wc) AS n, "
+            "(SELECT count(*) FROM topv) AS v, "
+            "(SELECT coalesce(sum(c), 0) FROM wc) "
+            "- (SELECT coalesce(sum(c), 0) FROM topv) AS cu), "
+            "sc AS (SELECT wt.doc_id, "
+            "ln((coalesce(tv.c, (SELECT cu FROM par)) + 1.0) "
+            "/ ((SELECT n FROM par) + (SELECT v FROM par) + 1.0)) AS lp "
+            "FROM wtok wt LEFT JOIN topv tv USING (w)), "
+            "pp AS (SELECT doc_id, round(exp(-avg(lp)), 6) AS perplexity "
+            "FROM sc GROUP BY doc_id), "
+            "fin AS (SELECT t.doc_id, dup.is_dup, gr.greason, "
+            "coalesce(pp.perplexity, 0.0) AS perplexity FROM t "
+            "JOIN dup USING (doc_id) JOIN gr USING (doc_id) "
+            "LEFT JOIN pp USING (doc_id)), "
+            "thq AS (SELECT round(quantile_cont(perplexity, 0.9), 6) AS q "
+            "FROM fin WHERE perplexity > 0) "
+            "SELECT doc_id, "
+            "(NOT is_dup AND greason = 'ok' AND perplexity <= (SELECT q FROM thq)) AS keep, "
+            "CASE WHEN is_dup THEN 'exact_dup' "
+            "WHEN greason <> 'ok' THEN greason "
+            "WHEN perplexity > (SELECT q FROM thq) THEN 'high_perplexity' ELSE 'ok' END "
             "AS reason, perplexity FROM fin"
         ),
         "media_decode_real": (
