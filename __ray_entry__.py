@@ -1776,7 +1776,11 @@ def oracle_sql() -> dict[str, str]:
             "RANK() OVER (PARTITION BY lang "
             "ORDER BY n_chars DESC) AS rank, "
             "DENSE_RANK() OVER (PARTITION BY lang "
-            "ORDER BY n_chars DESC) AS dense_rank FROM documents"
+            "ORDER BY n_chars DESC) AS dense_rank, "
+            "round(PERCENT_RANK() OVER (PARTITION BY lang "
+            "ORDER BY n_chars DESC), 6) AS percent_rank, "
+            "round(CUME_DIST() OVER (PARTITION BY lang "
+            "ORDER BY n_chars DESC), 6) AS cume_dist FROM documents"
         ),
         "doc_length_ntile": (
             "SELECT doc_id, n_chars, "

@@ -376,28 +376,42 @@ def group_ranks(
     num_parts: int = 16,
 ) -> rd.Dataset:
     """SQL window ranks per key: ``row_number`` / ``rank`` /
-    ``dense_rank`` over (order_col [DESC], id_col) within each key —
-    the curation primitive behind "keep the N best docs per domain" /
-    "percentile of each doc within its language".
+    ``dense_rank`` / ``percent_rank`` / ``cume_dist`` over
+    (order_col [DESC], id_col) within each key — the curation
+    primitive behind "keep the N best docs per domain" / "percentile
+    of each doc within its language".
 
     One exchange keyed on ``key``; inside each partition a single sort
-    plus three vectorised pandas group rank kernels.  ``id_col`` must
-    be unique so ``row_number`` is deterministic.
+    plus vectorised pandas group rank kernels.  ``id_col`` must be
+    unique so ``row_number`` is deterministic.  percent_rank =
+    (rank-1)/(n-1) (0.0 for singleton groups) and cume_dist =
+    max-rank/n, both rounded half-away to 6 — SQL semantics exactly.
     """
+    import numpy as np
 
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            empty = pd.Series(dtype="int64")
-            return df.assign(row_number=empty, rank=empty, dense_rank=empty)
+            empty_i = pd.Series(dtype="int64")
+            empty_f = pd.Series(dtype="float64")
+            return df.assign(row_number=empty_i, rank=empty_i,
+                             dense_rank=empty_i, percent_rank=empty_f,
+                             cume_dist=empty_f)
         df = df.sort_values([key, order_col, id_col],
                             ascending=[True, not descending, True],
                             kind="mergesort")
         g = df.groupby(key, sort=False)
         asc = not descending
+        rank = g[order_col].rank(method="min", ascending=asc).to_numpy()
+        rmax = g[order_col].rank(method="max", ascending=asc).to_numpy()
+        n = g[order_col].transform("size").to_numpy(dtype=np.float64)
+        pr = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        cd = rmax / n
         return df.assign(
             row_number=(g.cumcount() + 1).astype("int64"),
-            rank=g[order_col].rank(method="min", ascending=asc).astype("int64"),
+            rank=rank.astype("int64"),
             dense_rank=g[order_col].rank(method="dense", ascending=asc).astype("int64"),
+            percent_rank=np.floor(pr * 1e6 + 0.5) / 1e6,
+            cume_dist=np.floor(cd * 1e6 + 0.5) / 1e6,
         )
 
     return grouped_map(ds, key, per_partition, num_parts=num_parts)

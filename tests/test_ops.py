@@ -1066,6 +1066,16 @@ def test_group_ranks_ties(ray_session):
     assert got["row_number"].tolist() == [1, 2, 3, 1, 2]
     assert got["rank"].tolist() == [1, 1, 3, 1, 1]
     assert got["dense_rank"].tolist() == [1, 1, 2, 1, 1]
+    # percent_rank = (rank-1)/(n-1); cume_dist = max_rank/n (SQL defs)
+    assert got["percent_rank"].tolist() == [0.0, 0.0, 1.0, 0.0, 0.0]
+    assert got["cume_dist"].tolist() == [
+        round(2 / 3, 6), round(2 / 3, 6), 1.0, 1.0, 1.0]
+    # singleton group: percent_rank 0, cume_dist 1
+    one = (group_ranks(rd.from_pandas(
+        pd.DataFrame({"id": [9], "k": ["z"], "v": [1]})),
+        "k", "v", "id", num_parts=2).to_pandas())
+    assert one["percent_rank"].iloc[0] == 0.0
+    assert one["cume_dist"].iloc[0] == 1.0
 
 
 def test_ntile_exact_sql_semantics(ray_session):
