@@ -156,6 +156,68 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_profile(args: argparse.Namespace) -> int:
+    """Table profiling: per-column rows/nulls/exact-distincts +
+    numeric min/max, printed as one JSON line per column."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=args.address, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 **({"num_cpus": args.num_cpus}
+                    if args.address == "local" else {}))
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import profile_columns
+
+    ds = rd.read_parquet(args.input)
+    cols = args.columns.split(",") if args.columns else (
+        ds.schema().base_schema.names)
+    out = profile_columns(ds, cols, num_parts=8).to_pandas()
+    for rec in out.to_dict("records"):
+        rec = {k: (None if isinstance(v, float) and v != v else v)
+               for k, v in rec.items()}          # NaN -> null (valid JSON)
+        print(json.dumps(rec, default=str))
+    ray.shutdown()
+    return 0
+
+
+def _cmd_diff(args: argparse.Namespace) -> int:
+    """Corpus-version diff between two parquet snapshots."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=args.address, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 **({"num_cpus": args.num_cpus}
+                    if args.address == "local" else {}))
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import snapshot_diff
+
+    d = snapshot_diff(
+        rd.read_parquet(args.old), rd.read_parquet(args.new),
+        id_col=args.id_col, content_col=args.content_col, num_parts=8,
+    ).materialize()
+    counts = dict(d.groupby("status").count().to_pandas()
+                  .itertuples(index=False, name=None))
+    if args.output:
+        d.write_parquet(args.output)
+    print(json.dumps({"rows": d.count(),
+                      **{k: int(v) for k, v in sorted(counts.items())},
+                      "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
 def _cmd_test(_args: argparse.Namespace) -> int:
     """Builtin unit vectors, reference-style (prints PASSED/FAILED)."""
     import numpy as np
@@ -239,6 +301,25 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--address", default="local")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=_cmd_curate)
+
+    pr = sub.add_parser("profile", help="per-column table profile")
+    pr.add_argument("-i", "--input", required=True, help="parquet file/dir")
+    pr.add_argument("--columns", default=None,
+                    help="comma-separated (default: all)")
+    pr.add_argument("--address", default="local")
+    pr.add_argument("--num-cpus", type=int, default=None)
+    pr.set_defaults(fn=_cmd_profile)
+
+    df_p = sub.add_parser("diff", help="corpus snapshot diff")
+    df_p.add_argument("--old", required=True)
+    df_p.add_argument("--new", required=True)
+    df_p.add_argument("-o", "--output", default=None,
+                      help="optionally write per-id statuses")
+    df_p.add_argument("--id-col", default="doc_id")
+    df_p.add_argument("--content-col", default="text")
+    df_p.add_argument("--address", default="local")
+    df_p.add_argument("--num-cpus", type=int, default=None)
+    df_p.set_defaults(fn=_cmd_diff)
 
     t = sub.add_parser("test", help="builtin unit vectors (reference EP2)")
     t.set_defaults(fn=_cmd_test)
