@@ -10,6 +10,8 @@ vectors (src/main.cpp:18-22) and `gencore -v` (src/main.cpp:24-27).
         [--jaccard 0.7] [--bands 32] [--rows 4] [--num-cpus N] ...
     python -m gencore_ray curate -i docs.parquet -o /tmp/verdicts \
         [--emit verdicts|kept] [--ppl-threshold 31] [--min-tokens 10] ...
+    python -m gencore_ray profile -i table.parquet [--columns a,b]
+    python -m gencore_ray diff --old day0.parquet --new day1.parquet
     python -m gencore_ray test       # reference-style builtin vectors
     python -m gencore_ray -v
 
