@@ -1,0 +1,68 @@
+"""End-to-end CLI tests — each subcommand in its own subprocess (the
+CLI owns its Ray session, so in-process invocation would fight the
+test fixture's session).  These are the `gencore <args>` parity
+surface (reference EP1, /root/reference/src/main.cpp:29-89)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+
+def _run(*args: str, timeout: int = 240) -> str:
+    env = dict(os.environ, RAY_ADDRESS="")
+    out = subprocess.run(
+        [sys.executable, "-m", "gencore_ray", *args],
+        capture_output=True, text=True, timeout=timeout, env=env,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout.strip().splitlines()[-1]
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(tmp_path_factory):
+    from gencore_ray.corpus import write_pages_corpus
+
+    d = tmp_path_factory.mktemp("cli_corpus")
+    write_pages_corpus(str(d), n_pages=120, seed=3)
+    return str(d / "pages.parquet")
+
+
+def test_cli_builtin_vectors():
+    assert _run("test") == "PASSED"
+
+
+def test_cli_dedup_end_to_end(tiny_corpus, tmp_path):
+    out = str(tmp_path / "clusters")
+    rep = json.loads(_run("dedup", "-i", tiny_corpus, "-o", out,
+                          "--num-cpus", "4"))
+    assert rep["counters"]["pages_in"] == 120
+    t = pq.read_table(out)
+    assert t.num_rows == 120
+    assert {"url", "cluster_id", "cluster_size"} <= set(t.schema.names)
+
+
+def test_cli_curate_profile_diff(tiny_corpus, tmp_path):
+    docs = str(tmp_path / "docs.parquet")
+    t = pq.read_table(tiny_corpus, columns=["url", "text"])
+    pq.write_table(t, docs)
+
+    rep = json.loads(_run("curate", "-i", docs, "-o",
+                          str(tmp_path / "verdicts"), "--id-col", "url",
+                          "--ppl-drop-frac", "0.1", "--num-cpus", "4"))
+    assert rep["docs"] == 120
+    assert rep["kept"] + sum(rep["dropped_by_reason"].values()) == 120
+
+    line = _run("profile", "-i", docs, "--columns", "url",
+                "--num-cpus", "4")
+    prof = json.loads(line)
+    assert prof["n_rows"] == 120 and prof["n_distinct"] == 120
+
+    rep = json.loads(_run("diff", "--old", docs, "--new", docs,
+                          "--id-col", "url", "--content-col", "text",
+                          "--num-cpus", "4"))
+    assert rep["rows"] == 120 and rep.get("unchanged") == 120
