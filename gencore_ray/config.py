@@ -86,9 +86,24 @@ class DedupConfig:
                 f"!= num_perm ({self.num_perm})"
             )
 
+    # pure performance knobs — proven result-identical by tests
+    # (test_bloom_prefilter_equivalent_and_gated, partition-count
+    # invariance tests) — must NOT invalidate checkpoints / incremental
+    # state when toggled: fingerprint only the semantic fields.
+    _EXECUTION_KNOBS = frozenset({
+        "sig_batch_size", "sig_concurrency", "join_num_partitions",
+        "pair_num_partitions", "bloom_prefilter",
+    })
+
     def fingerprint(self) -> str:
-        """Stable hash of the config; part of every checkpoint manifest."""
-        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        """Stable hash of the RESULT-AFFECTING config fields; part of
+        every checkpoint manifest.  Execution knobs (batch sizes,
+        partition counts, the Bloom prefilter toggle) are excluded —
+        changing them never changes the output, so they must not force
+        a re-bootstrap of incremental state."""
+        d = {k: v for k, v in asdict(self).items()
+             if k not in DedupConfig._EXECUTION_KNOBS}
+        blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 
 

@@ -451,7 +451,18 @@ def ivf_build(
                   else np.empty(0, dtype=np.int64))
         return t.append_column("ivf_cell", pa.array(assign.astype(np.int64)))
 
+    # a rebuild must not inherit the previous build's files: cell
+    # parquet names are unique per run, so stale vectors would survive
+    # inside the hive dirs and ivf_query would score them against the
+    # NEW centroids — clear the index state before writing
+    import shutil
+
     os.makedirs(index_dir, exist_ok=True)
+    shutil.rmtree(os.path.join(index_dir, "cells"), ignore_errors=True)
+    try:
+        os.remove(os.path.join(index_dir, "centroids.parquet"))
+    except FileNotFoundError:
+        pass
     ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True) \
         .write_parquet(os.path.join(index_dir, "cells"),
                        partition_cols=["ivf_cell"])

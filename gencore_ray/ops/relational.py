@@ -714,6 +714,11 @@ def priority_sample(
     def with_priority(df: pd.DataFrame) -> pd.DataFrame:
         u = ((df[id_col].to_numpy().astype(np.uint64) % mod) * mult) % mod
         w = df[weight_col].to_numpy(dtype=np.float64)
+        if len(w) and not (w > 0).all():
+            raise ValueError(
+                f"priority_sample: weight column {weight_col!r} must be "
+                "strictly positive (zero weight -> inf priority, never "
+                "sampled; negative -> always wins)")
         df = df.assign(priority=(u.astype(np.float64) + 1.0) / w)
         return df.sort_values(["priority", id_col], kind="mergesort").head(k)
 

@@ -48,8 +48,11 @@ def resilient_map_batches(
     os.makedirs(quarantine_dir, exist_ok=True)
 
     def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        # fn may mutate its frame in place BEFORE raising; hand it a
+        # copy so the per-row retries and the quarantine parquet always
+        # see pristine input rows
         try:
-            return fn(df)
+            return fn(df.copy())
         except Exception:
             pass
         goods: list[pd.DataFrame] = []
@@ -58,7 +61,7 @@ def resilient_map_batches(
         for i in range(len(df)):
             row = df.iloc[i:i + 1]
             try:
-                goods.append(fn(row))
+                goods.append(fn(row.copy()))
             except Exception as ex:                      # noqa: BLE001
                 bads.append(row)
                 errs.append(f"{type(ex).__name__}: {ex}")
@@ -77,7 +80,7 @@ def resilient_map_batches(
             return pd.concat(goods, ignore_index=True)
         # whole batch quarantined: emit a schema-correct empty frame
         try:
-            return fn(df.iloc[0:0])
+            return fn(df.iloc[0:0].copy())
         except Exception:                                # noqa: BLE001
             return pd.DataFrame()
 

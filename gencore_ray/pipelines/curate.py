@@ -54,6 +54,11 @@ def curate_documents(
     import ray
 
     from gencore_ray.functions.hashing import hash_str_array_u64
+
+    # both gates unset == "no perplexity gate": an infinite threshold,
+    # not an opaque `ppl_v > None` TypeError inside the remote verdict
+    if ppl_threshold is None and ppl_drop_frac is None:
+        ppl_threshold = float("inf")
     from gencore_ray.ops.lm import fit_unigram_lm, score_token_lists
     from gencore_ray.ops.textstats import gopher_signals
     from gencore_ray.stages.shuffle import grouped_map, hash_join

@@ -1340,3 +1340,97 @@ def test_json_int_field(ray_session):
     assert got["k"].iloc[2] == -7
     assert pd.isna(got["k"].iloc[3])
     assert got["k"].iloc[4] == 0
+
+
+# --- round-4 ADVICE regression tests ---------------------------------
+
+def test_ivf_rebuild_clears_stale_cells(ray_session, tmp_path):
+    """Rebuilding an IVF index into the same directory must not leave
+    the previous build's vectors inside the hive cells (parquet names
+    are unique per run, so without a clear they'd survive and be
+    scored against the NEW centroids)."""
+    import glob
+
+    from gencore_ray.ops.ann import ivf_build, ivf_query
+
+    rng = np.random.RandomState(9)
+    idx = str(tmp_path / "ivf")
+    big = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(300), "embedding": list(rng.randn(300, 8))}))
+    ivf_build(big, idx, n_clusters=4)
+    small_mat = rng.randn(50, 8)
+    small = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(1000, 1050), "embedding": list(small_mat)}))
+    ivf_build(small, idx, n_clusters=4)
+    files = glob.glob(f"{idx}/cells/ivf_cell=*/*.parquet")
+    n_indexed = sum(len(pd.read_parquet(f)) for f in files)
+    assert n_indexed == 50
+    got = ivf_query(idx, small_mat[3], k=10, nprobe=4).to_pandas()
+    assert set(got["vec_id"]) <= set(range(1000, 1050))
+    assert got["vec_id"].iloc[0] == 1003
+
+
+def test_curate_no_perplexity_gate(ray_session):
+    """ppl_threshold=None + ppl_drop_frac=None means NO perplexity
+    gate (not a TypeError inside the remote verdict map)."""
+    from gencore_ray.pipelines.curate import curate_documents
+
+    ds = rd.from_items([
+        {"doc_id": i,
+         "text": " ".join(f"w{j}" for j in range(i % 7, i % 7 + 60))}
+        for i in range(20)])
+    got = curate_documents(ds, ppl_threshold=None, num_parts=2).to_pandas()
+    assert len(got) == 20
+    assert not (got["reason"] == "high_perplexity").any()
+
+
+def test_fingerprint_ignores_execution_knobs():
+    """Pure performance knobs (result-identical by test) must not
+    invalidate checkpoint manifests / incremental state."""
+    base = DedupConfig()
+    perf = DedupConfig(bloom_prefilter="on", pair_num_partitions=7,
+                       sig_batch_size=64, join_num_partitions=3,
+                       sig_concurrency=2)
+    assert base.fingerprint() == perf.fingerprint()
+    assert base.fingerprint() != DedupConfig(
+        jaccard_threshold=0.8).fingerprint()
+    assert base.fingerprint() != DedupConfig(
+        bands=16, rows_per_band=8).fingerprint()
+
+
+def test_resilient_map_quarantines_pristine_rows(ray_session, tmp_path):
+    """A fn that mutates its frame in place BEFORE raising must not
+    leak partially-mutated values into the quarantine parquet or the
+    per-row retries."""
+    from gencore_ray.ops.resilient import resilient_map_batches
+
+    qdir = str(tmp_path / "dead_letter")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df["x"] = df["x"] * 10            # in-place mutation...
+        if (df["x"] < 0).any():
+            raise ValueError("negative x")  # ...then the raise
+        return df
+
+    src = pd.DataFrame({"doc_id": range(6), "x": [1, 2, -3, 4, -5, 6]})
+    got = (resilient_map_batches(rd.from_pandas(src), fn, qdir)
+           .to_pandas().sort_values("doc_id"))
+    # healthy rows: exactly one application of fn (x*10), not two
+    assert got["x"].tolist() == [10, 20, 40, 60]
+    q = rd.read_parquet(qdir).to_pandas().sort_values("doc_id")
+    # quarantined rows carry the PRISTINE input values
+    assert q["doc_id"].tolist() == [2, 4]
+    assert q["x"].tolist() == [-3, -5]
+
+
+def test_priority_sample_rejects_nonpositive_weights(ray_session):
+    """Zero/negative weights are a loud ValueError, not a silent
+    never-sampled / always-wins row."""
+    from gencore_ray.ops.relational import priority_sample
+
+    df = pd.DataFrame({"doc_id": range(5), "w": [1.0, 2.0, 0.0, 3.0, 4.0]})
+    with pytest.raises(Exception, match="strictly positive"):
+        priority_sample(rd.from_pandas(df), "doc_id", "w", 3).to_pandas()
+    neg = df.assign(w=[1.0, 2.0, -1.0, 3.0, 4.0])
+    with pytest.raises(Exception, match="strictly positive"):
+        priority_sample(rd.from_pandas(neg), "doc_id", "w", 3).to_pandas()
