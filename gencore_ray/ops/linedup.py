@@ -6,19 +6,26 @@ thousands of pages and would otherwise dominate the token stream.
 This op removes every occurrence of any line that appears in at least
 ``min_docs`` DISTINCT documents and reassembles the cleaned text.
 
-Scale shape — two full-text exchanges, zero driver state:
+Scale shape — line TEXT never rides an exchange (same dataflow as
+ops/substrings.span_dedup_rewrite):
 
-  1. explode (line_hash, id, line_no, line) rows, one per line;
+  1. explode slim (line_hash u64, id, line_no) rows — 20 B/line, the
+     line string stays behind;
   2. line-hash-keyed exchange: each partition holds EVERY occurrence
      of its hashes, so a per-partition distinct-doc count is the
-     global count; mark occurrences of frequent lines;
-  3. id-keyed exchange: reassemble each doc's surviving lines in
-     line_no order.
+     global count; emit only the REMOVED (id, line_no) coordinates
+     (in a typical corpus a small fraction of all lines);
+  3. id-keyed exchange over only those removal rows: collect each
+     doc's removed line numbers into one list row;
+  4. one left-outer id join back to the original (id, text) and a
+     pure map that splits the original text, drops the removed line
+     numbers, and rejoins — byte-exact reassembly from the ORIGINAL
+     text, so survivors can't even theoretically be corrupted by a
+     round-trip.
 
-The line text rides both exchanges (~2x corpus bytes) — inherent to
-the semantics (the survivor lines must reach their doc's partition);
-a broadcast-set variant would bound traffic but put the frequent-line
-set on every worker, which at 10^12 docs is NOT guaranteed small.
+Exchange mass: 20 B x corpus lines + ~16 B x removed lines, versus
+the naive shape's 2 x corpus text bytes (the previous revision
+shipped the line strings through BOTH exchanges).
 
 gencore analogue: the duplicate-fragment drop before consensus
 (/root/reference/src/gencore.cpp:319-389 flushes clusters and keeps
@@ -33,19 +40,17 @@ import pandas as pd
 import ray.data as rd
 
 
-def line_dedup(
+def line_hash_rows(
     ds: rd.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
-    min_docs: int = 3,
-    num_parts: int = 16,
 ) -> rd.Dataset:
-    """(id, n_lines, n_removed, clean_text): drop every line occurring
-    in >= min_docs distinct docs, rejoin survivors with newline."""
+    """Slim (id, line_no, lh) explode — one 20 B row per line, no text.
+    Exposed separately so tests can assert the exchanged schema carries
+    no string payload."""
     from itertools import chain
 
     from gencore_ray.functions.hashing import hash_str_array_u64
-    from gencore_ray.stages.shuffle import grouped_map
 
     def _explode(df: pd.DataFrame) -> pd.DataFrame:
         texts = df[text_col].fillna("").tolist()
@@ -56,41 +61,67 @@ def line_dedup(
         return pd.DataFrame({
             id_col: np.repeat(df[id_col].to_numpy(), lens),
             "line_no": np.arange(len(flat), dtype=np.int64) - offs,
-            "line": flat,
             "lh": hash_str_array_u64(flat),
         })
 
-    def _mark(df: pd.DataFrame) -> pd.DataFrame:
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _explode, batch_format="pandas")
+
+
+def line_dedup(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """(id, n_lines, n_removed, clean_text): drop every line occurring
+    in >= min_docs distinct docs, rejoin survivors with newline."""
+    from gencore_ray.stages.shuffle import grouped_map, hash_join
+
+    def _removed(df: pd.DataFrame) -> pd.DataFrame:
         # global distinct-doc count per hash (partition holds ALL
-        # occurrences of its hashes), joined back by factorized code
+        # occurrences of its hashes), joined back by factorized code;
+        # only the frequent lines' coordinates leave this stage
         codes, uniq = pd.factorize(df["lh"], sort=False)
         pair = pd.DataFrame({"c": codes, "d": df[id_col]}).drop_duplicates()
         nd = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(nd, pair["c"].to_numpy(), 1)
-        return df.assign(rm=nd[codes] >= min_docs)[
-            [id_col, "line_no", "line", "rm"]]
+        rm = nd[codes] >= min_docs
+        return df.loc[rm, [id_col, "line_no"]]
+
+    def _collect(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(id_col, sort=False)["line_no"]
+                .agg(lambda s: s.to_numpy().tolist())
+                .rename("rm_nos").reset_index())
+
+    removed = grouped_map(line_hash_rows(ds, id_col, text_col), "lh",
+                          _removed, num_parts=num_parts)
+    per_doc = grouped_map(removed, id_col, _collect, num_parts=num_parts)
+    joined = hash_join(ds.select_columns([id_col, text_col]), per_doc,
+                       id_col, id_col, num_parts=num_parts,
+                       how="left_outer")
 
     def _rebuild(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([id_col, "line_no"], kind="mergesort")
-        ids, idx = np.unique(df[id_col].to_numpy(), return_index=True)
-        bounds = np.r_[idx, len(df)]
-        lines = df["line"].to_numpy()
-        rm = df["rm"].to_numpy(dtype=bool)
-        texts, n_lines, n_removed = [], [], []
-        for i in range(len(ids)):
-            lo, hi = bounds[i], bounds[i + 1]
-            keep = ~rm[lo:hi]
-            texts.append("\n".join(lines[lo:hi][keep]))
-            n_lines.append(hi - lo)
-            n_removed.append(int(rm[lo:hi].sum()))
+        texts = df[text_col].fillna("").tolist()
+        out_text, n_lines, n_removed = [], [], []
+        for t, nos in zip(texts, df["rm_nos"].tolist()):
+            lines = t.split("\n")
+            if nos is None or (isinstance(nos, float) and pd.isna(nos)):
+                out_text.append(t)
+                n_lines.append(len(lines))
+                n_removed.append(0)
+                continue
+            drop = set(int(x) for x in nos)
+            out_text.append("\n".join(
+                ln for i, ln in enumerate(lines) if i not in drop))
+            n_lines.append(len(lines))
+            n_removed.append(len(drop))
         return pd.DataFrame({
-            id_col: ids,
+            id_col: df[id_col].to_numpy(),
             "n_lines": np.asarray(n_lines, dtype=np.int64),
             "n_removed": np.asarray(n_removed, dtype=np.int64),
-            "clean_text": texts,
+            "clean_text": out_text,
         })
 
-    exploded = ds.select_columns([id_col, text_col]).map_batches(
-        _explode, batch_format="pandas")
-    marked = grouped_map(exploded, "lh", _mark, num_parts=num_parts)
-    return grouped_map(marked, id_col, _rebuild, num_parts=num_parts)
+    return joined.map_batches(_rebuild, batch_format="pandas")

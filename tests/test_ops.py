@@ -719,6 +719,27 @@ def test_line_dedup_removes_boilerplate(ray_session):
     assert got2.loc[4, "clean_text"] == docs[4]
 
 
+def test_line_dedup_exchange_is_slim(ray_session):
+    """The exploded rows that ride the line-hash exchange carry NO
+    text — only (id, line_no, lh) fixed-width columns.  At 100 TB the
+    exchange mass is 20 B/line, not 2x the corpus bytes."""
+    import pyarrow as pa
+
+    from gencore_ray.ops.linedup import line_hash_rows
+
+    big_line = "x" * 10_000
+    ds = rd.from_items([{"doc_id": i, "text": f"{big_line}\nshort {i}"}
+                        for i in range(20)])
+    rows = line_hash_rows(ds).materialize()
+    sch = rows.schema()
+    for name, typ in zip(sch.names, sch.types):
+        assert not pa.types.is_string(typ), (name, typ)
+        assert not pa.types.is_large_string(typ), (name, typ)
+        assert not pa.types.is_binary(typ), (name, typ)
+    # 40 lines x ~20 B -- nowhere near the ~200 KB of corpus text
+    assert rows.size_bytes() < 5_000, rows.size_bytes()
+
+
 def test_curate_adaptive_ppl_threshold(ray_session):
     """ppl_drop_frac drops ~the requested tail of the corpus's own
     perplexity distribution regardless of its absolute level."""
