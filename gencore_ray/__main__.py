@@ -10,6 +10,8 @@ vectors (src/main.cpp:18-22) and `gencore -v` (src/main.cpp:24-27).
         [--jaccard 0.7] [--bands 32] [--rows 4] [--num-cpus N] ...
     python -m gencore_ray curate -i docs.parquet -o /tmp/verdicts \
         [--emit verdicts|kept] [--ppl-threshold 31] [--min-tokens 10] ...
+    python -m gencore_ray semdedup -i vecs.parquet -o /tmp/pairs \
+        [--threshold 0.95] [--k auto] [--max-cluster-size 20000]
     python -m gencore_ray profile -i table.parquet [--columns a,b]
     python -m gencore_ray diff --old day0.parquet --new day1.parquet
     python -m gencore_ray test       # reference-style builtin vectors
@@ -152,6 +154,49 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         "wall_sec": round(time.monotonic() - t0, 2),
         "output": args.output,
         "emit": args.emit,
+    }
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
+def _cmd_semdedup(args: argparse.Namespace) -> int:
+    """SemDeDup over an embeddings parquet: k-means blocking + exact
+    within-cluster cosine check; pairs to parquet, cap accounting
+    (subsampled_clusters / dropped_members) in the JSON report — the
+    hot-cluster subsample is visible, never silent."""
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if args.address == "local":
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address=args.address, **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from gencore_ray.ops.kmeans import semantic_dedup_pairs
+
+    num_parts = args.num_cpus or int(ray.cluster_resources().get("CPU", 8))
+    t0 = time.monotonic()
+    vecs = rd.read_parquet(args.input, columns=[args.id_col, args.vec_col])
+    counters: dict = {}
+    pairs = semantic_dedup_pairs(
+        vecs, threshold=args.threshold, k=args.k, iters=args.iters,
+        id_col=args.id_col, vec_col=args.vec_col, num_parts=num_parts,
+        max_cluster_size=args.max_cluster_size, counters=counters,
+    ).materialize()
+    pairs.write_parquet(args.output)
+    report = {
+        "pairs": pairs.count(),
+        **counters,
+        "threshold": args.threshold,
+        "wall_sec": round(time.monotonic() - t0, 2),
+        "output": args.output,
     }
     print(json.dumps(report))
     ray.shutdown()
@@ -303,6 +348,22 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--address", default="local")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=_cmd_curate)
+
+    sd = sub.add_parser("semdedup", help="semantic dedup pairs over an "
+                        "embeddings parquet (k-means blocked, counted caps)")
+    sd.add_argument("-i", "--input", required=True, help="embeddings parquet")
+    sd.add_argument("-o", "--output", required=True, help="pairs output dir")
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--threshold", type=float, default=0.95)
+    sd.add_argument("--k", type=int, default=None,
+                    help="k-means clusters (default: auto, "
+                         "ceil(n/target_cluster_size))")
+    sd.add_argument("--iters", type=int, default=5)
+    sd.add_argument("--max-cluster-size", type=int, default=20_000)
+    sd.add_argument("--address", default="local")
+    sd.add_argument("--num-cpus", type=int, default=None)
+    sd.set_defaults(fn=_cmd_semdedup)
 
     pr = sub.add_parser("profile", help="per-column table profile")
     pr.add_argument("-i", "--input", required=True, help="parquet file/dir")

@@ -154,13 +154,15 @@ def kmeans_assign(
 def semantic_dedup_pairs(
     ds: rd.Dataset,
     threshold: float = 0.95,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_parts: int = 16,
     max_cluster_size: int = 20_000,
     round_to: int = 6,
+    target_cluster_size: int = 4_096,
+    counters: dict | None = None,
 ) -> rd.Dataset:
     """SemDeDup: (id_a, id_b, cos_sim) with cosine >= threshold, exact
     pairwise check restricted to k-means cluster mates.
@@ -171,9 +173,26 @@ def semantic_dedup_pairs(
     The O(n^2/k) per-cluster check runs inside one cluster-keyed
     exchange partition; clusters beyond ``max_cluster_size`` are
     deterministically subsampled (smallest id-hash rows kept).
+
+    ``k=None`` (default) scales the cluster count with the corpus —
+    k = ceil(n / target_cluster_size), floor 8 — so at any real corpus
+    size the mean cluster sits far below ``max_cluster_size`` and the
+    subsample cap is the exception, not the norm (a fixed k=8 would
+    GUARANTEE oversize clusters past 160k vectors).
+
+    Pass ``counters={}`` to get the cap accounting filled in driver-
+    side (one extra slim count pass over the assignments — the same
+    counted-skip discipline as stages/lsh.py's ``capped_docs``):
+    ``n_docs, k_used, subsampled_clusters, dropped_members``.  Dropped
+    members are docs excluded from the pairwise check of their own
+    oversize cluster — pairs among them are missed, and that loss is
+    now VISIBLE instead of silent.
     """
     from gencore_ray.stages.shuffle import grouped_map
 
+    if k is None:
+        n_total = ds.count()
+        k = max(8, -(-int(n_total) // int(target_cluster_size)))
     cent = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     ref = ray.put(cent)
     p = 10.0 ** round_to
@@ -194,6 +213,26 @@ def semantic_dedup_pairs(
 
     tagged = ds.select_columns([id_col, vec_col]).map_batches(
         _tag, batch_format="pandas")
+
+    if counters is not None:
+        # one slim counting pass: per-batch O(k) partials, driver merge
+        tagged = tagged.materialize()
+
+        def _sizes(df: pd.DataFrame) -> pd.DataFrame:
+            cnt = np.bincount(df["cluster_id"].to_numpy(), minlength=1)
+            nz = np.flatnonzero(cnt)
+            return pd.DataFrame({"cluster_id": nz, "n": cnt[nz]})
+
+        sizes = (tagged.select_columns(["cluster_id"])
+                 .map_batches(_sizes, batch_format="pandas").to_pandas()
+                 .groupby("cluster_id")["n"].sum())
+        over = sizes[sizes > max_cluster_size]
+        counters.update({
+            "n_docs": int(sizes.sum()),
+            "k_used": int(k),
+            "subsampled_clusters": int(len(over)),
+            "dropped_members": int((over - max_cluster_size).sum()),
+        })
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_s = [], [], []

@@ -66,3 +66,33 @@ def test_cli_curate_profile_diff(tiny_corpus, tmp_path):
                           "--id-col", "url", "--content-col", "text",
                           "--num-cpus", "4"))
     assert rep["rows"] == 120 and rep.get("unchanged") == 120
+
+
+def test_cli_semdedup_counted_caps(tmp_path):
+    """semdedup subcommand: pairs parquet + cap accounting in the JSON
+    report (dropped_members visible when a cluster exceeds the cap)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(90, 8)
+    mat = np.vstack([base, base[:10] + 1e-6])     # 10 planted near-dups
+    vecs = str(tmp_path / "vecs.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(len(mat)), "embedding": list(mat)})), vecs)
+
+    out = str(tmp_path / "pairs")
+    rep = json.loads(_run("semdedup", "-i", vecs, "-o", out,
+                          "--k", "4", "--num-cpus", "4"))
+    assert rep["pairs"] >= 10 and rep["n_docs"] == 100
+    assert rep["subsampled_clusters"] == 0 and rep["dropped_members"] == 0
+    t = pq.read_table(out)
+    assert {"id_a", "id_b", "cos_sim"} == set(t.schema.names)
+
+    # force an oversize cluster: cap far below the cluster sizes
+    rep2 = json.loads(_run("semdedup", "-i", vecs, "-o",
+                           str(tmp_path / "pairs2"), "--k", "2",
+                           "--max-cluster-size", "20", "--num-cpus", "4"))
+    assert rep2["subsampled_clusters"] >= 1
+    assert rep2["dropped_members"] >= 100 - 2 * 20

