@@ -118,6 +118,164 @@ def substring_dup_pairs(
     return j2.map_batches(check, batch_format="pandas")
 
 
+# --- repeated-gram prefilter -----------------------------------------
+# Most L-grams are unique to one document and can never dedup, yet the
+# naive explode ships one 24 B row per token window — O(corpus tokens)
+# exchange mass.  One cheap hashing pass builds a Bloom of grams seen
+# in >= 2 DISTINCT docs (no false negatives: a bit can only be missing
+# if the gram truly has < 2 docs), and the explode then emits only
+# members — typically a 5-20x row cut.  False positives just ride the
+# exchange and fall out of the group-size/owner logic downstream, so
+# results are bit-identical (tested).  This is the reference's own
+# bounded-work discipline (the low-complexity skip,
+# /root/reference/src/group.cpp:142-175) applied at the explode.
+#
+# 2^26-bit (8 MB) maps by default; the TWICE map stays much emptier
+# than the seen map because a false "twice" bit needs two different
+# blocks' seen-bits to collide.  At 10^12 docs raise bits_log2 (cost
+# is linear) or shard the pass by gram-hash prefix.
+
+_GRAM_BLOOM_LOG2 = 26
+
+
+def _gram_probes(h: np.ndarray, mask: np.uint64):
+    from gencore_ray.functions.hashing import splitmix64
+
+    h = h.astype(np.uint64)
+    return h & mask, splitmix64(h) & mask
+
+
+def _bits_add(bits: np.ndarray, h: np.ndarray) -> None:
+    mask = np.uint64(len(bits) * 64 - 1)        # len is a power of two
+    for idx in _gram_probes(h, mask):
+        np.bitwise_or.at(
+            bits, (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)))
+
+
+def _bits_test(bits: np.ndarray, h: np.ndarray) -> np.ndarray:
+    mask = np.uint64(len(bits) * 64 - 1)
+    out = np.ones(len(h), dtype=bool)
+    for idx in _gram_probes(h, mask):
+        word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+        out &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+    return out
+
+
+def token_hash_table(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Materialized (id, th: list<u64>, n_tokens) — the corpus
+    tokenized and hashed exactly ONCE.  Every span pass (the Bloom
+    build, the window explode, the per-doc base) then reruns only
+    cheap numpy window hashing over this table instead of the regex
+    tokenizer.  ~8 B/token, i.e. roughly a quarter of the text bytes;
+    it lives in the object store and spills like any other blocks."""
+    from gencore_ray.functions.text import TextFeatures
+
+    def _t(df: pd.DataFrame) -> pd.DataFrame:
+        feats = TextFeatures(df[text_col].fillna("").tolist())
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "th": [np.asarray(h, dtype=np.uint64) for h in feats.tok_hashes],
+            "n_tokens": np.asarray(feats.token_count, dtype=np.int64),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _t, batch_format="pandas").materialize()
+
+
+def _cached_hashes(df: pd.DataFrame) -> list:
+    """th column -> list of uint64 arrays (robust to the Arrow list
+    round-trip handing back lists or differently-typed arrays)."""
+    return [np.asarray(x, dtype=np.uint64) for x in df["th"].tolist()]
+
+
+def _resolve_prefilter(prefilter) -> bool:
+    """"on"/"off"/"auto" (or bool): auto engages the repeated-gram
+    Bloom only on a multi-node cluster — exchange rows are only
+    expensive CROSS-NODE (single-node object store is shared memory,
+    where the extra hashing pass costs more than the row cut saves);
+    same gating policy as DedupConfig.bloom_prefilter."""
+    import ray
+
+    if isinstance(prefilter, bool):
+        return prefilter
+    if prefilter == "on":
+        return True
+    if prefilter == "off":
+        return False
+    return sum(1 for nd in ray.nodes() if nd.get("Alive")) > 1
+
+
+def repeated_gram_bloom(
+    hash_table: rd.Dataset,
+    span_tokens: int,
+    bits_log2: int | None = None,
+) -> np.ndarray:
+    """Bloom bitmap (uint64 words) of L-gram hashes occurring in >= 2
+    distinct documents of a ``token_hash_table``.  Exact superset
+    guarantee: per block, grams are doc-deduped, then ``dup`` captures
+    >=2-docs-within-block and the saturating (seen, twice) merge —
+    associative, so it can fold in any order/tree — captures
+    cross-block repeats; a truly-repeated gram can never be missed.
+
+    ``bits_log2=None`` sizes the map to the corpus: ~8 bits per token
+    (the gram count is ~the token count), clamped to [20, 28] —
+    256 KB to 32 MB.  Block bitmaps are pre-merged 16-at-a-time in
+    worker tasks so the driver pulls n_blocks/16 maps, not n_blocks;
+    corpora whose block count makes even that pull heavy should shard
+    the pass by gram-hash prefix (each shard an independent bitmap)."""
+    import math
+
+    L = int(span_tokens)
+    if bits_log2 is None:
+        total = int(hash_table.sum("n_tokens") or 0)
+        bits_log2 = min(28, max(20, int(math.ceil(
+            math.log2(8 * max(total, 1) + 1)))))
+    words = (1 << bits_log2) // 64
+
+    def _block_maps(df: pd.DataFrame) -> pd.DataFrame:
+        seen = np.zeros(words, dtype=np.uint64)
+        dup = np.zeros(words, dtype=np.uint64)
+        coords = _gram_window_coords(_cached_hashes(df), L)
+        if coords is not None:
+            wd, wh, _pos = coords
+            o = np.lexsort((wh, wd))
+            d1, h1 = wd[o], wh[o]
+            new_doc = np.r_[True, (d1[1:] != d1[:-1]) | (h1[1:] != h1[:-1])]
+            h_doc = h1[new_doc]                     # per-doc distinct
+            # within-block >=2-docs grams: adjacent equal hashes in the
+            # doc-deduped, hash-sorted stream
+            hs = np.sort(h_doc, kind="stable")
+            dup_h = hs[1:][hs[1:] == hs[:-1]]
+            _bits_add(seen, h_doc)
+            _bits_add(dup, dup_h)
+        return pd.DataFrame({"seen": [seen.tobytes()], "dup": [dup.tobytes()]})
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        seen = np.zeros(words, dtype=np.uint64)
+        twice = np.zeros(words, dtype=np.uint64)
+        for s, d in zip(df["seen"], df["dup"]):
+            s = np.frombuffer(s, dtype=np.uint64)
+            twice |= np.frombuffer(d, dtype=np.uint64) | (seen & s)
+            seen |= s
+        return pd.DataFrame({"seen": [seen.tobytes()],
+                             "dup": [twice.tobytes()]})
+
+    # per-block maps, one distributed 16:1 pre-merge, driver fold of
+    # the survivors — the driver never pulls n_blocks full bitmaps
+    parts = (hash_table.select_columns(["th"])
+             .map_batches(_block_maps, batch_format="pandas",
+                          batch_size=None)
+             .map_batches(_merge, batch_format="pandas", batch_size=16)
+             .to_pandas())
+    final = _merge(parts)
+    return np.frombuffer(final["dup"].iloc[0], dtype=np.uint64).copy()
+
+
 def _gram_window_coords(tok_hashes: list, L: int):
     """(doc_idx, window_hash, pos) for every same-doc L-token window of
     a batch — the shared hashing core of ``span_dedup_rewrite`` and
@@ -145,12 +303,48 @@ def _gram_window_coords(tok_hashes: list, L: int):
     return tdoc[idx], wh[idx], idx - offs[idx]
 
 
+def span_window_rows(
+    hash_table: rd.Dataset,
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    bloom_ref=None,
+) -> rd.Dataset:
+    """(ghash, id, p) rows for every same-doc L-token window of a
+    ``token_hash_table``; with ``bloom_ref`` (a ``ray.put`` of
+    ``repeated_gram_bloom``) only windows whose gram can possibly
+    dedup are emitted.  Exposed so tests can measure the exchange-row
+    cut directly."""
+    import ray
+
+    L = int(span_tokens)
+
+    def _window_rows(df: pd.DataFrame) -> pd.DataFrame:
+        coords = _gram_window_coords(_cached_hashes(df), L)
+        if coords is None:
+            return pd.DataFrame({"ghash": pd.Series(dtype=np.uint64),
+                                 id_col: pd.Series(dtype=df[id_col].dtype),
+                                 "p": pd.Series(dtype=np.int64)})
+        doc_idx, wh, pos = coords
+        if bloom_ref is not None:
+            keep = _bits_test(ray.get(bloom_ref), wh)
+            doc_idx, wh, pos = doc_idx[keep], wh[keep], pos[keep]
+        return pd.DataFrame({
+            "ghash": wh,
+            id_col: df[id_col].to_numpy()[doc_idx],
+            "p": pos,
+        })
+
+    return hash_table.select_columns([id_col, "th"]).map_batches(
+        _window_rows, batch_format="pandas")
+
+
 def span_dedup_rewrite(
     ds: rd.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
     span_tokens: int = 8,
     num_parts: int = 16,
+    prefilter: str | bool = "auto",
 ) -> rd.Dataset:
     """Lee et al. 2022 exact-substring dedup as a TRANSFORM: cut every
     token covered by a duplicated L-gram window, keep the owner doc's
@@ -171,25 +365,23 @@ def span_dedup_rewrite(
     windows; per-doc removed positions aggregate through one id-keyed
     exchange (bounded by the doc's window count); the text is then cut
     in a pure map joined by id — text never rides the gram exchange.
+    ``prefilter`` ("auto" default: on only multi-node, where exchange
+    rows cross the wire) first builds the repeated-gram Bloom and
+    explodes only grams seen in >= 2 docs — identical output (unique
+    grams have no losers), 5-20x fewer exchange rows on typical
+    corpora.  The corpus is tokenized exactly once into
+    ``token_hash_table``; the Bloom pass and the explode rerun only
+    numpy window hashing over it.
     """
+    import ray
+
     from gencore_ray.functions.text import TextFeatures
     from gencore_ray.stages.shuffle import grouped_map, hash_join
 
     L = int(span_tokens)
-
-    def _window_rows(df: pd.DataFrame) -> pd.DataFrame:
-        feats = TextFeatures(df[text_col].fillna("").tolist())
-        coords = _gram_window_coords(feats.tok_hashes, L)
-        if coords is None:
-            return pd.DataFrame({"ghash": pd.Series(dtype=np.uint64),
-                                 id_col: pd.Series(dtype=df[id_col].dtype),
-                                 "p": pd.Series(dtype=np.int64)})
-        doc_idx, wh, pos = coords
-        return pd.DataFrame({
-            "ghash": wh,
-            id_col: df[id_col].to_numpy()[doc_idx],
-            "p": pos,
-        })
+    ht = token_hash_table(ds, id_col, text_col)
+    bloom_ref = ray.put(repeated_gram_bloom(ht, L)) \
+        if _resolve_prefilter(prefilter) else None
 
     def _losers(df: pd.DataFrame) -> pd.DataFrame:
         """Windows whose gram is owned by a smaller doc_id (the gram
@@ -203,8 +395,7 @@ def span_dedup_rewrite(
                 .agg(lambda s: s.to_numpy().tolist())
                 .rename("cut_ps").reset_index())
 
-    wins = ds.select_columns([id_col, text_col]).map_batches(
-        _window_rows, batch_format="pandas")
+    wins = span_window_rows(ht, id_col, L, bloom_ref=bloom_ref)
     losers = grouped_map(wins, "ghash", _losers, num_parts=num_parts)
     per_doc = grouped_map(losers, id_col, _collect, num_parts=num_parts)
     joined = hash_join(ds.select_columns([id_col, text_col]), per_doc,
@@ -248,6 +439,7 @@ def duplicate_span_stats(
     span_tokens: int = 8,
     num_parts: int = 16,
     round_to: int = 6,
+    prefilter: str | bool = "auto",
 ) -> rd.Dataset:
     """Per-document duplicated-span profile (the Lee et al. 2022
     "Deduplicating Training Data" exact-substring signal, aggregated
@@ -267,26 +459,43 @@ def duplicate_span_stats(
     Cross-doc grams are found by one gram-keyed exchange (group size
     >= 2 — no driver state, no broadcast), per-doc sums by a second
     id-keyed exchange over only the surviving dup rows.
+    ``prefilter`` ("auto" default: on only multi-node) cuts the explode
+    to grams the repeated-gram Bloom says occur in >= 2 docs —
+    single-doc grams are dropped by the group-size gate anyway, so
+    output is identical.
+    The corpus is tokenized exactly once into ``token_hash_table``;
+    the Bloom pass, the explode, AND the per-doc window-count base all
+    reread that table instead of re-tokenizing.
     """
     import pandas as pd
+    import ray
 
-    from gencore_ray.functions.text import TextFeatures
     from gencore_ray.stages.shuffle import grouped_map, hash_join
 
     L = int(span_tokens)
     p = 10.0 ** round_to
+    ht = token_hash_table(ds, id_col, text_col)
+    bloom_ref = ray.put(repeated_gram_bloom(ht, L)) \
+        if _resolve_prefilter(prefilter) else None
 
     def _gram_rows(df: pd.DataFrame) -> pd.DataFrame:
         """(id, ghash, m): per-doc occurrence count of each distinct
         L-gram — windows from the shared ``_gram_window_coords`` core,
         multiplicities by lexsort segment count."""
-        feats = TextFeatures(df[text_col].fillna("").tolist())
-        coords = _gram_window_coords(feats.tok_hashes, L)
+        coords = _gram_window_coords(_cached_hashes(df), L)
         if coords is None:
             return pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
                                  "ghash": pd.Series(dtype=np.uint64),
                                  "m": pd.Series(dtype=np.int64)})
         wd, wh, _pos = coords
+        if bloom_ref is not None:
+            keep = _bits_test(ray.get(bloom_ref), wh)
+            wd, wh = wd[keep], wh[keep]
+            if not len(wd):
+                return pd.DataFrame(
+                    {id_col: pd.Series(dtype=df[id_col].dtype),
+                     "ghash": pd.Series(dtype=np.uint64),
+                     "m": pd.Series(dtype=np.int64)})
         o = np.lexsort((wh, wd))
         d1, h1 = wd[o], wh[o]
         seg = np.r_[True, (d1[1:] != d1[:-1]) | (h1[1:] != h1[:-1])]
@@ -308,20 +517,19 @@ def duplicate_span_stats(
         return (df.groupby(id_col, sort=False)["m"].sum()
                 .rename("dup_windows").reset_index())
 
-    grams = ds.select_columns([id_col, text_col]).map_batches(
+    grams = ht.select_columns([id_col, "th"]).map_batches(
         _gram_rows, batch_format="pandas")
     dup_rows = grouped_map(grams, "ghash", _cross_doc, num_parts=num_parts)
     per_doc = grouped_map(dup_rows, id_col, _doc_sum, num_parts=num_parts)
 
     def _base(df: pd.DataFrame) -> pd.DataFrame:
-        feats = TextFeatures(df[text_col].fillna("").tolist(),
-                             need_hashes=False)
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(),
-            "n_windows": np.maximum(feats.token_count - L + 1, 0),
+            "n_windows": np.maximum(
+                df["n_tokens"].to_numpy(dtype=np.int64) - L + 1, 0),
         })
 
-    base = ds.select_columns([id_col, text_col]).map_batches(
+    base = ht.select_columns([id_col, "n_tokens"]).map_batches(
         _base, batch_format="pandas")
     joined = hash_join(base, per_doc, id_col, id_col,
                        num_parts=num_parts, how="left_outer")

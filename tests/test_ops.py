@@ -1484,3 +1484,43 @@ def test_priority_sample_rejects_nonpositive_weights(ray_session):
     neg = df.assign(w=[1.0, 2.0, -1.0, 3.0, 4.0])
     with pytest.raises(Exception, match="strictly positive"):
         priority_sample(rd.from_pandas(neg), "doc_id", "w", 3).to_pandas()
+
+
+def test_repeated_gram_prefilter_equivalent_and_cuts_rows(ray_session):
+    """The repeated-gram Bloom prefilter is result-IDENTICAL for both
+    span ops (no false negatives by construction) and cuts the window
+    exchange by the unique-gram fraction."""
+    import ray
+
+    from gencore_ray.ops.substrings import (
+        duplicate_span_stats, repeated_gram_bloom, span_dedup_rewrite,
+        span_window_rows, token_hash_table)
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(4000)]
+    shared = " ".join(rng.choice(vocab, size=30).tolist())
+    docs = {}
+    for d in range(60):
+        body = " ".join(rng.choice(vocab, size=120).tolist())
+        # every third doc embeds the shared 30-token span
+        docs[d] = f"{body} {shared}" if d % 3 == 0 else body
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+
+    ht = token_hash_table(ds)
+    full = span_window_rows(ht).count()
+    bloom = repeated_gram_bloom(ht, 8)
+    filt = span_window_rows(ht, bloom_ref=ray.put(bloom)).count()
+    assert filt < full / 2, (full, filt)       # most grams are unique
+
+    for fn in (span_dedup_rewrite, duplicate_span_stats):
+        on = (fn(ds, num_parts=4, prefilter="on")
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        off = (fn(ds, num_parts=4, prefilter="off")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(on, off)
+    # the planted span was actually cut from the non-owner docs
+    rw = (span_dedup_rewrite(ds, num_parts=4, prefilter="on")
+          .to_pandas().set_index("doc_id"))
+    owners = [d for d in docs if d % 3 == 0]
+    assert (rw.loc[owners[1:], "n_cut"] >= 30 - 8).all()
+    assert rw.loc[owners[0], "n_cut"] == 0     # owner keeps its copy
