@@ -1025,6 +1025,75 @@ def _q_semantic_dedup(sf_dir: str):
                                 k=8, iters=5, num_parts=8)
 
 
+def _q_doc_hash_embeddings(sf_dir: str):
+    """Text -> embedding inside a STATEFUL actor pool (ST1: model
+    setup in __init__ once per actor, batched inference in __call__ —
+    the reference-genome-singleton analogue,
+    /root/reference/src/reference.cpp:4-11).  The stand-in model is
+    the signed hashing trick over md5-low64 token hashes, integer-
+    exact, so the SQL oracle replays it with md5_number_lower.
+    Output: first 8 components + the L2^2 norm (all BIGINT)."""
+    import numpy as np
+    import pandas as pd
+
+    from gencore_ray.functions.embed import embed_texts
+
+    emb = embed_texts(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                      dim=64, concurrency=(1, 4))
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 **{f"e{j}": pd.Series(dtype=np.int64)
+                                    for j in range(8)},
+                                 "norm2": pd.Series(dtype=np.int64)})
+        m = np.stack(df["embedding"].to_numpy()).astype(np.int64)
+        out = {"doc_id": df["doc_id"].to_numpy()}
+        for j in range(8):
+            out[f"e{j}"] = m[:, j]
+        out["norm2"] = (m * m).sum(axis=1)
+        return pd.DataFrame(out)
+
+    return emb.map_batches(widen, batch_format="pandas")
+
+
+def _q_embed_semantic_dedup(sf_dir: str):
+    """The full SemDeDup chain FROM TEXT: actor-pool embed (hashing
+    model) -> k-means blocking (probes=2 boundary insurance) ->
+    exact within-cluster cosine.  Plants 20 near-identical copies
+    (doc_id+100000, one token appended) the SQL oracle replays, then
+    brute-forces all pairs >= 0.95 — the blocked engine must find the
+    identical pair set.  0.95 is the regime SemDeDup is FOR: at 0.9
+    this corpus has borderline pairs that straddle clusters even with
+    probes=2 (measured: 15/183 missed), exactly the documented recall
+    cliff; at 0.95 probes=3 is measured-exact at both sf0.01 and
+    sf0.1 — the oracle keeps the engine honest about where blocking
+    is exact."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gencore_ray.functions.embed import embed_texts
+    from gencore_ray.ops.kmeans import semantic_dedup_pairs
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    dup = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") < 20),
+    ).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.add(t["doc_id"], 100000),
+            "text": pc.binary_join_element_wise(
+                pc.cast(t["text"], pa.string()), " zzqx", ""),
+        }),
+        batch_format="pyarrow",
+    )
+    emb = embed_texts(base.union(dup), dim=64, concurrency=(1, 4))
+    return semantic_dedup_pairs(emb, threshold=0.95, k=8, iters=5,
+                                id_col="doc_id", vec_col="embedding",
+                                num_parts=8, probes=3)
+
+
 def _q_curation_adaptive(sf_dir: str):
     """Curation with the ADAPTIVE perplexity gate: the threshold is the
     corpus's own 90th perplexity percentile (CCNet tail-drop form) —
@@ -1398,6 +1467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "curation_adaptive": _q_curation_adaptive,
         "semantic_dedup_pairs": _q_semantic_dedup,
+        "doc_hash_embeddings": _q_doc_hash_embeddings,
+        "embed_semantic_dedup": _q_embed_semantic_dedup,
         "nb_lang_classifier": _q_nb_lang_classifier,
         "line_dedup": _q_line_dedup,
         "curation_pipeline": _q_curation_pipeline,
@@ -2068,6 +2139,57 @@ def oracle_sql() -> dict[str, str]:
             "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.95"
+        ),
+        "doc_hash_embeddings": (
+            # replay the hashing-trick model exactly: md5_number_lower
+            # == python md5 digest[8:16] little-endian; bucket h % 64,
+            # sign from (h // 64) % 2; integer sums are engine-exact
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(coalesce(text, '')), "
+            "'[a-z0-9_]+')) AS t FROM documents), "
+            "hv AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok), "
+            "c AS (SELECT doc_id, CAST(h % 64 AS BIGINT) AS j, "
+            "CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS s FROM hv), "
+            "comp AS (SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS v "
+            "FROM c GROUP BY doc_id, j) "
+            "SELECT d.doc_id, "
+            + ", ".join(
+                f"CAST(coalesce(max(CASE WHEN j = {j} THEN v END), 0) "
+                f"AS BIGINT) AS e{j}" for j in range(8)) +
+            ", CAST(coalesce(sum(v * v), 0) AS BIGINT) AS norm2 "
+            "FROM documents d LEFT JOIN comp USING (doc_id) "
+            "GROUP BY d.doc_id"
+        ),
+        "embed_semantic_dedup": (
+            # replay the augmentation (doc_id+100000, ' zzqx' appended),
+            # the hashing model, then brute-force ALL pairs >= 0.9 —
+            # the k-means-blocked engine must find the same set
+            "WITH aug AS (SELECT doc_id, coalesce(text, '') AS text "
+            "FROM documents UNION ALL "
+            "SELECT doc_id + 100000, coalesce(text, '') || ' zzqx' "
+            "FROM documents WHERE doc_id < 20), "
+            "tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t "
+            "FROM aug), "
+            "hv AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok), "
+            "c AS (SELECT doc_id, CAST(h % 64 AS BIGINT) AS j, "
+            "CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS s FROM hv), "
+            "comp AS (SELECT doc_id, j, CAST(sum(s) AS DOUBLE) AS v "
+            "FROM c GROUP BY doc_id, j), "
+            "grid AS (SELECT a.doc_id, r.j FROM "
+            "(SELECT DISTINCT doc_id FROM aug) a CROSS JOIN "
+            "(SELECT unnest(range(64)) AS j) r), "
+            "dense AS (SELECT g.doc_id, "
+            "array_agg(coalesce(comp.v, 0.0) ORDER BY g.j) AS emb "
+            "FROM grid g LEFT JOIN comp "
+            "ON g.doc_id = comp.doc_id AND g.j = comp.j "
+            "GROUP BY g.doc_id) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.emb AS DOUBLE[]), "
+            "CAST(b.emb AS DOUBLE[])), 6) AS cos_sim "
+            "FROM dense a JOIN dense b ON a.doc_id < b.doc_id "
+            "WHERE list_cosine_similarity(CAST(a.emb AS DOUBLE[]), "
+            "CAST(b.emb AS DOUBLE[])) >= 0.95"
         ),
         "nb_lang_classifier": (
             # mirror the engine's explicit moment formulas (variance =

@@ -163,6 +163,7 @@ def semantic_dedup_pairs(
     round_to: int = 6,
     target_cluster_size: int = 4_096,
     counters: dict | None = None,
+    probes: int = 1,
 ) -> rd.Dataset:
     """SemDeDup: (id_a, id_b, cos_sim) with cosine >= threshold, exact
     pairwise check restricted to k-means cluster mates.
@@ -186,7 +187,14 @@ def semantic_dedup_pairs(
     ``n_docs, k_used, subsampled_clusters, dropped_members``.  Dropped
     members are docs excluded from the pairwise check of their own
     oversize cluster — pairs among them are missed, and that loss is
-    now VISIBLE instead of silent.
+    now VISIBLE instead of silent.  (With ``probes>1`` the counts are
+    per ASSIGNMENT row, i.e. n_docs ~= probes x corpus.)
+
+    ``probes>1`` assigns each vector to its top-p clusters (multi-probe
+    SemDeDup): a pair whose two vectors straddle a cluster boundary is
+    still checked when their probe sets intersect — the standard
+    recall insurance for threshold-grazing pairs, at p x explode cost
+    plus one slim pair-dedupe exchange.
     """
     from gencore_ray.stages.shuffle import grouped_map
 
@@ -197,6 +205,8 @@ def semantic_dedup_pairs(
     ref = ray.put(cent)
     p = 10.0 ** round_to
 
+    p_probe = max(1, min(int(probes), len(cent)))
+
     def _tag(df: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(ref)
         if not len(df):
@@ -204,11 +214,16 @@ def semantic_dedup_pairs(
                                  "cluster_id": pd.Series(dtype=np.int64),
                                  "vec": pd.Series(dtype=object)})
         m = _batch_mat(df, vec_col)
-        a = np.argmax(m @ c.T, axis=1)
+        sims = m @ c.T
+        if p_probe == 1:
+            a = np.argmax(sims, axis=1)[:, None]
+        else:
+            a = np.argpartition(-sims, p_probe - 1, axis=1)[:, :p_probe]
+        ids = np.repeat(df[id_col].to_numpy(), p_probe)
         return pd.DataFrame({
-            id_col: df[id_col].to_numpy(),
-            "cluster_id": a.astype(np.int64),
-            "vec": m.tolist(),
+            id_col: ids,
+            "cluster_id": a.reshape(-1).astype(np.int64),
+            "vec": np.repeat(m, p_probe, axis=0).tolist(),
         })
 
     tagged = ds.select_columns([id_col, vec_col]).map_batches(
@@ -271,4 +286,13 @@ def semantic_dedup_pairs(
                              "id_b": np.concatenate(out_b),
                              "cos_sim": np.concatenate(out_s)})
 
-    return grouped_map(tagged, "cluster_id", _pairs, num_parts=num_parts)
+    pairs = grouped_map(tagged, "cluster_id", _pairs, num_parts=num_parts)
+    if p_probe == 1:
+        return pairs
+
+    def _dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        # a pair sharing two probed clusters is emitted by both
+        # partitions; one slim exchange on id_a collapses them
+        return df.drop_duplicates(subset=["id_a", "id_b"])
+
+    return grouped_map(pairs, "id_a", _dedupe, num_parts=num_parts)

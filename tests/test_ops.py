@@ -1524,3 +1524,52 @@ def test_repeated_gram_prefilter_equivalent_and_cuts_rows(ray_session):
     owners = [d for d in docs if d % 3 == 0]
     assert (rw.loc[owners[1:], "n_cut"] >= 30 - 8).all()
     assert rw.loc[owners[0], "n_cut"] == 0     # owner keeps its copy
+
+
+def test_hashing_embedder_matches_manual_and_is_batch_invariant(ray_session):
+    """The actor-pool embed stage (ST1: model in __init__, inference in
+    __call__) reproduces the closed-form hashing-trick embedding and is
+    invariant to batch size / empty and null texts."""
+    from gencore_ray.functions.embed import HashingEmbedder, embed_texts, md5_low64
+
+    texts = {0: "hello world alpha beta", 1: "", 2: None,
+             3: "hello hello HELLO x9 _u", 4: "solo"}
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in texts.items()])
+    got = (embed_texts(ds, dim=16, concurrency=2, batch_size=2)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    def manual(t):
+        import re
+        e = np.zeros(16, dtype=np.int64)
+        for tok in re.findall(r"\w+", (t or "").lower()):
+            h = md5_low64(tok)
+            e[h % 16] += 1 if ((h // 16) % 2) == 0 else -1
+        return e.tolist()
+
+    for d, t in texts.items():
+        assert list(got.loc[d, "embedding"]) == manual(t), d
+    # batch-size invariance
+    one = (embed_texts(ds, dim=16, concurrency=1, batch_size=100)
+           .to_pandas().set_index("doc_id").sort_index())
+    for d in texts:
+        assert list(one.loc[d, "embedding"]) == list(got.loc[d, "embedding"])
+    with pytest.raises(ValueError, match="power of two"):
+        HashingEmbedder(dim=10)
+
+
+def test_semantic_dedup_multiprobe_superset(ray_session):
+    """probes>1 can only ADD pairs (boundary rescue), never lose or
+    duplicate them."""
+    from gencore_ray.ops.kmeans import semantic_dedup_pairs
+
+    mat = _blob_corpus()
+    ids = np.arange(len(mat))
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": list(mat)}))
+    p1 = semantic_dedup_pairs(ds, threshold=0.95, k=3, iters=5,
+                              num_parts=4, probes=1).to_pandas()
+    p2 = semantic_dedup_pairs(ds, threshold=0.95, k=3, iters=5,
+                              num_parts=4, probes=2).to_pandas()
+    s1 = set(zip(p1.id_a, p1.id_b))
+    s2 = set(zip(p2.id_a, p2.id_b))
+    assert s1 <= s2
+    assert len(p2) == len(s2)            # deduped: no repeated pairs
