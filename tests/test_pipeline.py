@@ -616,3 +616,21 @@ def test_compact_parquet_preserves_rows(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, df, check_dtype=False)
     # source untouched
     assert sum(1 for f in os.listdir(src) if f.endswith(".parquet")) == n_src
+
+
+def test_kill_mid_stage_resume_real_sigkill(tmp_path):
+    """The REAL failure mode (SURVEY §5): SIGKILL the whole flagship
+    process group right after the candidate-pair exchange checkpoints,
+    resume in a fresh process — identical clusters, manifest history
+    preserved verbatim, completed stages never re-run.  (The bench-
+    scale 60k-page variant runs via tools/kill_resume_proof.py and is
+    recorded in BASELINE.md.)"""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.kill_resume_proof import run_proof
+
+    rep = run_proof(pages=4000, cpus=4, work_dir=str(tmp_path),
+                    timeout=420.0)
+    assert rep["clusters_identical"] and rep["manifest_prefix_preserved"]
+    assert "candidate_pairs" in rep["killed_after_stages"]
+    assert "clusters" in rep["resumed_new_stages"]
