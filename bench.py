@@ -147,6 +147,7 @@ def run_bench() -> dict:
             qtrials[name] = secs
             qtimes[name] = min(secs)
 
+    spilled_mib = _spilled_mib()
     ray.shutdown()
     return {
         "metric": "e2e web-page dedup (extract+minhash+lsh+verify+cc+elect)",
@@ -160,7 +161,30 @@ def run_bench() -> dict:
         "rows_out": n_out,
         "headline_trials": [round(s, 3) for s in trial_secs],
         "query_trials": qtrials,
+        "spilled_mib": spilled_mib,
     }
+
+
+def _spilled_mib() -> float | None:
+    """Object-store spill volume for this session (MiB), from the
+    raylet's cumulative spill log lines — evidence that large corpora
+    STREAM through the store (spill instead of OOM) rather than being
+    held in heap.  0.0 = ran entirely in-store."""
+    try:
+        import glob
+        import re
+
+        import ray
+
+        session = ray._private.worker._global_node.get_session_dir_path()
+        total = 0.0
+        for f in glob.glob(os.path.join(session, "logs", "raylet*.out")):
+            with open(f, errors="ignore") as fh:
+                for m in re.finditer(r"Spilled (\d+) MiB", fh.read()):
+                    total = max(total, float(m.group(1)))   # cumulative
+        return total
+    except Exception:                                    # noqa: BLE001
+        return None
 
 
 def _canary(ncpu: int) -> float:
@@ -236,6 +260,8 @@ def run_scaling() -> dict:
         "pages": lo["pages"],
         "headline_trials_8": lo.get("headline_trials"),
         "headline_trials_32": hi.get("headline_trials"),
+        "spilled_mib_8": lo.get("spilled_mib"),
+        "spilled_mib_32": hi.get("spilled_mib"),
     }
 
 
