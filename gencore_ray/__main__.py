@@ -183,12 +183,27 @@ def _cmd_semdedup(args: argparse.Namespace) -> int:
 
     num_parts = args.num_cpus or int(ray.cluster_resources().get("CPU", 8))
     t0 = time.monotonic()
-    vecs = rd.read_parquet(args.input, columns=[args.id_col, args.vec_col])
+    if args.from_text:
+        # full chain from a documents parquet: actor-pool embed stage
+        # (hashing model) -> k-means blocking -> exact verify
+        from gencore_ray.functions.embed import embed_texts
+
+        docs = rd.read_parquet(args.input,
+                               columns=[args.id_col, args.text_col])
+        vecs = embed_texts(docs, dim=args.embed_dim, id_col=args.id_col,
+                           concurrency=(1, max(2, num_parts // 2)),
+                           text_col=args.text_col)
+        vec_col = "embedding"
+    else:
+        vecs = rd.read_parquet(args.input,
+                               columns=[args.id_col, args.vec_col])
+        vec_col = args.vec_col
     counters: dict = {}
     pairs = semantic_dedup_pairs(
         vecs, threshold=args.threshold, k=args.k, iters=args.iters,
-        id_col=args.id_col, vec_col=args.vec_col, num_parts=num_parts,
+        id_col=args.id_col, vec_col=vec_col, num_parts=num_parts,
         max_cluster_size=args.max_cluster_size, counters=counters,
+        probes=args.probes,
     ).materialize()
     pairs.write_parquet(args.output)
     report = {
@@ -355,6 +370,14 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("-o", "--output", required=True, help="pairs output dir")
     sd.add_argument("--id-col", default="vec_id")
     sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--from-text", action="store_true",
+                    help="input is a documents parquet: embed text "
+                         "first via the actor-pool hashing model")
+    sd.add_argument("--text-col", default="text")
+    sd.add_argument("--embed-dim", type=int, default=64)
+    sd.add_argument("--probes", type=int, default=1,
+                    help="assign each vector to its top-p clusters "
+                         "(boundary-pair recall insurance)")
     sd.add_argument("--threshold", type=float, default=0.95)
     sd.add_argument("--k", type=int, default=None,
                     help="k-means clusters (default: auto, "

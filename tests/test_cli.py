@@ -96,3 +96,31 @@ def test_cli_semdedup_counted_caps(tmp_path):
                            "--max-cluster-size", "20", "--num-cpus", "4"))
     assert rep2["subsampled_clusters"] >= 1
     assert rep2["dropped_members"] >= 100 - 2 * 20
+
+
+def test_cli_semdedup_from_text(tmp_path):
+    """--from-text runs the full chain documents parquet -> actor-pool
+    embed -> k-means -> pairs; planted exact-duplicate texts must pair
+    at cos 1.0."""
+    import pandas as pd
+    import pyarrow as pa
+
+    rows = []
+    for i in range(40):
+        body = " ".join(f"tok{i}x{j}" for j in range(30))
+        rows.append({"doc_id": i, "text": body})
+    for i in range(5):                       # exact text copies
+        rows.append({"doc_id": 1000 + i, "text": rows[i]["text"]})
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), docs)
+
+    out = str(tmp_path / "pairs")
+    rep = json.loads(_run("semdedup", "-i", docs, "-o", out,
+                          "--from-text", "--id-col", "doc_id",
+                          "--k", "2", "--probes", "2", "--num-cpus", "4"))
+    t = pq.read_table(out).to_pandas()
+    planted = {(i, 1000 + i) for i in range(5)}
+    assert planted <= set(zip(t.id_a, t.id_b))
+    assert (t.set_index(["id_a", "id_b"]).loc[list(planted)]["cos_sim"]
+            == 1.0).all()
+    assert rep["n_docs"] == 45 * 2           # probes=2 assignment rows
