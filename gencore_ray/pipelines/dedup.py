@@ -193,8 +193,17 @@ def dedup_pages(
             _t(name, t0)
             return ds
         ds = ds.materialize()
-        if ds.num_blocks() > ncpu and not _os.environ.get("GENCORE_NO_REPART"):
-            ds = ds.repartition(ncpu).materialize()
+        # block-count target respects BOTH directions: coalesce the
+        # many-tiny-blocks case down to ~ncpu (dispatch-bound exchanges)
+        # AND split the few-huge-blocks case (a single block must stay
+        # far below Arrow's 2 GB IPC ceiling — at 4M pages / 8 cpus a
+        # signature block reaches ~1.6 GB without this)
+        nbytes = ds.size_bytes() or 0
+        target = max(ncpu, int(nbytes // (512 << 20)) + 1)
+        if ds.num_blocks() != target and not _os.environ.get(
+                "GENCORE_NO_REPART") and (
+                ds.num_blocks() > target or nbytes > 512 << 20):
+            ds = ds.repartition(target).materialize()
         _t(name, t0)
         return ds
 

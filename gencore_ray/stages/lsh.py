@@ -270,9 +270,22 @@ def candidate_pairs(
     if num_parts is None:
         import ray as _ray
 
-        num_parts = cfg.pair_num_partitions or int(
-            _ray.cluster_resources().get("CPU", 8)
-        )
+        from ray.data.dataset import MaterializedDataset
+
+        from gencore_ray.stages.shuffle import scaled_num_parts
+
+        cpu_p = int(_ray.cluster_resources().get("CPU", 8))
+        # explode mass ~= rows x keys/doc x 20 B; one partition's table
+        # must stay well under Arrow's 2 GB IPC ceiling (see
+        # scaled_num_parts) and its pandas pairing frame in heap
+        keys_per_doc = cfg.bands
+        if cfg.containment_enabled:
+            keys_per_doc += cfg.containment_perms * cfg.containment_bottom_m
+        if cfg.simhash_enabled:
+            keys_per_doc += simhash_combo_count(cfg.simhash_hamming_max)
+        est = (sig.count() * keys_per_doc * 20
+               if isinstance(sig, MaterializedDataset) else 0)
+        num_parts = cfg.pair_num_partitions or scaled_num_parts(cpu_p, est)
     sim_on = cfg.simhash_enabled
     exploded = sig.map_batches(
         lambda t: explode_keys(t, include_simhash_keys=sim_on),

@@ -395,6 +395,19 @@ def hash_join(
                        batch_format="pyarrow")
 
 
+def scaled_num_parts(base: int, est_bytes: float,
+                     target_bytes: int = 256 << 20) -> int:
+    """Partition count respecting BOTH the cpu-based floor and a
+    per-partition byte ceiling.  Arrow IPC serialization of a single
+    table breaks past 2 GB (negative bodyLength -> SIGSEGV in the
+    worker), so any exchange whose per-partition table could get large
+    must scale its partition count with the DATA, not only with the
+    CPU count — measured failure: 4M pages at num_cpus=8 put ~5 GB of
+    attached pair rows into one verify-join partition.  256 MB keeps a
+    healthy 8x margin while adding negligible task overhead."""
+    return max(int(base), int(est_bytes // target_bytes) + 1)
+
+
 def to_arrow_blocks(ds: rd.Dataset) -> rd.Dataset:
     """Normalise block type to Arrow (pandas-producing ops emit pandas
     blocks; union/iter over mixed block types breaks)."""

@@ -205,7 +205,27 @@ def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig) -> rd.D
 
     if pairs.schema() is None:  # no candidates at all (all-unique corpus)
         return rd.from_arrow(EDGE_SCHEMA.empty_table())
-    P = cfg.join_num_partitions or int(ray.cluster_resources().get("CPU", 8))
+    # partition count must scale with the attached-pair-row mass, not
+    # only with CPUs: every pair row carries the A-side payload
+    # (tshash ~2 KB/doc dominates) through the hb re-exchange, and one
+    # partition's table must stay far below Arrow's 2 GB IPC ceiling
+    # (measured SIGSEGV at 4M pages / 8 cpus with P=cpu).  Row counts
+    # and sizes are metadata here — both inputs arrive materialized.
+    from ray.data.dataset import MaterializedDataset
+
+    from gencore_ray.stages.shuffle import scaled_num_parts
+
+    cpu_p = int(ray.cluster_resources().get("CPU", 8))
+    if isinstance(pairs, MaterializedDataset) and \
+            isinstance(sig, MaterializedDataset):
+        sig_rows = max(1, sig.count())
+        payload_b = (sig.size_bytes() or 0) / sig_rows
+        est_bytes = pairs.count() * (16 + payload_b)
+    else:
+        # unmaterialized inputs (operator used standalone): counting
+        # would re-execute lineage; fall back to the cpu floor
+        est_bytes = 0
+    P = cfg.join_num_partitions or scaled_num_parts(cpu_p, est_bytes)
 
     # candidate-doc prefilter: the slim projection carries tshash
     # (~2 KB/doc — by far the heaviest column in the pipeline), but only
