@@ -110,10 +110,14 @@ def run_bench() -> dict:
                 ).clusters.count()
 
     # --- headline: full extract -> signatures -> LSH -> CC -> elect ----
-    # median of N trials (default 3): single-trial snapshots on this
-    # shared box swing +/-30% with background load; the median is the
-    # recorded number, the raw trials ride along for variance audits
-    trials = max(1, int(os.environ.get("GRAFT_BENCH_TRIALS", "3")))
+    # median of N trials (default 5): shared-box neighbor load arrives
+    # in ~40 s bursts that inflate a single trial 2-3x (measured
+    # 2026-08-18: 8 trials = [8.1 8.3 8.6 8.8 9.7 10.0 16.9 26.9] on
+    # identical code/input — two burst-hit trials, six clean).  Five
+    # trials keep the median robust to one burst; `value_min` rides
+    # along as the least-contaminated estimate (interference is
+    # strictly additive), and the raw trials ride along for audits.
+    trials = max(1, int(os.environ.get("GRAFT_BENCH_TRIALS", "5")))
     trial_secs: list[float] = []
     n_out = 0
     for _ in range(trials):
@@ -158,6 +162,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "pages": BENCH_PAGES,
         "pages_per_sec": round(BENCH_PAGES / headline, 1),
+        "value_min": round(min(trial_secs), 3),
+        "pages_per_sec_min": round(BENCH_PAGES / min(trial_secs), 1),
         "rows_out": n_out,
         "headline_trials": [round(s, 3) for s in trial_secs],
         "query_trials": qtrials,
