@@ -36,6 +36,34 @@ def test_canonicalize_idempotent():
     assert canonicalize_url(once) == once
 
 
+def test_canonicalize_vector_matches_scalar():
+    """The Arrow-RE2 vector kernel must be char-identical to the scalar
+    ``re`` chain on every rule's edge cases (RE2-safety is the module's
+    stated contract — this is the test that holds it to it)."""
+    from gencore_ray.ops.urltools import canonicalize_urls
+
+    urls = [
+        "HTTP://WWW.Site-1.Example:80/a/5?id=5#top",
+        "https://Host.example:443/x/",
+        "http://h.example/a/5/?utm_source=feed&id=5",
+        "http://h.example/a?id=5&utm_campaign=x",
+        "http://h.example/a?utm_a=1&utm_b=2&id=3",
+        "http://h.example/a?utm_only=1",
+        "http://h.example:8080/a",
+        "https://h.example:80/a",
+        "no-scheme-at-all",
+        "ftp://Mixed.Case.example/Path/CASE/",
+        "http://h.example/##double#frag",
+        "http://h.example/?",
+        "http://h.example/utm_trap=1&x=2",   # utm_ as literal path text
+        "https://www.h.example:443/",
+        "http://h.example/a?x=1&utm_z=",     # empty utm value, at end
+        "",
+    ]
+    vec = canonicalize_urls(pa.array(urls, pa.string())).to_pylist()
+    assert vec == [canonicalize_url(u) for u in urls]
+
+
 # --- PII redaction (pure kernel) -------------------------------------
 
 def test_redact_pii_vectors():
