@@ -1221,6 +1221,28 @@ def _q_duplicate_span_stats(sf_dir: str):
     return duplicate_span_stats(_docs(sf_dir), span_tokens=8, num_parts=8)
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """MOSS winnowing fingerprint density per doc (Schleimer et al.
+    2003): k=4-token grams, window w=4, min-hash-rightmost-tie
+    selection.  Doc-local map, no exchange; selection (including
+    tie-breaks) is SQL-replayed exactly via md5_number_lower +
+    HUGEINT tie encoding."""
+    from gencore_ray.ops.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir), k=4, w=4)
+
+
+def _q_winnow_dup_pairs(sf_dir: str):
+    """Doc pairs sharing >= 2 winnowing fingerprints (guaranteed to
+    catch any shared run of >= k+w-1 = 7 tokens).  Exchange mass is
+    ~1/w of the gram count — the slim alternative to the full window
+    explode of duplicate_span_stats."""
+    from gencore_ray.ops.winnow import winnow_dup_pairs
+
+    return winnow_dup_pairs(_docs(sf_dir), k=4, w=4, min_shared=2,
+                            num_parts=8)
+
+
 def _q_corpus_filter(sf_dir: str):
     """Gopher-rules pre-training corpus filter (Rae et al. 2021 §A1.1):
     per-doc keep/drop verdict + first-failing-rule reason over token
@@ -1458,6 +1480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_profile": _q_repetition_profile,
         "corpus_filter": _q_corpus_filter,
         "duplicate_span_stats": _q_duplicate_span_stats,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_dup_pairs": _q_winnow_dup_pairs,
         "lm_perplexity": _q_lm_perplexity,
         "span_dedup_rewrite": _q_span_dedup_rewrite,
         "ppl_buckets": _q_ppl_buckets,
@@ -1976,6 +2000,53 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(dup_windows, 0) AS BIGINT) AS dup_windows, "
             "round(coalesce(dup_windows, 0) * 1.0 / greatest(n_windows, 1), 6) "
             "AS dup_span_frac FROM base LEFT JOIN dupw USING (doc_id)"
+        ),
+        "winnow_fingerprints": (
+            # replay the winnowing selection exactly: 4-token gram
+            # hashes via md5_number_lower on the chr(31)-joined gram
+            # string (== engine md5_low64), window w=4, and the
+            # min-hash/rightmost-tie rule encoded injectively as
+            # HUGEINT h*2^32 - p (min -> smallest h, then largest p)
+            "WITH tok AS (SELECT doc_id, regexp_extract_all("
+            "lower(coalesce(text, '')), '[a-z0-9_]+') AS toks FROM documents), "
+            "g AS (SELECT doc_id, unnest(generate_series(1, len(toks)-3)) AS p, "
+            "unnest([md5_number_lower(array_to_string(toks[i:i+3], chr(31))) "
+            "FOR i IN generate_series(1, len(toks)-3)]) AS h FROM tok), "
+            "s AS (SELECT doc_id, unnest(generate_series(1, len(toks)-6)) AS i "
+            "FROM tok), "
+            "j AS (SELECT s.doc_id, s.i, g.p, g.h FROM s JOIN g "
+            "ON g.doc_id = s.doc_id AND g.p BETWEEN s.i AND s.i+3), "
+            "sel AS (SELECT doc_id, i, "
+            "arg_min(p, CAST(h AS HUGEINT) * 4294967296 - p) AS p_sel "
+            "FROM j GROUP BY doc_id, i), "
+            "fpp AS (SELECT DISTINCT doc_id, p_sel FROM sel) "
+            "SELECT t.doc_id, "
+            "CAST(greatest(len(toks)-6, 0) AS BIGINT) AS n_windows, "
+            "CAST(coalesce(c.n, 0) AS BIGINT) AS n_fingerprints "
+            "FROM tok t LEFT JOIN (SELECT doc_id, count(*) AS n FROM fpp "
+            "GROUP BY doc_id) c USING (doc_id)"
+        ),
+        "winnow_dup_pairs": (
+            # distinct selected hashes per doc, self-joined: every
+            # pair sharing >= 2 fingerprints (doc_a < doc_b)
+            "WITH tok AS (SELECT doc_id, regexp_extract_all("
+            "lower(coalesce(text, '')), '[a-z0-9_]+') AS toks FROM documents), "
+            "g AS (SELECT doc_id, unnest(generate_series(1, len(toks)-3)) AS p, "
+            "unnest([md5_number_lower(array_to_string(toks[i:i+3], chr(31))) "
+            "FOR i IN generate_series(1, len(toks)-3)]) AS h FROM tok), "
+            "s AS (SELECT doc_id, unnest(generate_series(1, len(toks)-6)) AS i "
+            "FROM tok), "
+            "j AS (SELECT s.doc_id, s.i, g.p, g.h FROM s JOIN g "
+            "ON g.doc_id = s.doc_id AND g.p BETWEEN s.i AND s.i+3), "
+            "sel AS (SELECT doc_id, i, "
+            "arg_min(p, CAST(h AS HUGEINT) * 4294967296 - p) AS p_sel "
+            "FROM j GROUP BY doc_id, i), "
+            "fph AS (SELECT DISTINCT sel.doc_id, g.h FROM sel JOIN g "
+            "ON g.doc_id = sel.doc_id AND g.p = sel.p_sel) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(count(*) AS BIGINT) AS shared_fps "
+            "FROM fph a JOIN fph b ON a.h = b.h AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 2"
         ),
         "span_dedup_rewrite": (
             # owner-doc-keeps policy: gram owner = min doc_id; every

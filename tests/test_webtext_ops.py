@@ -204,3 +204,56 @@ def test_pack_sequences_prefix_sum(ray_session):
         assert (out["first_chunk"].to_numpy() == want_start // L).all()
         last_tok = np.where(ntok == 0, want_start, want_start + ntok - 1)
         assert (out["last_chunk"].to_numpy() == last_tok // L).all()
+
+
+# --- winnowing fingerprints (ops/winnow.py) ---------------------------
+
+def test_winnow_guarantee_and_bypass(ray_session):
+    """The paper's guarantee: a shared token run of >= k+w-1 tokens
+    must yield >= 1 shared fingerprint; docs below k+w-1 tokens have
+    no window (bypass).  k=w=4 here, so the magic length is 7."""
+    import pandas as pd
+
+    from gencore_ray.ops.winnow import winnow_dup_pairs, winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"   # exactly 7 tokens
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "intro words here " + shared + " tail one",
+            "completely different lead " + shared + " other ending",
+            "nothing in common with anyone at all whatsoever",
+            "tiny doc",                                   # < 7 tokens: bypass
+        ],
+    })
+    ds = rd.from_pandas(docs)
+    stats = winnow_fingerprints(ds, k=4, w=4).to_pandas().set_index("doc_id")
+    assert stats.loc[4, "n_windows"] == 0
+    assert stats.loc[4, "n_fingerprints"] == 0
+    assert (stats.loc[[1, 2, 3], "n_fingerprints"] > 0).all()
+
+    pairs = winnow_dup_pairs(ds, k=4, w=4, min_shared=1).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (1, 2) in got                     # the shared run is caught
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_winnow_tie_rightmost():
+    """Identical gram repeated w times in one window: every window must
+    select the RIGHTMOST minimal position (one fingerprint position per
+    window start, all distinct), matching the SQL twin's
+    arg_min(p, h*2^32 - p) encoding."""
+    import numpy as np
+
+    from gencore_ray.ops.winnow import _winnow_batch
+
+    # "x x x x x x x" -> all 4-grams identical -> every window's min is
+    # a tie across all 4 slots; rightmost rule selects positions
+    # 3, 4, ... (0-based), i.e. one NEW position per window
+    stats, fps = _winnow_batch(
+        ["x x x x x x x x x x"], np.array([7]), 4, 4, "doc_id")
+    n_grams = 10 - 4 + 1                      # 7
+    n_windows = n_grams - 4 + 1               # 4
+    assert stats.loc[0, "n_windows"] == n_windows
+    assert stats.loc[0, "n_fingerprints"] == n_windows   # one per window
+    assert len(fps) == 1                      # but a single distinct hash
