@@ -1427,6 +1427,25 @@ def _q_doc_len_quantiles_by_lang(sf_dir: str):
     )
 
 
+def _q_bm25_search(sf_dir: str):
+    from gencore_ray.ops.search import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), ["hash", "join", "dup"], k=10)
+
+
+def _q_heavy_hitter_tokens(sf_dir: str):
+    # capacity 256 >> the corpus vocabulary, so the MG sketch is exact
+    # (max_err == 0) and the SQL GROUP BY replays it; the approximate
+    # regime (capacity < vocab) is bound-tested in tests/test_sketch.py
+    from gencore_ray.functions.sketch import heavy_hitters
+
+    out = heavy_hitters(
+        _docs(sf_dir), "text", capacity=256, k=10, tokenize_text=True
+    )
+    assert out.attrs["max_err"] == 0
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1510,6 +1529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_doc_sample": _q_weighted_doc_sample,
         "props_k_stats": _q_props_k_stats,
         "doc_len_quantiles_by_lang": _q_doc_len_quantiles_by_lang,
+        "bm25_search": _q_bm25_search,
+        "heavy_hitter_tokens": _q_heavy_hitter_tokens,
     }
 
 
@@ -2598,5 +2619,34 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY s.doc_id) "
         "SELECT h.doc_id, sz AS n_shingles, n_shared "
         "FROM hits h JOIN sizes ON sizes.doc_id = h.doc_id"
+    )
+    d["bm25_search"] = (
+        # Okapi BM25 (k1=1.2, b=0.75, Lucene ln(1+...) idf) for the
+        # query terms {hash, join, dup}; ranking on the ROUNDED score
+        # with doc_id tiebreak exactly as gencore_ray/ops/search.py
+        "WITH tok AS (SELECT doc_id, "
+        "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS toks "
+        "FROM documents), "
+        "dl AS (SELECT doc_id, len(toks) AS dl FROM tok), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM "
+        "(SELECT doc_id, unnest(toks) AS tok FROM tok) "
+        "WHERE tok IN ('hash', 'join', 'dup') GROUP BY 1, 2), "
+        "st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl), "
+        "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+        "sc AS (SELECT tf.doc_id, "
+        "round(sum(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5)) "
+        "* tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl "
+        "/ (SELECT avgdl FROM st)))), 6) AS score "
+        "FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) "
+        "GROUP BY tf.doc_id) "
+        "SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10"
+    )
+    d["heavy_hitter_tokens"] = (
+        # the MG sketch at capacity >= vocabulary is exact, so the plain
+        # GROUP BY count is its precise replay
+        "SELECT tok AS token, count(*) AS est_count FROM "
+        "(SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), "
+        "'[a-z0-9_]+')) AS tok FROM documents) "
+        "GROUP BY tok ORDER BY est_count DESC, token LIMIT 10"
     )
     return d

@@ -79,3 +79,110 @@ def approx_distinct(ds, col: str, p: int = 12, seed: int = 42) -> float:
     for row in parts:
         merged = hll_merge(merged, np.frombuffer(row["regs"], dtype=np.uint8))
     return hll_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (Misra & Gries 1982; merge rule from the
+# mergeable-summaries formulation of Agarwal et al., PODS 2012)
+# ---------------------------------------------------------------------------
+
+
+def mg_compress(counts: dict, capacity: int) -> tuple[dict, int]:
+    """Shrink ``counts`` to <= capacity keys; returns (counts, subtracted).
+
+    Batch form of the MG decrement: subtract the (capacity+1)-th largest
+    count from every counter and drop the non-positive ones.  The
+    subtracted amount bounds the undercount this step introduces.
+    """
+    if len(counts) <= capacity:
+        return counts, 0
+    vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    # (capacity+1)-th largest == index len-capacity-1 of the ascending sort
+    m = int(np.partition(vals, len(vals) - capacity - 1)[len(vals) - capacity - 1])
+    out = {k: c - m for k, c in counts.items() if c > m}
+    return out, m
+
+
+def mg_batch_summary(keys, capacity: int) -> tuple[dict, int]:
+    """One batch -> MG summary (counts dict, subtracted).
+
+    ``keys`` is any iterable of hashables (None folded to "").
+    """
+    from collections import Counter
+
+    counts = Counter("" if k is None else k for k in keys)
+    return mg_compress(dict(counts), capacity)
+
+
+def mg_merge(a: dict, b: dict, capacity: int) -> tuple[dict, int]:
+    """Merge two summaries; error bounds add (still <= n/(capacity+1)
+    in total because every subtraction removes >= capacity+1 count mass)."""
+    out = dict(a)
+    for k, c in b.items():
+        out[k] = out.get(k, 0) + c
+    return mg_compress(out, capacity)
+
+
+def heavy_hitters(
+    ds,
+    col: str,
+    capacity: int = 4096,
+    k: int | None = None,
+    tokenize_text: bool = False,
+):
+    """Distributed heavy hitters WITHOUT a key shuffle: each batch emits
+    a <= capacity-row summary, the driver folds summaries through one
+    bounded MG accumulator (O(capacity) state however large the input).
+
+    est_count is a LOWER bound on the true count; ``max_err`` (the total
+    subtracted mass, a single number for the whole run) bounds the
+    undercount: true - est <= max_err <= n/(capacity+1).  Every key with
+    true count > max_err is guaranteed present (no false negatives above
+    the bound).  With capacity >= the distinct-key count the answer is
+    exact and max_err == 0 — the regime the SQL oracle replays.
+
+    ``tokenize_text=True`` treats ``col`` as text and counts tokens.
+    Returns a pandas DataFrame (token, est_count) of the top-k by
+    (est_count desc, token asc), plus the bound in ``df.attrs["max_err"]``.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from gencore_ray.functions.text import tokenize
+
+    def partial(t: pa.Table) -> pa.Table:
+        if tokenize_text:
+            keys: list = []
+            for txt in t[col].to_pylist():
+                keys.extend(tokenize(txt or ""))
+        else:
+            keys = t[col].to_pylist()
+        counts, sub = mg_batch_summary(keys, capacity)
+        toks = list(counts.keys())
+        return pa.table({
+            "token": pa.array([str(x) for x in toks], pa.string()),
+            "cnt": pa.array([counts[x] for x in toks], pa.int64()),
+            "sub": pa.array([sub] + [0] * (len(toks) - 1) if toks else [], pa.int64()),
+        })
+
+    summaries = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    acc: dict = {}
+    max_err = 0
+    # the summary stream is bounded (<= capacity rows per input batch);
+    # fold it through one MG accumulator — never the raw keys
+    for t in summaries.iter_batches(batch_format="pyarrow", batch_size=None):
+        batch_counts = dict(zip(t["token"].to_pylist(), t["cnt"].to_pylist()))
+        max_err += int(pa.compute.sum(t["sub"]).as_py() or 0)
+        acc, sub = mg_merge(acc, batch_counts, capacity)
+        max_err += sub
+
+    out = pd.DataFrame(
+        {"token": list(acc.keys()), "est_count": list(acc.values())}
+    ).sort_values(["est_count", "token"], ascending=[False, True],
+                  kind="mergesort").reset_index(drop=True)
+    if k is not None:
+        out = out.head(k).reset_index(drop=True)
+    out.attrs["max_err"] = max_err
+    return out

@@ -257,3 +257,131 @@ def test_winnow_tie_rightmost():
     assert stats.loc[0, "n_windows"] == n_windows
     assert stats.loc[0, "n_fingerprints"] == n_windows   # one per window
     assert len(fps) == 1                      # but a single distinct hash
+
+
+# ---------------------------------------------------------------------------
+# BM25 search + Misra–Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_brute_force(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from gencore_ray.functions.text import tokenize
+    from gencore_ray.ops.search import bm25_topk
+
+    rng = __import__("random").Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "rare"]
+    docs = [
+        {"doc_id": i,
+         "text": " ".join(rng.choices(vocab[:4], k=rng.randint(3, 30))
+                          + (["rare"] if i % 11 == 0 else []))}
+        for i in range(120)
+    ]
+    docs[5]["text"] = ""          # empty doc counts toward N and avgdl
+    terms, k1, b = ["alpha", "rare"], 1.2, 0.75
+
+    toks = {d["doc_id"]: tokenize(d["text"]) for d in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    exp = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if tf:
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if s > 0:
+            exp[i] = round(s, 6)
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = bm25_topk(rd.from_items(docs), terms, k=10).to_pandas()
+    assert list(zip(got["doc_id"], got["score"])) == want
+
+
+def test_bm25_rejects_bad_terms(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from gencore_ray.ops.search import bm25_topk
+
+    ds = rd.from_items([{"doc_id": 1, "text": "a b"}])
+    with pytest.raises(ValueError):
+        bm25_topk(ds, [], k=3)
+    with pytest.raises(ValueError):
+        bm25_topk(ds, ["a", "a"], k=3)
+
+
+def test_heavy_hitters_exact_when_capacity_covers_vocab(ray_session):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from gencore_ray.functions.sketch import heavy_hitters
+
+    rows = [{"k": f"key{i % 17}"} for i in range(5000)]
+    truth = Counter(r["k"] for r in rows)
+    out = heavy_hitters(rd.from_items(rows), "k", capacity=64, k=5)
+    assert out.attrs["max_err"] == 0
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(out["token"], out["est_count"])) == want
+
+
+def test_heavy_hitters_bound_under_capacity(ray_session):
+    """capacity << distinct keys: estimates are lower bounds within the
+    reported max_err, max_err <= n/(capacity+1), and every key whose
+    true count exceeds max_err survives the sketch."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    rng = __import__("random").Random(3)
+    # zipf-ish: a few heavy keys over a long uniform tail
+    keys = (["hot0"] * 4000 + ["hot1"] * 2500 + ["hot2"] * 1200
+            + [f"tail{rng.randrange(3000)}" for _ in range(12000)])
+    rng.shuffle(keys)
+    truth = Counter(keys)
+    n, cap = len(keys), 100
+
+    from gencore_ray.functions.sketch import heavy_hitters
+
+    ds = rd.from_items([{"k": k} for k in keys]).repartition(8)
+    out = heavy_hitters(ds, "k", capacity=cap)
+    err = out.attrs["max_err"]
+    assert 0 < err <= n / (cap + 1)
+    est = dict(zip(out["token"], out["est_count"]))
+    for tok, e in est.items():
+        assert e <= truth[tok]                     # never overcounts
+        assert truth[tok] - e <= err               # within the bound
+    for tok, c in truth.items():
+        if c > err:
+            assert tok in est                      # no false negatives
+    assert {"hot0", "hot1", "hot2"} <= set(est)
+
+
+def test_mg_merge_associative_error_accounting():
+    from collections import Counter
+
+    from gencore_ray.functions.sketch import mg_batch_summary, mg_merge
+
+    import random
+
+    rng = random.Random(11)
+    stream = [f"k{rng.randrange(40)}" for _ in range(3000)]
+    chunks = [stream[i::3] for i in range(3)]
+    cap = 12
+    parts = [mg_batch_summary(c, cap) for c in chunks]
+    acc, err = {}, 0
+    for counts, sub in parts:
+        err += sub
+        acc, sub2 = mg_merge(acc, counts, cap)
+        err += sub2
+    truth = Counter(stream)
+    assert len(acc) <= cap
+    assert err <= len(stream) / (cap + 1)
+    for k, v in acc.items():
+        assert v <= truth[k] and truth[k] - v <= err
