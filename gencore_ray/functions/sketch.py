@@ -186,3 +186,153 @@ def heavy_hitters(
         out = out.head(k).reset_index(drop=True)
     out.attrs["max_err"] = max_err
     return out
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin, Lang & Liberty, FOCS 2016 — simplified
+# compactor-stack variant; rank error ~ O(1/k) with capacity parameter k)
+# ---------------------------------------------------------------------------
+
+
+class KLL:
+    """Mergeable streaming quantile sketch.
+
+    A stack of compactors: level L holds items of weight 2^L.  When a
+    level overflows its capacity the level is sorted and every other
+    item (random offset) is promoted to level L+1 — halving the count
+    while preserving ranks to within the level's weight.  State is
+    O(k log(n/k)) values regardless of stream size; two sketches merge
+    by levelwise concatenation + recompaction, so the dataset op ships
+    ONE small summary per batch instead of shuffling every value (the
+    same associative-accumulator shape as the HLL / Misra-Gries ops
+    above and the reference's Stats counters,
+    /root/reference/src/stats.cpp:101-151).
+
+    Deterministic: the even/odd promotion offset comes from a counted
+    xorshift of (seed, compaction index), so equal inputs give equal
+    sketches in any execution.
+    """
+
+    def __init__(self, k: int = 200, seed: int = 42):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = k
+        self.seed = seed
+        self.levels: list[list[float]] = [[]]
+        self.n = 0
+        self._compactions = 0
+
+    def _capacity(self, level: int) -> int:
+        # geometrically shrinking capacities above the base level
+        c = int(self.k * (2.0 / 3.0) ** (len(self.levels) - 1 - level))
+        return max(8, c)
+
+    def _coin(self) -> int:
+        x = (self.seed * 0x9E3779B97F4A7C15 + self._compactions) & (2**64 - 1)
+        x ^= x >> 33
+        x = (x * 0xFF51AFD7ED558CCD) & (2**64 - 1)
+        x ^= x >> 33
+        self._compactions += 1
+        return x & 1
+
+    def add_many(self, values) -> None:
+        vals = np.asarray(values, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if not len(vals):
+            return
+        self.levels[0].extend(vals.tolist())
+        self.n += len(vals)
+        self._compress()
+
+    def _compress(self) -> None:
+        while sum(len(lv) for lv in self.levels) > self._total_capacity():
+            for lvl in range(len(self.levels)):
+                if len(self.levels[lvl]) > self._capacity(lvl):
+                    self._compact_level(lvl)
+                    break
+            else:
+                break
+
+    def _total_capacity(self) -> int:
+        return sum(self._capacity(i) for i in range(len(self.levels)))
+
+    def _compact_level(self, lvl: int) -> None:
+        items = sorted(self.levels[lvl])
+        off = self._coin()
+        promoted = items[off::2]
+        self.levels[lvl] = []
+        if lvl + 1 == len(self.levels):
+            self.levels.append([])
+        self.levels[lvl + 1].extend(promoted)
+
+    def merge(self, other: "KLL") -> "KLL":
+        if other.k != self.k:
+            raise ValueError("cannot merge KLL sketches with different k")
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+        for lvl, items in enumerate(other.levels):
+            self.levels[lvl].extend(items)
+        self.n += other.n
+        self._compactions = max(self._compactions, other._compactions)
+        self._compress()
+        return self
+
+    def quantile(self, q: float) -> float:
+        """Value at rank q*n (lower interpolation on the weighted
+        sample)."""
+        if not 0.0 <= q <= 1.0:
+            raise ValueError("q must be in [0, 1]")
+        if self.n == 0:
+            return float("nan")
+        vals: list[float] = []
+        wts: list[int] = []
+        for lvl, items in enumerate(self.levels):
+            vals.extend(items)
+            wts.extend([1 << lvl] * len(items))
+        order = np.argsort(np.asarray(vals), kind="mergesort")
+        v = np.asarray(vals)[order]
+        w = np.asarray(wts, dtype=np.int64)[order]
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        return float(v[int(np.searchsorted(cum, target, side="left"))])
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps(
+            (self.k, self.seed, self.n, self._compactions, self.levels)
+        )
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "KLL":
+        import pickle
+
+        k, seed, n, comps, levels = pickle.loads(blob)
+        out = cls(k=k, seed=seed)
+        out.n, out._compactions, out.levels = n, comps, levels
+        return out
+
+
+def approx_quantiles(
+    ds, col: str, qs: list[float], k: int = 200, seed: int = 42
+) -> dict[float, float]:
+    """Distributed approximate quantiles: one KLL summary per batch
+    (O(k log n) bytes), a driver-side fold, no sort shuffle.  The
+    approximate complement to ops/relational.grouped_quantiles —
+    use it when an all-to-all sort of the value column is the
+    bottleneck and ~1/k rank error is acceptable."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = KLL(k=k, seed=seed)
+        sk.add_many(t[col].to_numpy(zero_copy_only=False))
+        return pa.table({"sk": pa.array([sk.to_bytes()], pa.binary())})
+
+    acc = KLL(k=k, seed=seed)
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    for t in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for blob in t["sk"].to_pylist():
+            acc.merge(KLL.from_bytes(blob))
+    return {q: acc.quantile(q) for q in qs}

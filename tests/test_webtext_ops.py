@@ -385,3 +385,77 @@ def test_mg_merge_associative_error_accounting():
     assert err <= len(stream) / (cap + 1)
     for k, v in acc.items():
         assert v <= truth[k] and truth[k] - v <= err
+
+
+def test_kll_rank_error_and_merge():
+    import numpy as np
+
+    from gencore_ray.functions.sketch import KLL
+
+    rng = np.random.default_rng(5)
+    data = np.concatenate([
+        rng.exponential(10.0, 120000),        # heavy skew
+        rng.normal(100.0, 3.0, 80000),
+    ])
+    srt = np.sort(data)
+    n = len(data)
+
+    def rank_err(sk):
+        errs = []
+        for q in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+            est = sk.quantile(q)
+            true_rank = np.searchsorted(srt, est, side="right") / n
+            errs.append(abs(true_rank - q))
+        return max(errs)
+
+    one = KLL(k=200)
+    one.add_many(data)
+    assert rank_err(one) < 0.025
+
+    merged = KLL(k=200)
+    for i in range(10):                        # distributed shape
+        part = KLL(k=200)
+        part.add_many(data[i::10])
+        merged.merge(KLL.from_bytes(part.to_bytes()))  # via serialization
+    assert merged.n == n
+    assert rank_err(merged) < 0.025
+
+    # deterministic: same input -> identical sketch state
+    again = KLL(k=200)
+    again.add_many(data)
+    assert again.levels == one.levels
+
+
+def test_kll_approx_quantiles_dataset(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from gencore_ray.functions.sketch import approx_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = rng.gamma(2.0, 50.0, 50000)
+    ds = rd.from_items([{"v": float(x)} for x in vals]).repartition(8)
+    est = approx_quantiles(ds, "v", [0.1, 0.5, 0.9], k=200)
+    srt = np.sort(vals)
+    for q, e in est.items():
+        true_rank = np.searchsorted(srt, e, side="right") / len(vals)
+        assert abs(true_rank - q) < 0.03, (q, e, true_rank)
+
+
+def test_kll_edge_cases():
+    import math
+
+    import pytest
+
+    from gencore_ray.functions.sketch import KLL
+
+    with pytest.raises(ValueError):
+        KLL(k=4)
+    sk = KLL(k=16)
+    assert math.isnan(sk.quantile(0.5))
+    sk.add_many([float("nan"), 3.0])           # NaNs dropped
+    assert sk.n == 1 and sk.quantile(0.5) == 3.0
+    with pytest.raises(ValueError):
+        sk.quantile(1.5)
+    with pytest.raises(ValueError):
+        sk.merge(KLL(k=32))
