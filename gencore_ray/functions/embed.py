@@ -52,8 +52,8 @@ class HashingEmbedder:
                  text_col: str = "text"):
         from gencore_ray.functions.text import _TOKEN_RE
 
-        if dim & (dim - 1):
-            raise ValueError("dim must be a power of two")
+        if dim <= 0 or dim & (dim - 1):
+            raise ValueError("dim must be a positive power of two")
         self.dim = int(dim)
         self.id_col = id_col
         self.text_col = text_col

@@ -159,10 +159,18 @@ def heavy_hitters(
             keys = t[col].to_pylist()
         counts, sub = mg_batch_summary(keys, capacity)
         toks = list(counts.keys())
+        # a summary can compress to ZERO survivors (near-uniform batch
+        # with distincts > capacity) — the subtracted mass must still
+        # reach the driver, so emit a cnt=0 carrier row for it
+        if not toks and sub:
+            toks, cnts = [""], [0]
+        else:
+            cnts = [counts[x] for x in toks]
+        subs = [sub] + [0] * (len(toks) - 1) if toks else []
         return pa.table({
             "token": pa.array([str(x) for x in toks], pa.string()),
-            "cnt": pa.array([counts[x] for x in toks], pa.int64()),
-            "sub": pa.array([sub] + [0] * (len(toks) - 1) if toks else [], pa.int64()),
+            "cnt": pa.array(cnts, pa.int64()),
+            "sub": pa.array(subs, pa.int64()),
         })
 
     summaries = ds.select_columns([col]).map_batches(
@@ -173,7 +181,10 @@ def heavy_hitters(
     # the summary stream is bounded (<= capacity rows per input batch);
     # fold it through one MG accumulator — never the raw keys
     for t in summaries.iter_batches(batch_format="pyarrow", batch_size=None):
-        batch_counts = dict(zip(t["token"].to_pylist(), t["cnt"].to_pylist()))
+        batch_counts = {
+            k: c for k, c in zip(t["token"].to_pylist(), t["cnt"].to_pylist())
+            if c > 0          # skip sub-carrier rows
+        }
         max_err += int(pa.compute.sum(t["sub"]).as_py() or 0)
         acc, sub = mg_merge(acc, batch_counts, capacity)
         max_err += sub

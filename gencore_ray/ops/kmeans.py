@@ -198,8 +198,15 @@ def semantic_dedup_pairs(
     """
     from gencore_ray.stages.shuffle import grouped_map
 
+    # ONE pass over the (possibly expensive) upstream lineage: the slim
+    # (id, vec) projection is materialized here and every consumer —
+    # the auto-k count, kmeans_fit's Lloyd passes, the probe tagging —
+    # reads the in-store blocks.  Without this, an unmaterialized input
+    # (e.g. the --from-text embedding actor pool) re-embeds the corpus
+    # once per consumer.
+    ds = ds.select_columns([id_col, vec_col]).materialize()
     if k is None:
-        n_total = ds.count()
+        n_total = ds.count()    # block metadata on a materialized dataset
         k = max(8, -(-int(n_total) // int(target_cluster_size)))
     cent = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     ref = ray.put(cent)

@@ -102,13 +102,19 @@ def bm25_topk(
         return pa.table(row)
 
     parts = stats.map_batches(partial, batch_format="pyarrow").to_pandas()
-    n_docs = int(parts["n"].sum())
+    # an empty corpus yields ZERO partial rows (not a zero-valued one),
+    # so guard on the frame shape before summing
+    n_docs = int(parts["n"].sum()) if len(parts) else 0
     if n_docs == 0:
-        return stats.map_batches(
-            lambda t: pa.table(
-                {id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
-            ),
-            batch_format="pyarrow",
+        schema = docs.schema()          # None when every row was filtered
+        id_type = (
+            schema.base_schema.field(id_col).type if schema is not None
+            else pa.int64()
+        )
+        return rd.from_arrow(
+            pa.table(
+                {id_col: pa.array([], id_type), "score": pa.array([], pa.float64())}
+            )
         )
     avgdl = float(parts["sum_dl"].sum()) / n_docs
     df = parts[["df_" + c for c in tf_cols]].sum().to_numpy(dtype=np.float64)

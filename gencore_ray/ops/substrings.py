@@ -130,12 +130,11 @@ def substring_dup_pairs(
 # bounded-work discipline (the low-complexity skip,
 # /root/reference/src/group.cpp:142-175) applied at the explode.
 #
-# 2^26-bit (8 MB) maps by default; the TWICE map stays much emptier
-# than the seen map because a false "twice" bit needs two different
-# blocks' seen-bits to collide.  At 10^12 docs raise bits_log2 (cost
-# is linear) or shard the pass by gram-hash prefix.
-
-_GRAM_BLOOM_LOG2 = 26
+# Maps auto-size to ~8 bits/token clamped to [2^20, 2^28] bits
+# (128 KB - 32 MB); the TWICE map stays much emptier than the seen map
+# because a false "twice" bit needs two different blocks' seen-bits to
+# collide.  At 10^12 docs pass a larger bits_log2 (cost is linear) or
+# shard the pass by gram-hash prefix.
 
 
 def _gram_probes(h: np.ndarray, mask: np.uint64):

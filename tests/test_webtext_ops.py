@@ -459,3 +459,31 @@ def test_kll_edge_cases():
         sk.quantile(1.5)
     with pytest.raises(ValueError):
         sk.merge(KLL(k=32))
+
+
+def test_heavy_hitters_reports_err_when_summary_collapses(ray_session):
+    """A near-uniform batch with distincts >> capacity compresses to an
+    EMPTY summary; the subtracted mass must still reach the driver so
+    max_err stays honest (was silently dropped -> max_err == 0)."""
+    import ray.data as rd
+
+    from gencore_ray.functions.sketch import heavy_hitters
+
+    rows = [{"k": f"u{i}"} for i in range(100)]        # all distinct
+    out = heavy_hitters(rd.from_items(rows), "k", capacity=8)
+    err = out.attrs["max_err"]
+    assert 0 < err <= 100 / 9
+    assert (out["est_count"] > 0).all()                # no carrier rows leak
+
+
+def test_bm25_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from gencore_ray.ops.search import bm25_topk
+
+    docs = rd.from_items(
+        [{"doc_id": i, "text": "beta"} for i in range(5)]
+    ).filter(lambda r: r["doc_id"] > 99)               # nothing survives
+    out = bm25_topk(docs, ["alpha"], k=3)
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "score"]

@@ -99,7 +99,10 @@ def run_proof(pages: int, cpus: int, work_dir: str,
     try:
         while proc.poll() is None:
             if os.path.exists(manifest):
-                stages = [json.loads(l)["stage"] for l in open(manifest)]
+                try:
+                    stages = [json.loads(l)["stage"] for l in open(manifest)]
+                except (json.JSONDecodeError, KeyError):
+                    stages = []       # caught the child mid-append; re-poll
                 if "candidate_pairs" in stages:
                     killed_after = stages
                     os.killpg(proc.pid, signal.SIGKILL)
@@ -108,6 +111,11 @@ def run_proof(pages: int, cpus: int, work_dir: str,
                 raise RuntimeError("kill window never arrived")
             time.sleep(0.02)
     finally:
+        if proc.poll() is None:       # error path: never leave the child running
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
         try:
             proc.wait(timeout=60)
         except Exception:
