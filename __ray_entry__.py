@@ -1221,6 +1221,18 @@ def _q_duplicate_span_stats(sf_dir: str):
     return duplicate_span_stats(_docs(sf_dir), span_tokens=8, num_parts=8)
 
 
+def _q_suffix_array_spans(sf_dir: str):
+    """The same cross-doc 8-token dup-window signal computed by a
+    depth-capped distributed SUFFIX ARRAY (Manber-Myers prefix
+    doubling as log2(L) join+group exchanges) instead of window
+    hashing — exact token-sequence equality, no hash anywhere above
+    single tokens.  Shares duplicate_span_stats' SQL oracle: one
+    truth, two algorithms."""
+    from gencore_ray.ops.suffix import suffix_array_spans
+
+    return suffix_array_spans(_docs(sf_dir), span_tokens=8, num_parts=8)
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     """MOSS winnowing fingerprint density per doc (Schleimer et al.
     2003): k=4-token grams, window w=4, min-hash-rightmost-tie
@@ -1499,6 +1511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_profile": _q_repetition_profile,
         "corpus_filter": _q_corpus_filter,
         "duplicate_span_stats": _q_duplicate_span_stats,
+        "suffix_array_spans": _q_suffix_array_spans,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_dup_pairs": _q_winnow_dup_pairs,
         "lm_perplexity": _q_lm_perplexity,
@@ -2649,4 +2662,8 @@ def oracle_sql() -> dict[str, str]:
         "'[a-z0-9_]+')) AS tok FROM documents) "
         "GROUP BY tok ORDER BY est_count DESC, token LIMIT 10"
     )
+    # the suffix-array pass recomputes duplicate_span_stats' semantics
+    # by a different algorithm (prefix doubling, no window hashing) —
+    # one SQL truth, two engine paths proven against it
+    d["suffix_array_spans"] = d["duplicate_span_stats"]
     return d
