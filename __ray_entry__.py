@@ -1221,6 +1221,19 @@ def _q_duplicate_span_stats(sf_dir: str):
     return duplicate_span_stats(_docs(sf_dir), span_tokens=8, num_parts=8)
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training over the documents table:
+    40 merges learned from the top-2000-word frequency table (one
+    corpus exchange; the merge loop is vocabulary-bounded, i.e.
+    corpus-size-independent).  Engine-only: the per-iteration argmax
+    loop is not SQL-expressible — pinned by tests/test_bpe.py against
+    an independent reference implementation."""
+    from gencore_ray.ops.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir), n_merges=40, top_words=2000,
+                     num_parts=8)
+
+
 def _q_suffix_array_spans(sf_dir: str):
     """The same cross-doc 8-token dup-window signal computed by a
     depth-capped distributed SUFFIX ARRAY (Manber-Myers prefix
@@ -1512,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": _q_corpus_filter,
         "duplicate_span_stats": _q_duplicate_span_stats,
         "suffix_array_spans": _q_suffix_array_spans,
+        "bpe_merges": _q_bpe_merges,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_dup_pairs": _q_winnow_dup_pairs,
         "lm_perplexity": _q_lm_perplexity,
