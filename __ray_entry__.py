@@ -1221,6 +1221,43 @@ def _q_duplicate_span_stats(sf_dir: str):
     return duplicate_span_stats(_docs(sf_dir), span_tokens=8, num_parts=8)
 
 
+def _q_embedding_covariance(sf_dir: str):
+    """Distributed PCA's SQL-replayable surface: the d x d sample
+    covariance of the embedding table from ONE streaming pass of
+    (n, sum, outer-product-sum) partials with 16:1 worker pre-merge —
+    the driver folds O(d^2) state, never vectors."""
+    import ray.data as rd
+
+    from gencore_ray.ops.pca import embedding_covariance
+
+    return embedding_covariance(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding"]))
+
+
+def _q_pca_explained_variance(sf_dir: str):
+    """Top-8 principal components of the embedding table: eigenvalue
+    + explained-variance fraction (driver-side O(d^3) eigh on the
+    folded covariance; corpus-size-independent).  Engine-only: the
+    eigendecomposition is not SQL-expressible — pinned by
+    tests/test_pca.py against direct numpy."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gencore_ray.ops.pca import pca_fit
+
+    model = pca_fit(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"]),
+                    n_components=8)
+    import numpy as np
+
+    return pd.DataFrame({
+        "component": np.arange(8, dtype=np.int64),
+        "eigenvalue": np.round(model["eigenvalues"], 6),
+        "explained_frac": np.round(model["explained_frac"], 6),
+    })
+
+
 def _q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training over the documents table:
     40 merges learned from the top-2000-word frequency table (one
@@ -1526,6 +1563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_span_stats": _q_duplicate_span_stats,
         "suffix_array_spans": _q_suffix_array_spans,
         "bpe_merges": _q_bpe_merges,
+        "embedding_covariance": _q_embedding_covariance,
+        "pca_explained_variance": _q_pca_explained_variance,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_dup_pairs": _q_winnow_dup_pairs,
         "lm_perplexity": _q_lm_perplexity,
@@ -2680,4 +2719,20 @@ def oracle_sql() -> dict[str, str]:
     # by a different algorithm (prefix doubling, no window hashing) —
     # one SQL truth, two engine paths proven against it
     d["suffix_array_spans"] = d["duplicate_span_stats"]
+    d["embedding_covariance"] = (
+        # engine folds float64 (n, sum, outer-sum) partials; the oracle
+        # recomputes sum(a*b) per coordinate pair over the unnested
+        # list column (parallel unnests zip in DuckDB).  float32 inputs
+        # are exact in float64, so only summation ORDER differs —
+        # ~1e-13 absolute, invisible at round 6.
+        "WITH e AS (SELECT vec_id, unnest(embedding) AS v, "
+        "unnest(range(len(embedding))) AS i FROM embeddings), "
+        "n AS (SELECT count(*) AS n FROM embeddings), "
+        "s AS (SELECT i, sum(CAST(v AS DOUBLE)) AS sv FROM e GROUP BY i), "
+        "p AS (SELECT a.i AS i, b.i AS j, "
+        "sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS spp "
+        "FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY a.i, b.i) "
+        "SELECT p.i, p.j, round((spp - sa.sv * sb.sv / n.n) / (n.n - 1), 6) "
+        "AS cov FROM p, n JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j"
+    )
     return d
