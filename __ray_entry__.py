@@ -1508,6 +1508,128 @@ def _q_heavy_hitter_tokens(sf_dir: str):
     return out
 
 
+def _q_train_val_test_split(sf_dir: str):
+    """Deterministic train/val/test split by doc_id hash
+    (ops/split.py): a pure per-row map — the same key always lands in
+    the same split at any cluster size / partitioning — aggregated to
+    per-(split, lang) counts.  The CASE twin replays the exact
+    md5_number_lower bucket cutoffs."""
+    from gencore_ray.ops.relational import grouped_aggregate
+    from gencore_ray.ops.split import hash_split
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    tagged = hash_split(docs, "doc_id", seed=42)
+    return grouped_aggregate(
+        tagged,
+        ["split", "lang"],
+        [("n_docs", None, "count"), ("total_chars", "n_chars", "sum")],
+        num_parts=8,
+    )
+
+
+# decomposed-unicode suffix planted on every doc so NFC has real work:
+# combining acute (U+0301), angstrom sign (U+212B -> NFC U+00C5), a tab
+# and doubled spaces exercise the whitespace collapse + trim
+_NORM_SUFFIX = " café noÅrm\tend  "
+_NORM_SUFFIX_SQL = (
+    "' cafe' || chr(769) || ' no' || chr(8491) || 'rm' || chr(9) || 'end  '"
+)
+
+
+def _q_normalized_text_stats(sf_dir: str):
+    """Unicode NFC + whitespace canonicalisation
+    (functions/text.normalize_text_arrow): each doc gets a deterministic
+    decomposed suffix, is normalized, and the md5 of the normalized
+    bytes proves byte-identical cleanup vs DuckDB's nfc_normalize chain
+    (the M1-style byte-exactness gate, applied to normalisation)."""
+    import hashlib
+
+    from gencore_ray.functions.text import normalize_text_arrow
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        aug = pc.binary_join_element_wise(
+            t["text"].cast(pa.string()), _NORM_SUFFIX, ""
+        )
+        out = normalize_text_arrow(aug)
+        md5s = [hashlib.md5(s.encode()).hexdigest() for s in out.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_md5": pa.array(md5s, pa.string()),
+                "norm_bytes": pc.binary_length(out.cast(pa.binary())),
+                "changed": pc.not_equal(out, aug),
+            }
+        )
+
+    return docs.map_batches(norm, batch_format="pyarrow")
+
+
+def _q_edit_distance_pairs(sf_dir: str):
+    """Exact Levenshtein audit (ops/editdist.py) over prefix-blocked
+    candidate pairs: docs sharing the same 64-char prefix (the cheap
+    blocking key) are paired and scored with the true edit distance on
+    the first 240 chars — the reference's re-align-and-count audit of
+    grouped reads (/root/reference/src/pair.cpp:70-126), as SQL
+    ``levenshtein`` replays byte-for-byte."""
+    from gencore_ray.ops.editdist import pair_edit_distances
+    from gencore_ray.stages.shuffle import hash_join
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def pfx(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "pfx": pc.utf8_slice_codeunits(t["text"], 0, 64)}
+        )
+
+    keys = docs.map_batches(pfx, batch_format="pyarrow")
+    pairs = hash_join(
+        keys.rename_columns({"doc_id": "a"}),
+        keys.rename_columns({"doc_id": "b", "pfx": "pfx2"}),
+        "pfx", "pfx2", num_parts=8,
+    ).filter(expr="a < b").select_columns(["a", "b"])
+    return pair_edit_distances(docs, pairs, num_parts=8)
+
+
+def _q_purchase_graph_pagerank(sf_dir: str):
+    """Synchronous PageRank (ops/graph.py) over the customer-supplier
+    purchase graph (orders x lineitem, both directions): broadcast rank
+    vector + per-block pre-aggregated contributions, one exchange per
+    iteration.  The oracle unrolls the 10 synchronous updates as
+    chained CTEs — identical algebra, float64, rounded at 6."""
+    import ray.data as rd
+
+    from gencore_ray.ops.graph import pagerank
+    from gencore_ray.stages.shuffle import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    j = hash_join(li, orders, "l_orderkey", "o_orderkey", num_parts=8)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([c * 2, s * 2 + 1])
+        dst = np.concatenate([s * 2 + 1, c * 2])
+        return pa.table({"src": src, "dst": dst})
+
+    edges = j.map_batches(both_dirs, batch_format="pyarrow")
+    ranks = pagerank(edges, damping=0.85, iters=10, num_parts=8)
+    return _round_cols(ranks, {"rank": 6})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1597,6 +1719,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles_by_lang": _q_doc_len_quantiles_by_lang,
         "bm25_search": _q_bm25_search,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
+        "train_val_test_split": _q_train_val_test_split,
+        "normalized_text_stats": _q_normalized_text_stats,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "purchase_graph_pagerank": _q_purchase_graph_pagerank,
     }
 
 
@@ -1699,6 +1825,45 @@ def _pages_pipeline_sql(cache: str) -> str:
         "ORDER BY score DESC, purl) = 1) AS is_representative "
         "FROM scored"
     )
+
+
+def _pagerank_sql(iters: int, damping: float) -> str:
+    """Unrolled synchronous-PageRank twin of ops/graph.pagerank over
+    the customer-supplier purchase graph: one CTE per iteration, same
+    float64 algebra ((1-d)/n + d*inc; this graph has no dangling
+    nodes — both directions are emitted — so the engine's dangling
+    term is exactly 0.0).  Constants are interpolated from the SAME
+    Python floats the engine uses, so decimal-literal parsing cannot
+    drift from numpy."""
+    t = repr(1.0 - damping)   # e.g. '0.15000000000000002' — bit-equal
+    dd = repr(damping)
+    parts = [
+        "WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, "
+        "l_suppkey * 2 + 1 AS dst FROM orders "
+        "JOIN lineitem ON l_orderkey = o_orderkey), "
+        "edges AS (SELECT src, dst FROM e0 "
+        "UNION ALL SELECT dst, src FROM e0), "
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS dg "
+        "FROM edges GROUP BY src), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges), "
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+        "pr0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", pr{i} AS (SELECT no.node, "
+            f"{t} / nn.n + {dd} * coalesce(inc.s, 0.0) AS rank "
+            f"FROM nodes no CROSS JOIN nn LEFT JOIN "
+            f"(SELECT e.dst AS node, sum(p.rank / dg.dg) AS s "
+            f"FROM pr{i - 1} p JOIN edges e ON e.src = p.node "
+            f"JOIN deg dg ON dg.src = p.node GROUP BY e.dst) inc "
+            f"ON inc.node = no.node)"
+        )
+    parts.append(
+        f" SELECT node, round(rank, 6) AS rank FROM pr{iters}"
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2735,4 +2900,41 @@ def oracle_sql() -> dict[str, str]:
         "SELECT p.i, p.j, round((spp - sa.sv * sb.sv / n.n) / (n.n - 1), 6) "
         "AS cov FROM p, n JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j"
     )
+    from gencore_ray.ops.split import split_sql_case
+
+    d["train_val_test_split"] = (
+        "WITH t AS (SELECT lang, n_chars, "
+        + split_sql_case("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, 42)
+        + " AS split FROM documents) "
+        "SELECT split, lang, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM t GROUP BY split, lang"
+    )
+    d["normalized_text_stats"] = (
+        # the regex literal carries a REAL tab byte (chr 9) — DuckDB
+        # string literals pass it through, matching the Arrow kernel
+        "WITH aug AS (SELECT doc_id, text || " + _NORM_SUFFIX_SQL + " AS t "
+        "FROM documents), "
+        "n AS (SELECT doc_id, t, "
+        "trim(regexp_replace(nfc_normalize(t), '[ \t]+', ' ', 'g'), ' ') "
+        "AS nt FROM aug) "
+        "SELECT doc_id, md5(nt) AS norm_md5, "
+        "CAST(strlen(nt) AS BIGINT) AS norm_bytes, (nt != t) AS changed "
+        "FROM n"
+    )
+    d["edit_distance_pairs"] = (
+        # levenshtein in DuckDB is BYTE-unit; ops/editdist.py matches
+        # (similarity denominators are strlen = byte lengths too)
+        "WITH k AS (SELECT doc_id, substr(text, 1, 64) AS pfx, "
+        "substr(text, 1, 240) AS t240, "
+        "strlen(substr(text, 1, 240)) AS bl FROM documents), "
+        "p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.t240 AS ta, "
+        "b.t240 AS tb, greatest(a.bl, b.bl) AS mx FROM k a "
+        "JOIN k b ON a.pfx = b.pfx AND a.doc_id < b.doc_id) "
+        "SELECT a, b, levenshtein(ta, tb) AS edit_distance, "
+        "round(CASE WHEN mx = 0 THEN 1.0 ELSE "
+        "1.0 - levenshtein(ta, tb) / CAST(mx AS DOUBLE) END, 6) "
+        "AS edit_similarity FROM p"
+    )
+    d["purchase_graph_pagerank"] = _pagerank_sql(iters=10, damping=0.85)
     return d

@@ -344,3 +344,44 @@ def doc_fingerprint(tok_hashes: np.ndarray) -> int:
             p_l = (powers[0] * _POLY) & _MASK  # _POLY ** L
             acc = (acc * p_l + (seg * powers).sum(dtype=U64)) & _MASK
     return int(splitmix64(acc))
+
+
+def normalize_text_arrow(col):
+    """Canonical text cleanup as three Arrow column kernels (no Python
+    per-row work): Unicode NFC composition, horizontal-whitespace
+    collapse, space trim.
+
+    NFC first: decomposed sequences (``e`` + U+0301) from mixed crawl
+    encodings hash differently from their composed twins, silently
+    splitting duplicate clusters — the same reason the reference
+    canonicalises read keys before grouping
+    (/root/reference/src/gencore.cpp:295-313).  Every step is chosen to
+    be SQL-replayable: ``nfc_normalize`` + ``regexp_replace(..., 'g')``
+    + ``trim`` in DuckDB produce byte-identical output.
+
+    NFC runs through ``unicodedata`` (one C call per string, with the
+    ``is_normalized`` quick-check short-circuiting the pure-ASCII bulk
+    of a web corpus) because this build's ``pc.utf8_normalize``
+    decomposes without recomposing — it emits NFD for every form, which
+    would disagree with every other engine's NFC.  Whitespace collapse
+    and trim stay Arrow column kernels.
+    """
+    import unicodedata
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    x = pa.array(
+        [
+            None
+            if s is None
+            else (s if unicodedata.is_normalized("NFC", s)
+                  else unicodedata.normalize("NFC", s))
+            for s in col.to_pylist()
+        ],
+        pa.string(),
+    )
+    x = pc.replace_substring_regex(x, r"[ \t]+", " ")
+    return pc.utf8_trim(x, " ")

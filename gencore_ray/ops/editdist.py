@@ -1,0 +1,113 @@
+"""Exact edit-distance (Levenshtein) audit over candidate pairs.
+
+The reference audits its consensus output by re-aligning each grouped
+read against the elected template and counting mismatches
+(/root/reference/src/pair.cpp:70-126 scoring, duplicate.cpp grouping);
+our analogue scores each candidate duplicate pair with the exact edit
+distance between the two texts.  Sketch metrics (MinHash Jaccard,
+SimHash Hamming) are estimates — the audit pass is the ground truth
+they are checked against, run only on the (tiny) surviving pair set,
+never on the corpus.
+
+Dataflow: pairs are slim ``(a, b)`` id rows; the two texts are joined
+on via the partitioned ``hash_join`` (ids exchange, text joins in once
+per side), then one ``map_batches`` computes the DP per pair.  The DP
+is the row-vectorised two-row Levenshtein: O(len_a) numpy operations of
+width len_b (the insertion recurrence is closed into a prefix-scan:
+``c[j] = j + min(i, cummin(t[k]-k))``), never a per-cell Python loop.
+Texts are truncated to ``max_chars`` first — the audit bound the
+reference also applies (abToleratedOneMismatch caps comparison work).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Exact unit-cost edit distance, numpy-vectorised over ``b``.
+
+    Computed over UTF-8 BYTES, not codepoints — that is the unit
+    DuckDB's ``levenshtein`` uses (``levenshtein('é','e') = 2``), and
+    byte-exact SQL replay outranks codepoint purity here; for ASCII
+    web text the two are identical anyway.
+    """
+    ab, bb = a.encode(), b.encode()
+    la, lb = len(ab), len(bb)
+    if la == 0 or lb == 0:
+        return la or lb
+    if ab == bb:
+        return 0
+    bcodes = np.frombuffer(bb, dtype=np.uint8).astype(np.int64)
+    offsets = np.arange(1, lb + 1, dtype=np.int64)
+    prev = np.arange(lb + 1, dtype=np.int64)
+    cur = np.empty(lb + 1, dtype=np.int64)
+    for i, ca in enumerate(ab, 1):
+        # substitution / deletion are elementwise on the previous row
+        t = np.minimum(prev[:-1] + (bcodes != ca), prev[1:] + 1)
+        # insertion c[j] = min(t[j-1], c[j-1] + 1) closed into a scan:
+        # c[j] = j + min(i, min_{k<=j}(t[k] - k))   (c[0] = i)
+        np.subtract(t, offsets, out=t)
+        np.minimum.accumulate(t, out=t)
+        cur[0] = i
+        np.add(np.minimum(t, i), offsets, out=cur[1:])
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def pair_edit_distances(
+    docs: rd.Dataset,
+    pairs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_chars: int = 240,
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """(a, b) id pairs -> (a, b, edit_distance, edit_similarity).
+
+    ``edit_similarity = 1 - dist / max(len_a, len_b)`` over UTF-8 byte
+    lengths of the truncated texts (1.0 for two empty texts — SQL twin:
+    ``strlen``).  Join shape: docs' (id, truncated text) rides each
+    exchange once; the DP map is per-pair and local.
+    """
+    from gencore_ray.stages.shuffle import hash_join
+
+    def _trunc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "__edt": pc.utf8_slice_codeunits(t[text_col], 0, max_chars),
+            }
+        )
+
+    slim = docs.map_batches(_trunc, batch_format="pyarrow")
+    j = hash_join(pairs, slim.rename_columns({id_col: "__ida", "__edt": "__ta"}),
+                  a_col, "__ida", num_parts=num_parts)
+    j = hash_join(j, slim.rename_columns({id_col: "__idb", "__edt": "__tb"}),
+                  b_col, "__idb", num_parts=num_parts)
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        ta, tb = df["__ta"].tolist(), df["__tb"].tolist()
+        dist = np.fromiter(
+            (levenshtein(x or "", y or "") for x, y in zip(ta, tb)),
+            dtype=np.int64,
+            count=len(ta),
+        )
+        denom = np.maximum(
+            [len((x or "").encode()) for x in ta],
+            [len((y or "").encode()) for y in tb],
+        ).astype(np.float64)
+        sim = np.where(denom > 0, 1.0 - dist / np.maximum(denom, 1.0), 1.0)
+        out = df[[a_col, b_col]].copy()
+        out["edit_distance"] = dist
+        out["edit_similarity"] = np.round(sim, 6)
+        return out
+
+    return j.map_batches(_score, batch_format="pandas")
