@@ -1630,6 +1630,31 @@ def _q_purchase_graph_pagerank(sf_dir: str):
     return _round_cols(ranks, {"rank": 6})
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Fixed-size token chunking with overlap (ops/chunk.py): each doc
+    split into 32-token windows advancing by 28 (4 tokens of shared
+    context) — the long-document training/RAG layout.  A pure flat-map
+    (no exchange); the oracle replays the exact layout with
+    generate_series + list slicing."""
+    from gencore_ray.ops.chunk import chunk_documents
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return chunk_documents(docs, chunk_tokens=32, overlap=4)
+
+
+def _q_events_user_skew(sf_dir: str):
+    """Key-skew profile (ops/skew.py) of the events-by-user exchange
+    key: hottest-key share, top-10 share and the Herfindahl index from
+    ONE per-key count exchange — the measurement that decides whether
+    a shuffle key needs salting or capping before the wide op runs."""
+    import ray.data as rd
+
+    from gencore_ray.ops.skew import key_skew_profile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return key_skew_profile(ev, "user_id", top=10, num_parts=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1723,6 +1748,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_text_stats": _q_normalized_text_stats,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "purchase_graph_pagerank": _q_purchase_graph_pagerank,
+        "doc_chunks": _q_doc_chunks,
+        "events_user_skew": _q_events_user_skew,
     }
 
 
@@ -2937,4 +2964,30 @@ def oracle_sql() -> dict[str, str]:
         "AS edit_similarity FROM p"
     )
     d["purchase_graph_pagerank"] = _pagerank_sql(iters=10, damping=0.85)
+    d["doc_chunks"] = (
+        # chunk starts 0, 28, 56, ... while start < n_tokens; DuckDB
+        # list slicing is 1-based inclusive, hence [start+1 : start+32]
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk "
+        "FROM documents), "
+        "st AS (SELECT doc_id, tk, "
+        "unnest(generate_series(0, len(tk) - 1, 28)) AS s "
+        "FROM toks WHERE len(tk) > 0) "
+        "SELECT doc_id, CAST(s / 28 AS BIGINT) AS chunk_no, "
+        "CAST(len(tk[s + 1 : s + 32]) AS BIGINT) AS n_tokens, "
+        "array_to_string(tk[s + 1 : s + 32], ' ') AS chunk_text FROM st"
+    )
+    d["events_user_skew"] = (
+        "WITH c AS (SELECT user_id, count(*) AS cnt FROM events "
+        "GROUP BY user_id), "
+        "s AS (SELECT count(*) AS n_keys, sum(cnt) AS total, "
+        "max(cnt) AS mx, sum(CAST(cnt AS DOUBLE) * cnt) AS ssq FROM c), "
+        "t AS (SELECT coalesce(sum(cnt), 0) AS s10 FROM "
+        "(SELECT cnt FROM c ORDER BY cnt DESC LIMIT 10)) "
+        "SELECT CAST(total AS BIGINT) AS n_rows, "
+        "CAST(n_keys AS BIGINT) AS n_keys, CAST(mx AS BIGINT) AS max_count, "
+        "round(CAST(mx AS DOUBLE) / total, 6) AS top1_share, "
+        "round(CAST(s10 AS DOUBLE) / total, 6) AS top10_share, "
+        "round(ssq / (CAST(total AS DOUBLE) * total), 6) AS hhi FROM s, t"
+    )
     return d

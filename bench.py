@@ -235,11 +235,18 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         env.setdefault("GRAFT_BENCH_PAGES", "200000")
         env.setdefault("GRAFT_BENCH_QUERIES", "0")   # scaling: headline only
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+            env=env, capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            # surface the leg's own traceback — a bare
+            # CalledProcessError hides the actual failure (OOM/ENOSPC)
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling leg num_cpus={ncpu} failed (exit {proc.returncode})"
+            )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     can_lo, lo = _canary(8), run(8)
     can_hi, hi = _canary(32), run(32)

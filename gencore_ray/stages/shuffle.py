@@ -204,7 +204,12 @@ def exchange_refs(ds: rd.Dataset, key: str, num_parts: int):
     block_refs = [ref for ref in ds.to_arrow_refs()]
     if not block_refs:
         return None, None
-    schema = ds.schema().base_schema
+    schema_info = ds.schema()
+    if schema_info is None:
+        # zero-row lineage: ray can't derive a schema (e.g. map_batches
+        # over an empty source never ran its fn) — same as no blocks
+        return None, None
+    schema = schema_info.base_schema
     map_out = [
         _exchange_map.options(num_returns=num_parts).remote(ref, key, num_parts)
         for ref in block_refs
