@@ -970,6 +970,34 @@ def _q_line_dedup(sf_dir: str):
                       min_docs=3, num_parts=8)
 
 
+def _q_grouped_line_dedup(sf_dir: str):
+    """Domain-scoped boilerplate removal (line_dedup with
+    group_col='lang' as the domain proxy): a line must be frequent
+    WITHIN its group to be removed — CCNet dedups per shard because
+    boilerplate is domain-local.  The planted banner 'promo <lang>' is
+    frequent in every lang (removed); 'rare note' is planted sparsely
+    (doc_id % 101 < 2) so it stays under the per-lang threshold in
+    most languages while its CORPUS-wide count is far above it — the
+    exact case a global count gets wrong."""
+    from gencore_ray.ops.linedup import line_dedup
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        langs = t["lang"].to_pylist()
+        txt = [x or "" for x in t["text"].to_pylist()]
+        out = [
+            (f"promo {g}\n" if i % 2 == 0 else "") + s
+            + ("\nrare note" if i % 101 < 2 else "")
+            for i, g, s in zip(ids, langs, txt)
+        ]
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "text": pa.array(out, pa.string())})
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "text"])
+    return line_dedup(docs.map_batches(plant, batch_format="pyarrow"),
+                      min_docs=3, num_parts=8, group_col="lang")
+
+
 def _q_nb_lang_classifier(sf_dir: str):
     """Model-based filtering (fasttext-style, dependency-free):
     Gaussian Naive Bayes fit on (text_len, alnum_count, token_count)
@@ -1727,6 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_semantic_dedup": _q_embed_semantic_dedup,
         "nb_lang_classifier": _q_nb_lang_classifier,
         "line_dedup": _q_line_dedup,
+        "grouped_line_dedup": _q_grouped_line_dedup,
         "curation_pipeline": _q_curation_pipeline,
         "events_asof_click": _q_events_asof_click,
         "events_lag_lead": _q_events_lag_lead,
@@ -2964,6 +2993,28 @@ def oracle_sql() -> dict[str, str]:
         "AS edit_similarity FROM p"
     )
     d["purchase_graph_pagerank"] = _pagerank_sql(iters=10, damping=0.85)
+    d["grouped_line_dedup"] = (
+        "WITH aug AS (SELECT doc_id, lang, "
+        "(CASE WHEN doc_id % 2 = 0 THEN 'promo ' || lang || chr(10) "
+        "ELSE '' END) || coalesce(text, '') || "
+        "(CASE WHEN doc_id % 101 < 2 THEN chr(10) || 'rare note' "
+        "ELSE '' END) AS text FROM documents), "
+        "t AS (SELECT doc_id, lang, "
+        "string_split(coalesce(text, ''), chr(10)) AS ls FROM aug), "
+        "l AS (SELECT doc_id, lang, "
+        "unnest(generate_series(1, len(ls))) AS line_no, "
+        "unnest(ls) AS line FROM t), "
+        "freq AS (SELECT lang, line FROM l GROUP BY lang, line "
+        "HAVING count(DISTINCT doc_id) >= 3), "
+        "k AS (SELECT l.doc_id, l.line_no, l.line, "
+        "f.line IS NOT NULL AS rm FROM l LEFT JOIN freq f "
+        "ON f.lang = l.lang AND f.line = l.line) "
+        "SELECT doc_id, count(*) AS n_lines, "
+        "CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, "
+        "coalesce(string_agg(CASE WHEN rm THEN NULL ELSE line END, "
+        "chr(10) ORDER BY line_no), '') AS clean_text "
+        "FROM k GROUP BY doc_id"
+    )
     d["doc_chunks"] = (
         # chunk starts 0, 28, 56, ... while start < n_tokens; DuckDB
         # list slicing is 1-based inclusive, hence [start+1 : start+32]

@@ -44,13 +44,21 @@ def line_hash_rows(
     ds: rd.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
+    group_col: str | None = None,
 ) -> rd.Dataset:
-    """Slim (id, line_no, lh) explode — one 20 B row per line, no text.
-    Exposed separately so tests can assert the exchanged schema carries
-    no string payload."""
+    """Slim (id, line_no, lh[, gh]) explode — one 20 B row per line
+    (28 B grouped), no text.  Exposed separately so tests can assert
+    the exchanged schema carries no string payload.
+
+    ``group_col`` adds a u64 group hash: the frequency scope becomes
+    per-group (CCNet dedups per shard; boilerplate is domain-local —
+    a nav menu frequent on one host must not survive just because the
+    corpus-wide count stays under the threshold, nor vice versa)."""
     from itertools import chain
 
     from gencore_ray.functions.hashing import hash_str_array_u64
+
+    cols = [id_col, text_col] + ([group_col] if group_col else [])
 
     def _explode(df: pd.DataFrame) -> pd.DataFrame:
         texts = df[text_col].fillna("").tolist()
@@ -58,13 +66,19 @@ def line_hash_rows(
         lens = np.fromiter(map(len, lists), dtype=np.int64, count=len(lists))
         flat = list(chain.from_iterable(lists))
         offs = np.repeat(np.cumsum(lens) - lens, lens)
-        return pd.DataFrame({
+        out = {
             id_col: np.repeat(df[id_col].to_numpy(), lens),
             "line_no": np.arange(len(flat), dtype=np.int64) - offs,
             "lh": hash_str_array_u64(flat),
-        })
+        }
+        if group_col:
+            gh = hash_str_array_u64(
+                df[group_col].fillna("").astype(str).tolist(), seed=7
+            )
+            out["gh"] = np.repeat(gh, lens)
+        return pd.DataFrame(out)
 
-    return ds.select_columns([id_col, text_col]).map_batches(
+    return ds.select_columns(cols).map_batches(
         _explode, batch_format="pandas")
 
 
@@ -74,16 +88,31 @@ def line_dedup(
     text_col: str = "text",
     min_docs: int = 3,
     num_parts: int = 16,
+    group_col: str | None = None,
 ) -> rd.Dataset:
     """(id, n_lines, n_removed, clean_text): drop every line occurring
-    in >= min_docs distinct docs, rejoin survivors with newline."""
+    in >= min_docs distinct docs, rejoin survivors with newline.
+
+    With ``group_col`` the count is per (line, group) — a line must be
+    frequent WITHIN its group (domain / shard / language) to be
+    removed.  The exchange stays keyed on the line hash alone, so a
+    partition still holds every occurrence of its lines and the
+    per-(line, group) count stays partition-local."""
     from gencore_ray.stages.shuffle import grouped_map, hash_join
 
     def _removed(df: pd.DataFrame) -> pd.DataFrame:
         # global distinct-doc count per hash (partition holds ALL
         # occurrences of its hashes), joined back by factorized code;
         # only the frequent lines' coordinates leave this stage
-        codes, uniq = pd.factorize(df["lh"], sort=False)
+        key = df["lh"].to_numpy().astype(np.uint64, copy=False)
+        if group_col:
+            # fold the group hash in (odd multiplier keeps u64 bijective)
+            with np.errstate(over="ignore"):
+                key = key ^ (
+                    df["gh"].to_numpy().astype(np.uint64, copy=False)
+                    * np.uint64(0x9E3779B97F4A7C15)
+                )
+        codes, uniq = pd.factorize(key, sort=False)
         pair = pd.DataFrame({"c": codes, "d": df[id_col]}).drop_duplicates()
         nd = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(nd, pair["c"].to_numpy(), 1)
@@ -95,8 +124,9 @@ def line_dedup(
                 .agg(lambda s: s.to_numpy().tolist())
                 .rename("rm_nos").reset_index())
 
-    removed = grouped_map(line_hash_rows(ds, id_col, text_col), "lh",
-                          _removed, num_parts=num_parts)
+    removed = grouped_map(
+        line_hash_rows(ds, id_col, text_col, group_col=group_col), "lh",
+        _removed, num_parts=num_parts)
     per_doc = grouped_map(removed, id_col, _collect, num_parts=num_parts)
     joined = hash_join(ds.select_columns([id_col, text_col]), per_doc,
                        id_col, id_col, num_parts=num_parts,

@@ -284,6 +284,17 @@ def dedup_pages(
     features = sig.select_columns(
         [c for c in ["url", "warc_ts", "text_len", "quality"] if c in sig.columns()]
     )
+    if state_dir is None:
+        # CC/elect only ever touch the slim feature columns; pin them as
+        # their own materialized blocks and drop the LAST references to
+        # the heavy signature table (tshash shingle sets + minhash +
+        # ckeys are ~10x the feature bytes) and the raw pair table, so
+        # the object store can evict/un-spill them during the tail
+        # stages instead of holding peak bytes to the end of the run.
+        # (state_dir keeps sig alive: save_state persists it below.)
+        features = features.materialize()
+        sig = None
+        pairs = None
     t_cc = time.monotonic()
     if cc_mode == "distributed":
         from gencore_ray.stages.shuffle import hash_join
@@ -321,6 +332,9 @@ def dedup_pages(
         members = features.map_batches(assign, batch_format="pyarrow")
 
     _t("cc+assign", t_cc)
+    # labels are assigned; the edge table's last consumer has run
+    ver_edges = None
+    all_edges = None
     clusters = run_stage(
         "clusters", lambda: elect_representatives(members, cfg, num_parts=ncpu)
     )

@@ -76,3 +76,36 @@ def test_key_skew_profile_empty(ray_session):
     empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
     p = key_skew_profile(empty, "k", num_parts=2).to_pandas().iloc[0]
     assert p["n_rows"] == 0 and p["hhi"] == 0.0
+
+
+def test_grouped_line_dedup_scopes_counts(ray_session):
+    from gencore_ray.ops.linedup import line_dedup
+
+    # 'banner' appears in 3 docs of group A (frequent there) and 1 of
+    # group B; 'spread' appears once per group (corpus-wide 4 >= 3 but
+    # never frequent within any group)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "g": pa.array(["A", "A", "A", "B", "A", "B", "C", "D"]),
+        "text": pa.array([
+            "banner\nkeep0", "banner\nkeep1", "banner\nkeep2",
+            "banner\nkeep3",
+            "spread\nkeep4", "spread\nkeep5", "spread\nkeep6",
+            "spread\nkeep7",
+        ]),
+    }))
+    out = (
+        line_dedup(docs, min_docs=3, num_parts=4, group_col="g")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # group A's banner removed from its 3 A-docs, kept in the B doc
+    assert list(out["clean_text"][:4]) == [
+        "keep0", "keep1", "keep2", "banner\nkeep3"]
+    # 'spread' never reaches 3 within one group -> kept everywhere
+    assert all(t.startswith("spread\n") for t in out["clean_text"][4:])
+    # the same corpus WITHOUT grouping removes 'spread' (global count 4)
+    glob = (
+        line_dedup(docs, min_docs=3, num_parts=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert all(not t.startswith("spread") for t in glob["clean_text"][4:])
