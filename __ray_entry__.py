@@ -1414,6 +1414,62 @@ def _q_pages_dedup_sql(sf_dir: str):
     )
 
 
+def _q_dedup_recall(sf_dir: str):
+    """The north rule's dup-pair recall >= 0.99 as a first-class
+    MEASURED query: flagship clusters (simhash_enabled=False, the
+    SQL-expressible config) joined to the corpus ground truth, pair
+    counts folded from grouped sizes (sum of C(n,2) per true / engine
+    / joint cluster — fully distributed, no pair materialization).
+    The oracle recomputes clusters AND the metric in SQL, so a hash
+    match certifies the recall number itself, not just the clusters."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gencore_ray.config import DedupConfig
+    from gencore_ray.ops.relational import grouped_aggregate
+    from gencore_ray.pipelines.dedup import dedup_pages
+    from gencore_ray.sources import read_pages
+    from gencore_ray.stages.shuffle import hash_join
+
+    cache = _pages_cache("/root/testdata/sf0.01")
+    pages = read_pages(os.path.join(cache, "pages.parquet"), need_html=True)
+    res = dedup_pages(pages, DedupConfig(simhash_enabled=False),
+                      extract_html=True)
+    clusters = res.clusters.select_columns(["url", "cluster_id"])
+    truth = rd.read_parquet(os.path.join(cache, "truth.parquet"),
+                            columns=["url", "true_cluster"])
+    # clusters' blocks are pandas (elect output) — rename the arrow
+    # truth side instead
+    j = hash_join(clusters, truth.rename_columns({"url": "u2"}),
+                  "url", "u2", num_parts=8).materialize()
+
+    def pair_sum(keys: list[str]) -> int:
+        counts = grouped_aggregate(j, keys, [("c", None, "count")],
+                                   num_parts=8)
+
+        def comb(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"p": [int((c * (c - 1) // 2).sum())]})
+
+        return int(counts.map_batches(comb, batch_format="pyarrow")
+                   .sum("p") or 0)
+
+    tp = pair_sum(["true_cluster"])
+    ep = pair_sum(["cluster_id"])
+    mp = pair_sum(["true_cluster", "cluster_id"])
+    return pd.DataFrame(
+        {
+            "true_pairs": [tp],
+            "engine_pairs": [ep],
+            "matched_pairs": [mp],
+            "recall": [round(mp / tp, 6) if tp else 1.0],
+            "pair_precision": [round(mp / ep, 6) if ep else 1.0],
+        }
+    )
+
+
 def _q_events_value_corr(sf_dir: str):
     """Per-type second-order profile: count, means, sample stddevs and
     the Pearson correlation of value vs hour-of-day — ONE pass of
@@ -1724,6 +1780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_packing": _q_sequence_packing,
         "pages_dedup_pipeline": _q_pages_dedup_pipeline,
         "pages_dedup_sql": _q_pages_dedup_sql,
+        "dedup_recall": _q_dedup_recall,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "containment_pairs": _q_containment_pairs,
@@ -2993,6 +3050,25 @@ def oracle_sql() -> dict[str, str]:
         "AS edit_similarity FROM p"
     )
     d["purchase_graph_pagerank"] = _pagerank_sql(iters=10, damping=0.85)
+    d["dedup_recall"] = (
+        "WITH eng AS (" + _pages_pipeline_sql(pages_cache_001) + "), "
+        "tr AS (SELECT url, true_cluster FROM "
+        f"read_parquet('{pages_cache_001}/truth.parquet')), "
+        "j AS (SELECT tr.true_cluster AS tc, eng.cluster_id AS ec "
+        "FROM tr JOIN eng ON eng.url = tr.url), "
+        "tp AS (SELECT coalesce(sum((c * (c - 1)) // 2), 0) AS v FROM "
+        "(SELECT count(*) AS c FROM j GROUP BY tc)), "
+        "ep AS (SELECT coalesce(sum((c * (c - 1)) // 2), 0) AS v FROM "
+        "(SELECT count(*) AS c FROM j GROUP BY ec)), "
+        "mp AS (SELECT coalesce(sum((c * (c - 1)) // 2), 0) AS v FROM "
+        "(SELECT count(*) AS c FROM j GROUP BY tc, ec)) "
+        "SELECT CAST(tp.v AS BIGINT) AS true_pairs, "
+        "CAST(ep.v AS BIGINT) AS engine_pairs, "
+        "CAST(mp.v AS BIGINT) AS matched_pairs, "
+        "round(CAST(mp.v AS DOUBLE) / tp.v, 6) AS recall, "
+        "round(CAST(mp.v AS DOUBLE) / ep.v, 6) AS pair_precision "
+        "FROM tp, ep, mp"
+    )
     d["grouped_line_dedup"] = (
         "WITH aug AS (SELECT doc_id, lang, "
         "(CASE WHEN doc_id % 2 = 0 THEN 'promo ' || lang || chr(10) "
