@@ -81,6 +81,55 @@ def approx_distinct(ds, col: str, p: int = 12, seed: int = 42) -> float:
     return hll_estimate(merged)
 
 
+def grouped_approx_distinct(
+    ds, group_col: str, col: str, p: int = 12, seed: int = 42,
+    num_parts: int = 32,
+):
+    """Per-group approximate COUNT(DISTINCT col): one 2^p-byte register
+    row per (batch, group) partial, folded per group through ONE
+    group-keyed exchange of registers — the VALUES never ride a
+    shuffle.  This is the scale path where the exact per-group distinct
+    (ops/relational.profile's value-hash exchange) would move one row
+    per distinct value: register mass is #groups x 4 KB regardless of
+    cardinality.  Returns a Dataset of (group, approx_distinct:double);
+    standard error ~1.04/sqrt(2^p) (~1.6% at p=12).
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gencore_ray.stages.shuffle import grouped_map
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"g": t[group_col].to_pylist(), "v": t[col].to_pylist()}
+        )
+        rows_g, rows_r = [], []
+        for g, sub in df.groupby("g", sort=False):
+            rows_g.append(g)
+            rows_r.append(
+                hll_register_batch(sub["v"].tolist(), p=p, seed=seed).tobytes()
+            )
+        return pa.table(
+            {group_col: rows_g, "regs": pa.array(rows_r, pa.binary())}
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_n = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            merged = np.zeros(1 << p, dtype=np.uint8)
+            for b in sub["regs"]:
+                merged = hll_merge(merged, np.frombuffer(b, dtype=np.uint8))
+            out_g.append(g)
+            out_n.append(hll_estimate(merged))
+        return pd.DataFrame({group_col: out_g, "approx_distinct": out_n})
+
+    partials = ds.select_columns([group_col, col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return grouped_map(partials, group_col, fold, num_parts=num_parts)
+
+
 # ---------------------------------------------------------------------------
 # Misra–Gries heavy hitters (Misra & Gries 1982; merge rule from the
 # mergeable-summaries formulation of Agarwal et al., PODS 2012)

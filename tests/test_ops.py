@@ -274,6 +274,30 @@ def test_hll_approx_distinct(ray_session):
     assert abs(hll_estimate(m1) - exact) / exact < 0.05
 
 
+def test_grouped_hll_distinct(ray_session):
+    """Per-group HLL estimates within theory bounds; partitioning of
+    the input must not change the estimates (register merges are
+    associative/commutative)."""
+    from gencore_ray.functions.sketch import grouped_approx_distinct
+
+    rng = np.random.RandomState(11)
+    g = rng.choice(["a", "b", "c"], size=30_000)
+    cards = {"a": 5_000, "b": 300, "c": 12_000}
+    v = np.array([f"{x}-{rng.randint(cards[x])}" for x in g])
+    df = pd.DataFrame({"g": g, "v": v})
+    exact = df.groupby("g")["v"].nunique().to_dict()
+    ds = rd.from_pandas(df)
+    out = (grouped_approx_distinct(ds, "g", "v", p=12, num_parts=4)
+           .to_pandas().set_index("g")["approx_distinct"].to_dict())
+    assert set(out) == set(exact)
+    for k in exact:
+        assert abs(out[k] - exact[k]) / exact[k] < 0.05, (k, out[k], exact[k])
+    out2 = (grouped_approx_distinct(ds.repartition(13), "g", "v", p=12,
+                                    num_parts=2)
+            .to_pandas().set_index("g")["approx_distinct"].to_dict())
+    assert out == out2       # partition-invariant
+
+
 def test_semi_anti_join_null_keys(ray_session):
     """SQL NULL semantics: a NULL key matches nothing — semi drops
     null-key left rows, anti keeps them (NOT EXISTS is true)."""
