@@ -248,6 +248,48 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_split(args: argparse.Namespace) -> int:
+    """Deterministic train/val/test split: write one partitioned
+    parquet dir per split (ops/split.py hash assignment — membership
+    is a pure function of the key, stable across runs, cluster sizes
+    and repartitions), then one JSON summary line per split."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=args.address, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 **({"num_cpus": args.num_cpus}
+                    if args.address == "local" else {}))
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import os
+
+    import ray.data as rd
+
+    from gencore_ray.ops.split import hash_split, split_cutoffs
+
+    fracs: dict[str, float] = {}
+    for part in args.fracs.split(","):
+        name, _, f = part.partition("=")
+        fracs[name.strip()] = float(f)
+    split_cutoffs(fracs)                     # fail fast on bad fractions
+
+    # materialize once: each split filter is a metadata-cheap pass over
+    # the same blocks instead of re-reading the input per split
+    ds = hash_split(rd.read_parquet(args.input), args.key,
+                    fracs=fracs, seed=args.seed).materialize()
+    for name in fracs:
+        sub_ds = ds.filter(expr=f"split == '{name}'").drop_columns(["split"])
+        out = os.path.join(args.output, name)
+        sub_ds.write_parquet(out)
+        print(json.dumps({"split": name, "rows": sub_ds.count(),
+                          "path": out}))
+    ray.shutdown()
+    return 0
+
+
 def _cmd_diff(args: argparse.Namespace) -> int:
     """Corpus-version diff between two parquet snapshots."""
     import ray
@@ -406,6 +448,18 @@ def main(argv: list[str] | None = None) -> int:
     df_p.add_argument("--address", default="local")
     df_p.add_argument("--num-cpus", type=int, default=None)
     df_p.set_defaults(fn=_cmd_diff)
+
+    sp = sub.add_parser("split", help="deterministic train/val/test "
+                        "hash split into per-split parquet dirs")
+    sp.add_argument("-i", "--input", required=True, help="parquet file/dir")
+    sp.add_argument("-o", "--output", required=True, help="output root dir")
+    sp.add_argument("--key", default="doc_id", help="hash key column")
+    sp.add_argument("--fracs", default="train=0.8,val=0.1,test=0.1",
+                    help="name=frac[,name=frac...] summing to 1")
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--address", default="local")
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=_cmd_split)
 
     t = sub.add_parser("test", help="builtin unit vectors (reference EP2)")
     t.set_defaults(fn=_cmd_test)

@@ -124,3 +124,39 @@ def test_cli_semdedup_from_text(tmp_path):
     assert (t.set_index(["id_a", "id_b"]).loc[list(planted)]["cos_sim"]
             == 1.0).all()
     assert rep["n_docs"] == 45 * 2           # probes=2 assignment rows
+
+
+def test_cli_split(tiny_corpus, tmp_path):
+    out_root = str(tmp_path / "splits")
+    lines = subprocess.run(
+        [sys.executable, "-m", "gencore_ray", "split", "-i", tiny_corpus,
+         "-o", out_root, "--key", "url", "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=240,
+        env=dict(os.environ, RAY_ADDRESS=""), cwd="/root/repo",
+    )
+    assert lines.returncode == 0, lines.stderr[-2000:]
+    recs = [json.loads(x) for x in lines.stdout.strip().splitlines()[-3:]]
+    by_name = {r["split"]: r for r in recs}
+    assert set(by_name) == {"train", "val", "test"}
+    assert sum(r["rows"] for r in recs) == 120
+    assert by_name["train"]["rows"] > by_name["val"]["rows"]
+    # per-split dirs exist, split column stripped, no key overlap
+    seen = {}
+    for name, r in by_name.items():
+        t = pq.read_table(r["path"])
+        assert t.num_rows == r["rows"]
+        assert "split" not in t.schema.names
+        for u in t["url"].to_pylist():
+            assert u not in seen, (u, name, seen[u]) if u in seen else None
+            seen[u] = name
+    # determinism: a second run assigns identically
+    out2 = str(tmp_path / "splits2")
+    lines2 = subprocess.run(
+        [sys.executable, "-m", "gencore_ray", "split", "-i", tiny_corpus,
+         "-o", out2, "--key", "url", "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=240,
+        env=dict(os.environ, RAY_ADDRESS=""), cwd="/root/repo",
+    )
+    recs2 = [json.loads(x) for x in lines2.stdout.strip().splitlines()[-3:]]
+    assert {r["split"]: r["rows"] for r in recs2} == {
+        r["split"]: r["rows"] for r in recs}
