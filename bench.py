@@ -43,6 +43,12 @@ QUERY_NAMES = [
     "events_value_quantiles",
     "distinct_users_by_type",
     "curation_pipeline",
+    # round-4 additions (new keys only — earlier keys stay comparable
+    # across rounds)
+    "train_val_test_split",
+    "doc_chunks",
+    "purchase_graph_pagerank",
+    "events_user_skew",
 ]
 
 
