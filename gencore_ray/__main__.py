@@ -290,6 +290,39 @@ def _cmd_split(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_chunk(args: argparse.Namespace) -> int:
+    """Fixed-token chunking with overlap (ops/chunk.py): write the
+    exploded (doc_id, chunk_no, n_tokens, chunk_text) table and print
+    one JSON summary line."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=args.address, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 **({"num_cpus": args.num_cpus}
+                    if args.address == "local" else {}))
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from gencore_ray.ops.chunk import chunk_documents
+
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    chunks = chunk_documents(
+        ds, id_col=args.id_col, text_col=args.text_col,
+        chunk_tokens=args.chunk_tokens, overlap=args.overlap,
+    ).materialize()
+    chunks.write_parquet(args.output)
+    n = chunks.count()
+    toks = int(chunks.sum("n_tokens") or 0)
+    print(json.dumps({"docs": ds.count(), "chunks": n,
+                      "total_tokens": toks, "path": args.output}))
+    ray.shutdown()
+    return 0
+
+
 def _cmd_diff(args: argparse.Namespace) -> int:
     """Corpus-version diff between two parquet snapshots."""
     import ray
@@ -460,6 +493,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--address", default="local")
     sp.add_argument("--num-cpus", type=int, default=None)
     sp.set_defaults(fn=_cmd_split)
+
+    ch = sub.add_parser("chunk", help="fixed-token chunking with overlap")
+    ch.add_argument("-i", "--input", required=True, help="parquet file/dir")
+    ch.add_argument("-o", "--output", required=True, help="chunk table dir")
+    ch.add_argument("--id-col", default="doc_id")
+    ch.add_argument("--text-col", default="text")
+    ch.add_argument("--chunk-tokens", type=int, default=64)
+    ch.add_argument("--overlap", type=int, default=8)
+    ch.add_argument("--address", default="local")
+    ch.add_argument("--num-cpus", type=int, default=None)
+    ch.set_defaults(fn=_cmd_chunk)
 
     t = sub.add_parser("test", help="builtin unit vectors (reference EP2)")
     t.set_defaults(fn=_cmd_test)

@@ -160,3 +160,19 @@ def test_cli_split(tiny_corpus, tmp_path):
     recs2 = [json.loads(x) for x in lines2.stdout.strip().splitlines()[-3:]]
     assert {r["split"]: r["rows"] for r in recs2} == {
         r["split"]: r["rows"] for r in recs}
+
+
+def test_cli_chunk(tiny_corpus, tmp_path):
+    docs = str(tmp_path / "docs.parquet")
+    t = pq.read_table(tiny_corpus, columns=["url", "text"])
+    pq.write_table(t, docs)
+    out = str(tmp_path / "chunks")
+    rep = json.loads(_run("chunk", "-i", docs, "-o", out, "--id-col", "url",
+                          "--chunk-tokens", "32", "--overlap", "4",
+                          "--num-cpus", "4"))
+    assert rep["docs"] == 120 and rep["chunks"] >= 120
+    ct = pq.read_table(out)
+    assert ct.num_rows == rep["chunks"]
+    assert set(ct.schema.names) == {"doc_id", "chunk_no", "n_tokens",
+                                    "chunk_text"}
+    assert max(ct["n_tokens"].to_pylist()) <= 32
