@@ -1739,6 +1739,87 @@ def _q_events_user_skew(sf_dir: str):
     return key_skew_profile(ev, "user_id", top=10, num_parts=8)
 
 
+def _q_events_asof_join(sf_dir: str):
+    """As-of join (ops/asof.py): each purchase event picks up the most
+    recent prior-or-simultaneous click of the same user — the temporal
+    lookup Ray Data lacks, built as one key-hashed exchange +
+    ``pd.merge_asof`` per partition.  Right side pre-aggregated to
+    unique (user, ts) so the match is deterministic (the as-of tie
+    contract); oracle = DuckDB ``ASOF LEFT JOIN``."""
+    import ray.data as rd
+
+    from gencore_ray.ops.asof import asof_join
+    from gencore_ray.ops.relational import grouped_aggregate
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["user_id", "ts", "value"]
+    )
+    clicks = grouped_aggregate(
+        clicks, ["user_id", "ts"], [("last_click_value", "value", "max")],
+        num_parts=16,
+    )
+    out = asof_join(purchases, clicks, key="user_id", ts_col="ts", num_parts=16)
+    out = out.map_batches(
+        lambda df: df.rename(columns={"ts_right": "last_click_ts"}),
+        batch_format="pandas",
+    )
+    return _round_cols(out, {"last_click_value": 6})
+
+
+def _q_events_sliding_1h(sf_dir: str):
+    """RANGE-frame sliding window (ops/windows.py::sliding_range_agg):
+    per user, count + integer value-sum of the trailing 1 hour at every
+    event.  Exact-integer measure (floor(value)) because sliding-frame
+    FLOAT sums are accumulation-order-dependent in any engine — the
+    fixed-point discipline that makes the window bit-replayable."""
+    import ray.data as rd
+
+    from gencore_ray.ops.windows import sliding_range_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = sliding_range_agg(ev, range_width=pd.Timedelta(hours=1), num_parts=16)
+    return out.select_columns(["event_id", "win_n", "win_vsum", "win_avg"])
+
+
+def _q_session_overlap_pairs(sf_dir: str):
+    """Interval x interval overlap join (ops/intervals.py::
+    interval_overlap_join): sessions (>= 2 events) that were active at
+    the same moment as another user's session — domain-binned explode,
+    one bin-keyed exchange, max-lo-bin ownership so each pair is
+    emitted exactly once (no dedupe pass).  Session ids encoded
+    user_id*1e6+session_id; the oracle replays sessionization AND the
+    quadratic overlap join."""
+    import numpy as np
+    import ray.data as rd
+
+    from gencore_ray.ops.intervals import interval_overlap_join
+    from gencore_ray.ops.windows import session_windows
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    sess = session_windows(ev, gap=pd.Timedelta(minutes=30))
+
+    def to_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_events"] >= 2]
+        return pd.DataFrame({
+            "iv_id": df["user_id"].to_numpy(np.int64) * 1_000_000
+            + df["session_id"].to_numpy(np.int64),
+            "lo": df["session_start"].astype("datetime64[us]").astype("int64"),
+            "hi": df["session_end"].astype("datetime64[us]").astype("int64"),
+        })
+
+    iv = sess.map_batches(to_intervals, batch_format="pandas")
+    return interval_overlap_join(iv, None, num_parts=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1836,6 +1917,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_graph_pagerank": _q_purchase_graph_pagerank,
         "doc_chunks": _q_doc_chunks,
         "events_user_skew": _q_events_user_skew,
+        "events_asof_join": _q_events_asof_join,
+        "events_sliding_1h": _q_events_sliding_1h,
+        "session_overlap_pairs": _q_session_overlap_pairs,
     }
 
 
@@ -3116,5 +3200,37 @@ def oracle_sql() -> dict[str, str]:
         "round(CAST(mx AS DOUBLE) / total, 6) AS top1_share, "
         "round(CAST(s10 AS DOUBLE) / total, 6) AS top10_share, "
         "round(ssq / (CAST(total AS DOUBLE) * total), 6) AS hhi FROM s, t"
+    )
+    d["events_asof_join"] = (
+        "WITH p AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts, max(value) AS cv FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id, ts) "
+        "SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts, "
+        "round(c.cv, 6) AS last_click_value "
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
+    )
+    d["events_sliding_1h"] = (
+        "SELECT event_id, count(*) OVER w AS win_n, "
+        "sum(CAST(floor(value) AS BIGINT)) OVER w AS win_vsum, "
+        "(sum(CAST(floor(value) AS BIGINT)) OVER w) * 1.0 "
+        "/ (count(*) OVER w) AS win_avg "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    d["session_overlap_pairs"] = (
+        "WITH d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM d), "
+        "g AS (SELECT user_id, session_id, count(*) AS n_events, "
+        "min(ts) AS session_start, max(ts) AS session_end "
+        "FROM s GROUP BY user_id, session_id), "
+        "f AS (SELECT user_id * 1000000 + session_id AS iv_id, "
+        "epoch_us(session_start) AS lo, epoch_us(session_end) AS hi "
+        "FROM g WHERE n_events >= 2) "
+        "SELECT a.iv_id AS id_a, b.iv_id AS id_b FROM f a JOIN f b "
+        "ON a.iv_id < b.iv_id AND a.lo <= b.hi AND b.lo <= a.hi"
     )
     return d

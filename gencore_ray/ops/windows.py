@@ -148,6 +148,61 @@ def lag_lead(
     return grouped_map(events, key, per_partition, num_parts=num_parts)
 
 
+def sliding_range_agg(
+    events: rd.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    range_width: pd.Timedelta = pd.Timedelta(hours=1),
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Per-key sliding event-time window: for every event, the count and
+    value-sum of all events of the same key in ``[ts - range_width, ts]``
+    (SQL ``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW`` — peer rows at
+    the exact same ts are all included, on both boundary sides).
+
+    One exchange keyed on ``key``; inside each partition the frame
+    boundaries come from TWO vectorised ``searchsorted`` calls over a
+    key-offset-encoded time axis (no per-row or per-group Python), and
+    the sums from prefix-sum differences.
+
+    Exactness discipline: the summed value is ``floor(value)`` as int64 —
+    a sliding-frame FLOAT sum is accumulation-order-dependent in every
+    engine (this one subtracts prefix sums; DuckDB walks a segment
+    tree), so only an integer (or fixed-point) measure can be replayed
+    bit-exactly.  ``win_avg`` divides the two exact integers once.
+    """
+    range_us = int(range_width / pd.Timedelta(microseconds=1))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(win_n=pd.Series(dtype="int64"),
+                             win_vsum=pd.Series(dtype="int64"),
+                             win_avg=pd.Series(dtype="float64"))
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        # pin the epoch unit: parquet feeds datetime64[us], from_pandas
+        # feeds [ns] — a bare astype(int64) silently changes the window
+        ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        codes, _ = pd.factorize(df[key], sort=False)  # monotone: df is key-sorted
+        codes = codes.astype(np.int64)
+        ts0 = ts - ts.min()
+        big = np.int64(ts0.max() + range_us + 2)
+        if (codes.max() + 1) * int(big) >= 2**62:  # offset-encoding overflow guard
+            raise ValueError("sliding_range_agg: key-count x time-span too large "
+                             "for one partition — raise num_parts")
+        comb = codes * big + ts0
+        lo = np.searchsorted(comb, codes * big + (ts0 - range_us), side="left")
+        hi = np.searchsorted(comb, comb, side="right")
+        v = np.floor(df[value_col].to_numpy(dtype=np.float64)).astype(np.int64)
+        cs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(v)])
+        win_n = (hi - lo).astype(np.int64)
+        win_vsum = cs[hi] - cs[lo]
+        return df.assign(win_n=win_n, win_vsum=win_vsum,
+                         win_avg=win_vsum / win_n)
+
+    return grouped_map(events, key, per_partition, num_parts=num_parts)
+
+
 def running_totals(
     events: rd.Dataset,
     key: str = "user_id",
