@@ -1820,6 +1820,84 @@ def _q_session_overlap_pairs(sf_dir: str):
     return interval_overlap_join(iv, None, num_parts=16)
 
 
+def _q_embedding_knn_graph(sf_dir: str):
+    """Exact kNN graph (ops/ann.py::knn_graph): per-vector top-5 cosine
+    neighbours via block-pair partial top-k + one id-keyed merge
+    exchange — per-task output is <= k rows per vector, never the n^2
+    pair mass.  Round-6 scores with (score desc, id asc) tie order so a
+    ROW_NUMBER window replays the selection exactly."""
+    import ray.data as rd
+
+    from gencore_ray.ops.ann import knn_graph
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    emb = emb.filter(expr="vec_id < 500")
+    return knn_graph(emb, k=5, num_blocks=4, num_parts=8)
+
+
+def _q_returned_item_report(sf_dir: str):
+    """TPC-H Q10 shape — the multi-way join composition proof: lineitem
+    (returned rows, revenue pre-aggregated per order BEFORE the join so
+    the exchange carries one slim row per order) hash-joined to the
+    date-windowed orders, re-keyed to customer in one partial+final
+    aggregate, customer/nation attached by broadcast (small side never
+    shuffles), then a global top-20.  Two wide exchanges total for a
+    four-table query."""
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import broadcast_join, grouped_aggregate, topk
+    from gencore_ray.stages.shuffle import hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).filter(expr="l_returnflag == 'R'")
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "rev": df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy()),
+        })
+
+    li_per_order = grouped_aggregate(
+        li.map_batches(rev, batch_format="pandas"),
+        ["l_orderkey"], [("order_rev", "rev", "sum")], num_parts=8,
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def in_window(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"] >= "1996-01-01") & (df["o_orderdate"] < "1996-07-01")
+        return df.loc[m, ["o_orderkey", "o_custkey"]]
+
+    orders = orders.map_batches(in_window, batch_format="pandas")
+    j = hash_join(li_per_order, orders, "l_orderkey", "o_orderkey", num_parts=8)
+    per_cust = grouped_aggregate(
+        j.select_columns(["o_custkey", "order_rev"]), ["o_custkey"],
+        [("revenue", "order_rev", "sum"), ("n_orders", None, "count")],
+        num_parts=8,
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "c_name", "n_name"]
+    ]
+    out = broadcast_join(per_cust, dim, key="o_custkey", small_key="c_custkey")
+    out = _round_cols(out, {"revenue": 2}).select_columns(
+        ["o_custkey", "c_name", "n_name", "revenue", "n_orders"]
+    )
+    return topk(out, ["revenue", "o_custkey"], 20, descending=[True, False])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1920,6 +1998,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_events_asof_join,
         "events_sliding_1h": _q_events_sliding_1h,
         "session_overlap_pairs": _q_session_overlap_pairs,
+        "embedding_knn_graph": _q_embedding_knn_graph,
+        "returned_item_report": _q_returned_item_report,
     }
 
 
@@ -3232,5 +3312,30 @@ def oracle_sql() -> dict[str, str]:
         "FROM g WHERE n_events >= 2) "
         "SELECT a.iv_id AS id_a, b.iv_id AS id_b FROM f a JOIN f b "
         "ON a.iv_id < b.iv_id AND a.lo <= b.hi AND b.lo <= a.hi"
+    )
+    d["embedding_knn_graph"] = (
+        "WITH p AS (SELECT a.vec_id, b.vec_id AS nbr_id, "
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim "
+        "FROM embeddings a JOIN embeddings b "
+        "ON a.vec_id < 500 AND b.vec_id < 500 AND a.vec_id <> b.vec_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY cos_sim DESC, nbr_id) AS rank FROM p) "
+        "SELECT vec_id, nbr_id, cos_sim, rank FROM r WHERE rank <= 5"
+    )
+    d["returned_item_report"] = (
+        "WITH lo AS (SELECT l_orderkey, "
+        "sum(l_extendedprice * (1 - l_discount)) AS order_rev "
+        "FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey), "
+        "j AS (SELECT o.o_custkey, lo.order_rev FROM lo "
+        "JOIN orders o ON lo.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o.o_orderdate < TIMESTAMP '1996-07-01'), "
+        "pc AS (SELECT o_custkey, round(sum(order_rev), 2) AS revenue, "
+        "count(*) AS n_orders FROM j GROUP BY o_custkey) "
+        "SELECT pc.o_custkey, c.c_name, n.n_name, pc.revenue, pc.n_orders "
+        "FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "ORDER BY pc.revenue DESC, pc.o_custkey LIMIT 20"
     )
     return d

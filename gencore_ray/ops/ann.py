@@ -530,3 +530,105 @@ def ivf_query(
                             zero_copy_batch=True)
     return pruned.sort(["cos_sim", id_col],
                        descending=[True, False]).limit(k)
+
+
+@ray.remote
+def _block_knn_task(
+    ta: pa.Table, tb: pa.Table, same: bool, k: int,
+    id_col: str, vec_col: str, round_to: int,
+) -> pa.Table:
+    """Partial kNN for one unordered block pair: each row of A gets its
+    top-k among B's rows AND vice versa (both directions in one task, so
+    the pair grid stays B(B+1)/2).  Scores rounded BEFORE selection so
+    the (score desc, neighbor asc) order is SQL-replayable."""
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), "nbr_id": pa.array([], pa.int64()),
+         "cos_sim": pa.array([], pa.float64())}
+    )
+    if ta.num_rows == 0 or tb.num_rows == 0:
+        return empty
+    ids_a = ta[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids_b = tb[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ma = _normalize(_batch_matrix(ta, vec_col))
+    mb = ma if same else _normalize(_batch_matrix(tb, vec_col))
+    cos = np.round(ma @ mb.T, round_to)
+
+    def topk_rows(c: np.ndarray, rows: np.ndarray, cols: np.ndarray,
+                  drop_diag: bool) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if drop_diag:
+            c = c.copy()
+            c[rows[:, None] == cols[None, :]] = -np.inf
+        kk = min(k, c.shape[1])
+        # per-row partial selection, then exact (score desc, id asc) order
+        part = np.argpartition(-c, kk - 1, axis=1)[:, :kk]
+        sc = np.take_along_axis(c, part, axis=1)
+        nbr = cols[part]
+        ordr = np.lexsort((nbr, -sc), axis=1)
+        sc = np.take_along_axis(sc, ordr, axis=1)
+        nbr = np.take_along_axis(nbr, ordr, axis=1)
+        keep = np.isfinite(sc)
+        src = np.repeat(rows, kk).reshape(-1, kk)
+        return src[keep], nbr[keep], sc[keep]
+
+    s1, n1, c1 = topk_rows(cos, ids_a, ids_b, drop_diag=same)
+    if same:
+        src, nbr, sc = s1, n1, c1
+    else:
+        s2, n2, c2 = topk_rows(cos.T, ids_b, ids_a, drop_diag=False)
+        src = np.concatenate([s1, s2])
+        nbr = np.concatenate([n1, n2])
+        sc = np.concatenate([c1, c2])
+    return pa.table({id_col: pa.array(src), "nbr_id": pa.array(nbr),
+                     "cos_sim": pa.array(sc)})
+
+
+def knn_graph(
+    ds: rd.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    num_blocks: int | None = None,
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Exact k-nearest-neighbour graph by cosine: (id, nbr_id, cos_sim,
+    rank 1..k) per vector — the all-pairs primitive behind SemDeDup-style
+    graph pruning and embedding QA.
+
+    Same block-pair decomposition as ``near_dup_pairs`` (one task per
+    unordered block pair, driver never holds vectors), but each task
+    emits only per-block partial top-k rows (<= k per vector per block
+    touched, not the full n^2 mass); ONE id-keyed exchange then merges
+    partials into the global top-k.  Exchange mass: n x B x k slim rows.
+    Ties broken (cos_sim desc, nbr_id asc) on round-6 scores — exactly
+    replayable by a SQL ROW_NUMBER window.
+    """
+    mat = ds.select_columns([id_col, vec_col]).materialize()
+    if num_blocks is None:
+        num_blocks = int(np.clip((mat.count() + 8191) // 8192, 1,
+                                 4 * int(ray.cluster_resources().get("CPU", 8))))
+    if mat.num_blocks() > 2 * num_blocks:
+        mat = mat.repartition(num_blocks).materialize()
+    blocks = mat.to_arrow_refs()
+    outs = [
+        _block_knn_task.remote(blocks[i], blocks[j], i == j, k,
+                               id_col, vec_col, round_to)
+        for i in range(len(blocks))
+        for j in range(i, len(blocks))
+    ]
+    partials = rd.from_arrow_refs(outs)
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        if not len(df):
+            return df.assign(rank=pd.Series(dtype="int64"))
+        df = df.sort_values([id_col, "cos_sim", "nbr_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        # a neighbor can appear once per block pair that touched it — distinct first
+        df = df.drop_duplicates([id_col, "nbr_id"])
+        df = df.assign(rank=df.groupby(id_col, sort=False).cumcount() + 1)
+        return df[df["rank"] <= k]
+
+    from gencore_ray.stages.shuffle import grouped_map
+
+    return grouped_map(partials, id_col, merge, num_parts=num_parts)

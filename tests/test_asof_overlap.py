@@ -124,3 +124,28 @@ def test_interval_overlap_empty_and_touching(ray_session):
                                 num_parts=2).to_pandas()
     # closed intervals: touching at a single point overlaps
     assert set(zip(got["id_a"], got["id_b"])) == {(1, 2)}
+
+
+def test_knn_graph_matches_bruteforce(ray_session):
+    from gencore_ray.ops.ann import knn_graph
+
+    rng = np.random.RandomState(9)
+    n, d, k = 120, 16, 4
+    vecs = rng.randn(n, d)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(vecs.astype(np.float32))})
+    got = (
+        knn_graph(rd.from_pandas(df), k=k, num_blocks=5, num_parts=4)
+        .to_pandas().sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    )
+    m = vecs.astype(np.float32).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.round(m @ m.T, 6)
+    np.fill_diagonal(cos, -np.inf)
+    assert len(got) == n * k
+    for i in range(n):
+        order = np.lexsort((np.arange(n), -cos[i]))[:k]
+        sub = got[got["vec_id"] == i]
+        assert sub["nbr_id"].tolist() == order.tolist()
+        assert np.allclose(sub["cos_sim"].to_numpy(), cos[i][order])
+        assert sub["rank"].tolist() == list(range(1, k + 1))
