@@ -1898,6 +1898,34 @@ def _q_returned_item_report(sf_dir: str):
     return topk(out, ["revenue", "o_custkey"], 20, descending=[True, False])
 
 
+def _q_bpe_encode_stats(sf_dir: str):
+    """Tokenizer train+apply end-to-end (ops/bpe.py): 60 BPE merges
+    learned from the corpus word table, then the corpus encoded by an
+    actor-pool BpeEncoder (ranks loaded once per actor — ST1) emitting
+    per-doc word and subword counts.  Engine-only: the per-merge argmax
+    loop and greedy adjacent-pair collapse are not SQL-expressible
+    (same justification as bpe_merges); correctness pinned by
+    tests/test_bpe.py against a sequential-replay reference."""
+    from gencore_ray.ops.bpe import bpe_encode, bpe_train
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=60, top_words=20_000)
+    return bpe_encode(docs, merges, concurrency=(1, 8))
+
+
+def _q_tfidf_cosine_pairs(sf_dir: str):
+    """Sparse TF-IDF cosine pairs (ops/sparse.py): the inverted-index
+    join — pairs generated term-by-term so cost is sum(df^2) over the
+    df-pruned vocabulary, not n^2; stop terms (df > 100) are the
+    pruning AND the hot-key guard.  Every float (idf, weights, norms,
+    dot) replayed by the SQL twin; cosine rounded before the 0.5
+    threshold so the cut is exact."""
+    from gencore_ray.ops.sparse import tfidf_cosine_pairs
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return tfidf_cosine_pairs(docs, threshold=0.5, max_df=100, num_parts=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1954,6 +1982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_span_stats": _q_duplicate_span_stats,
         "suffix_array_spans": _q_suffix_array_spans,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode_stats": _q_bpe_encode_stats,
         "embedding_covariance": _q_embedding_covariance,
         "pca_explained_variance": _q_pca_explained_variance,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -2000,6 +2029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_overlap_pairs": _q_session_overlap_pairs,
         "embedding_knn_graph": _q_embedding_knn_graph,
         "returned_item_report": _q_returned_item_report,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
     }
 
 
@@ -3337,5 +3367,26 @@ def oracle_sql() -> dict[str, str]:
         "FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
         "ORDER BY pc.revenue DESC, pc.o_custkey LIMIT 20"
+    )
+    d["tfidf_cosine_pairs"] = (
+        "WITH tok AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents), "
+        "tf AS (SELECT doc_id, md5_number_lower(t) AS th, "
+        "CAST(count(*) AS BIGINT) AS tf "
+        "FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, th), "
+        "dfq AS (SELECT th, count(*) AS df FROM tf GROUP BY th), "
+        "v AS (SELECT th, ln((SELECT count(*) FROM documents) * 1.0 / df) AS idf "
+        "FROM dfq WHERE df BETWEEN 2 AND 100), "
+        "w AS (SELECT tf.doc_id, tf.th, tf.tf * v.idf AS w "
+        "FROM tf JOIN v USING(th)), "
+        "nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id), "
+        "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, sum(a.w*b.w) AS dot "
+        "FROM w a JOIN w b ON a.th = b.th AND a.doc_id < b.doc_id "
+        "GROUP BY ia, ib) "
+        "SELECT ia AS doc_a, ib AS doc_b, "
+        "round(dot / (na.nrm * nb.nrm), 6) AS cos_sim "
+        "FROM p JOIN nrm na ON p.ia = na.doc_id "
+        "JOIN nrm nb ON p.ib = nb.doc_id "
+        "WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.5"
     )
     return d

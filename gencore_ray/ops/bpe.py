@@ -239,3 +239,96 @@ def bpe_train(
         "right": [m[1] for m in merges],
         "pair_count": np.asarray([m[2] for m in merges], dtype=np.int64),
     })
+
+
+class BpeEncoder:
+    """Actor-pool BPE encoder (the ST1 shape: merge ranks built once per
+    actor in ``__init__``, /root/reference/src/reference.cpp:4-11; pure
+    batched work in ``__call__``).
+
+    Encoding picks the lowest-rank pair present and collapses all its
+    occurrences left-to-right, repeating until no trained pair remains —
+    provably identical to replaying the merges in rank order (a merge of
+    rank r can never create a pair of rank < r that min-rank-first would
+    have missed), and O(|word| * pairs-present) instead of
+    O(|word| * n_merges).  Distinct words are encoded once per actor via
+    a bounded cache (web text is Zipfian — the cache hit rate IS the
+    speedup).
+    """
+
+    def __init__(self, merges: pd.DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", emit_tokens: bool = False,
+                 cache_size: int = 500_000):
+        self.ranks = {
+            (l, r): i for i, (l, r) in enumerate(
+                zip(merges["left"].tolist(), merges["right"].tolist()))
+        }
+        self.text_col = text_col
+        self.id_col = id_col
+        self.emit_tokens = emit_tokens
+        self.cache: dict[str, list[str]] = {}
+        self.cache_size = int(cache_size)
+
+    def _encode_word(self, w: str) -> list[str]:
+        hit = self.cache.get(w)
+        if hit is not None:
+            return hit
+        syms = list(w) + [_EOW]
+        ranks = self.ranks
+        while len(syms) > 1:
+            best = None
+            for pair in zip(syms, syms[1:]):
+                r = ranks.get(pair)
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, pair)
+            if best is None:
+                break
+            syms = _merge_syms(syms, *best[1])
+        if len(self.cache) < self.cache_size:
+            self.cache[w] = syms
+        return syms
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from gencore_ray.functions.text import _TOKEN_RE
+
+        ids, n_words, n_tokens, toks_out = [], [], [], []
+        for i, t in zip(df[self.id_col].tolist(), df[self.text_col].tolist()):
+            words = _TOKEN_RE.findall((t or "").lower())
+            pieces: list[str] = []
+            for w in words:
+                pieces.extend(self._encode_word(w))
+            ids.append(i)
+            n_words.append(len(words))
+            n_tokens.append(len(pieces))
+            if self.emit_tokens:
+                toks_out.append(pieces)
+        out = {self.id_col: ids,
+               "n_words": np.asarray(n_words, dtype=np.int64),
+               "n_bpe_tokens": np.asarray(n_tokens, dtype=np.int64)}
+        if self.emit_tokens:
+            out["bpe_tokens"] = toks_out
+        return pd.DataFrame(out)
+
+
+def bpe_encode(
+    ds: rd.Dataset,
+    merges: pd.DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit_tokens: bool = False,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 256,
+) -> rd.Dataset:
+    """Apply a trained merge table to a corpus: per doc the word count
+    and BPE-subword count (and the token lists with ``emit_tokens`` —
+    beware: tokens are ~corpus-sized; the default emits only counts).
+    The merge table is tiny (vocab-bounded) and ships once per actor
+    inside the callable class, never per batch."""
+    return ds.select_columns([id_col, text_col]).map_batches(
+        BpeEncoder, fn_constructor_kwargs={
+            "merges": merges, "text_col": text_col, "id_col": id_col,
+            "emit_tokens": emit_tokens,
+        },
+        batch_format="pandas", concurrency=concurrency,
+        batch_size=batch_size,
+    )

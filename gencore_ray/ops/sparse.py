@@ -1,0 +1,150 @@
+"""Sparse TF-IDF cosine similarity via an inverted-index exchange.
+
+The dense embedding ops (ops/ann.py) pay O(n^2) matmuls or LSH
+recall; the sparse complement exploits that two documents' TF-IDF dot
+product only has terms BOTH contain — so pairs are generated term-by-
+term (the inverted index join of classic IR), and the quadratic cost
+collapses to sum(df^2) over the pruned vocabulary.
+
+Dataflow (every exchange slim, text never rides a shuffle):
+
+  1. map: per-doc term frequencies -> (th=md5_low64(term), doc_id, tf)
+  2. term-keyed aggregate: document frequency df per term; terms with
+     df=1 (can't pair) or df > max_df (stop terms — the hot-key guard
+     AND the classic IR prune: near-zero idf, quadratic pair cost) are
+     dropped, COUNTED, and the pruned-vocab idf table is broadcast
+     (vocabulary-bounded — same O(V) broadcast-model shape as
+     ops/lm.py).
+  3. map + doc-keyed aggregate: w = tf*idf, per-doc norms over the
+     pruned vector.
+  4. doc-keyed join: norms ride with the term rows (8 B each), so the
+     final pair aggregate needs no second lookup.
+  5. term-keyed exchange: per term, all (doc, w) pairs merge -> partial
+     products (doc_a < doc_b); pair-keyed aggregate sums them; one
+     rounded division by the norms gives cosine.
+
+The reference analogue is the UMI-prefix bucketed pair generation
+(/root/reference/src/cluster.cpp:55-100): candidates only within a
+shared key, never all-pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from gencore_ray.functions.embed import md5_low64
+
+
+def tfidf_cosine_pairs(
+    docs: rd.Dataset,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 100,
+    min_df: int = 2,
+    round_to: int = 6,
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """All doc pairs (doc_a < doc_b) whose TF-IDF cosine over the
+    df-pruned vocabulary is >= ``threshold`` (rounded to ``round_to``
+    BEFORE thresholding, so the cut is SQL-replayable).
+
+    idf = ln(N / df); terms outside [min_df, max_df] are removed from
+    the vectors entirely (norms included) — standard stop-term pruning,
+    which is also what bounds the per-term pair fan-out.
+    """
+    from gencore_ray.functions.text import _TOKEN_RE
+    from gencore_ray.ops.relational import grouped_aggregate
+    from gencore_ray.stages.shuffle import grouped_map, hash_join
+
+    n_docs = docs.count()
+
+    def term_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, ths, tfs = [], [], []
+        for i, t in zip(df[id_col].tolist(), df[text_col].tolist()):
+            toks = _TOKEN_RE.findall((t or "").lower())
+            if not toks:
+                continue
+            vc = pd.Series(toks).value_counts()
+            ids.extend([i] * len(vc))
+            ths.extend(md5_low64(term) for term in vc.index)
+            tfs.extend(int(c) for c in vc.to_numpy())
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "th": pd.Series(np.asarray(ths, dtype=np.uint64).view(np.int64)),
+            "tf": pd.Series(tfs, dtype="int64"),
+        })
+
+    T = docs.select_columns([id_col, text_col]).map_batches(
+        term_rows, batch_format="pandas").materialize()
+
+    dfreq = grouped_aggregate(T.select_columns(["th"]), ["th"],
+                              [("df", None, "count")], num_parts=num_parts)
+    dfreq = dfreq.filter(expr=f"df >= {int(min_df)} and df <= {int(max_df)}")
+    dfp = dfreq.to_pandas()          # pruned vocabulary — bounded by max_df cut
+    idf = dict(zip(dfp["th"].to_numpy(),
+                   np.log(float(n_docs) / dfp["df"].to_numpy(dtype=np.float64))))
+    idf_ref = ray.put(idf)
+
+    def weight(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(idf_ref)
+        iv = df["th"].map(m)
+        keep = iv.notna()
+        df = df.loc[keep].assign(w=df.loc[keep, "tf"].to_numpy(dtype=np.float64)
+                                 * iv[keep].to_numpy(dtype=np.float64))
+        return df[[id_col, "th", "w"]]
+
+    W = T.map_batches(weight, batch_format="pandas").materialize()
+
+    def w2(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: df[id_col],
+                             "w2": df["w"].to_numpy() ** 2})
+
+    norms = grouped_aggregate(W.map_batches(w2, batch_format="pandas"),
+                              [id_col], [("sum_w2", "w2", "sum")],
+                              num_parts=num_parts)
+
+    def to_norm(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_doc": df[id_col],
+                             "nrm": np.sqrt(df["sum_w2"].to_numpy())})
+
+    norms = norms.map_batches(to_norm, batch_format="pandas")
+    Wn = hash_join(W, norms, id_col, "n_doc", num_parts=num_parts)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "prod": pd.Series(dtype="float64"),
+                              "na": pd.Series(dtype="float64"),
+                              "nb": pd.Series(dtype="float64")})
+        if not len(df):
+            return empty
+        m = df.merge(df, on="th", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if not len(m):
+            return empty
+        return pd.DataFrame({
+            "doc_a": m[f"{id_col}_a"].to_numpy(dtype=np.int64),
+            "doc_b": m[f"{id_col}_b"].to_numpy(dtype=np.int64),
+            "prod": m["w_a"].to_numpy() * m["w_b"].to_numpy(),
+            "na": m["nrm_a"].to_numpy(),
+            "nb": m["nrm_b"].to_numpy(),
+        })
+
+    P = grouped_map(Wn, "th", partials, num_parts=num_parts)
+    agg = grouped_aggregate(
+        P, ["doc_a", "doc_b"],
+        [("dot", "prod", "sum"), ("na", "na", "max"), ("nb", "nb", "max")],
+        num_parts=num_parts,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cos = np.round(df["dot"].to_numpy()
+                       / (df["na"].to_numpy() * df["nb"].to_numpy()), round_to)
+        out = df.assign(cos_sim=cos)[["doc_a", "doc_b", "cos_sim"]]
+        return out[out["cos_sim"] >= threshold]
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -99,3 +99,60 @@ def test_word_count_table(ray_session):
         {"word": "a", "count": 3}, {"word": "b", "count": 2}]
     top = word_count_table(ds, num_parts=2, top_words=1).to_pandas()
     assert top.to_dict("records") == [{"word": "a", "count": 3}]
+
+
+def _ref_encode_word(w, merges):
+    """Naive sequential replay: apply every merge in rank order."""
+    syms = list(w) + [EOW]
+    for left, right, _c in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_sequential_replay(ray_session):
+    from gencore_ray.ops.bpe import BpeEncoder, bpe_encode, bpe_train
+
+    docs = pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS})
+    merges_ref = _ref_bpe(TEXTS, 20)
+    merges = bpe_train(rd.from_pandas(docs), n_merges=20)
+    assert list(zip(merges["left"], merges["right"])) == [
+        (l, r) for l, r, _ in merges_ref]
+
+    # word-level: min-rank-first loop == sequential rank-order replay
+    enc = BpeEncoder(merges)
+    import re
+    words = sorted({w for t in TEXTS for w in re.findall(r"[a-z0-9_]+", t)})
+    for w in words:
+        assert enc._encode_word(w) == _ref_encode_word(w, merges_ref), w
+
+    # dataset-level counts line up with per-word encoding
+    got = (bpe_encode(rd.from_pandas(docs), merges, concurrency=2,
+                      batch_size=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(TEXTS):
+        ws = re.findall(r"[a-z0-9_]+", (t or "").lower())
+        want = sum(len(_ref_encode_word(w, merges_ref)) for w in ws)
+        assert got.loc[i, "n_words"] == len(ws)
+        assert got.loc[i, "n_bpe_tokens"] == want
+
+
+def test_bpe_encode_emit_tokens_roundtrip(ray_session):
+    from gencore_ray.ops.bpe import bpe_encode, bpe_train
+
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["low lower lowest",
+                                                    "new newer newest"]})
+    merges = bpe_train(rd.from_pandas(docs), n_merges=30, min_pair_count=1)
+    got = (bpe_encode(rd.from_pandas(docs), merges, emit_tokens=True)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # stripping the end-of-word markers reconstructs the original words
+    for i, t in enumerate(docs["text"]):
+        joined = "".join(got.loc[i, "bpe_tokens"]).replace("</w>", " ").strip()
+        assert joined == t

@@ -1,0 +1,80 @@
+"""Sparse TF-IDF cosine pairs vs a dense in-process reference."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from gencore_ray.functions.embed import md5_low64
+from gencore_ray.ops.sparse import tfidf_cosine_pairs
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the cat sat on the hat",
+    "dogs chase cats in the park",
+    "dogs chase balls in the park",
+    "completely unrelated quantum chromodynamics lattice",
+    "quantum chromodynamics on the lattice",
+    "the the the the the",
+    "",
+]
+
+
+def _dense_ref(texts, max_df, min_df, threshold):
+    import re
+
+    tok = re.compile(r"[a-z0-9_]+")
+    tfs = [pd.Series(tok.findall(t.lower())).value_counts() if t else
+           pd.Series(dtype="int64") for t in texts]
+    # term -> md5 bucket exactly like the engine (collisions included)
+    htfs = []
+    for s in tfs:
+        d = {}
+        for term, c in s.items():
+            h = md5_low64(term)
+            d[h] = d.get(h, 0) + int(c)
+        htfs.append(d)
+    df_count = {}
+    for d in htfs:
+        for h in d:
+            df_count[h] = df_count.get(h, 0) + 1
+    n = len(texts)
+    idf = {h: np.log(n / c) for h, c in df_count.items()
+           if min_df <= c <= max_df}
+    vecs = [{h: c * idf[h] for h, c in d.items() if h in idf} for d in htfs]
+    nrm = [np.sqrt(sum(w * w for w in v.values())) for v in vecs]
+    out = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            shared = set(vecs[i]) & set(vecs[j])
+            if not shared or nrm[i] == 0 or nrm[j] == 0:
+                continue
+            dot = sum(vecs[i][h] * vecs[j][h] for h in shared)
+            cos = round(dot / (nrm[i] * nrm[j]), 6)
+            if cos >= threshold:
+                out.add((i, j, cos))
+    return out
+
+
+def test_tfidf_cosine_pairs_matches_dense(ray_session):
+    docs = pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS})
+    got = tfidf_cosine_pairs(rd.from_pandas(docs), threshold=0.1,
+                             max_df=len(TEXTS), min_df=2,
+                             num_parts=4).to_pandas()
+    want = _dense_ref(TEXTS, max_df=len(TEXTS), min_df=2, threshold=0.1)
+    have = {(int(a), int(b), float(c)) for a, b, c in
+            zip(got["doc_a"], got["doc_b"], got["cos_sim"])}
+    assert have == want
+
+
+def test_tfidf_stop_term_prune_drops_common_words(ray_session):
+    docs = pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS})
+    # max_df=2: 'the' (df 6) is pruned everywhere, so the all-'the' doc
+    # has an empty vector and can pair with nothing
+    got = tfidf_cosine_pairs(rd.from_pandas(docs), threshold=0.01,
+                             max_df=2, min_df=2, num_parts=4).to_pandas()
+    assert 6 not in set(got["doc_a"]) | set(got["doc_b"])
+    want = _dense_ref(TEXTS, max_df=2, min_df=2, threshold=0.01)
+    have = {(int(a), int(b), float(c)) for a, b, c in
+            zip(got["doc_a"], got["doc_b"], got["cos_sim"])}
+    assert have == want
