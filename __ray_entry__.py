@@ -1926,6 +1926,43 @@ def _q_tfidf_cosine_pairs(sf_dir: str):
     return tfidf_cosine_pairs(docs, threshold=0.5, max_df=100, num_parts=16)
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered conversion funnel (ops/funnel.py): view -> click ->
+    purchase per user, each stage's first timestamp gated to be >= the
+    previous stage's — one user-keyed exchange, stages as vectorised
+    merge+groupby-min passes inside the partition.  Timestamps compare
+    exactly, so the SQL chained-min-join twin hash-matches."""
+    import ray.data as rd
+
+    from gencore_ray.ops.funnel import funnel_stages
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_stages(ev, ["view", "click", "purchase"], num_parts=16)
+
+
+def _q_events_quality_report(sf_dir: str):
+    """Declarative constraint checking (ops/quality.py): five invariants
+    over events verified in one pass + one slim exchange for the
+    uniqueness check — violations travel as counters, never rows.
+    Includes a deliberately failing accepted-values set and a
+    cross-table foreign-key probe (user_id vs customer keys)."""
+    import ray.data as rd
+
+    from gencore_ray.ops.quality import constraint_report
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey"])["c_custkey"].to_numpy()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return constraint_report(ev, [
+        ("unique", ["event_id"]),
+        ("not_null", "props"),
+        ("accepted_values", "event_type", ["view", "click", "purchase"]),
+        ("range", "value", 0.0, 500.0),
+        ("foreign_key", "user_id", cust),
+    ], num_parts=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2030,6 +2067,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_graph": _q_embedding_knn_graph,
         "returned_item_report": _q_returned_item_report,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        "events_funnel": _q_events_funnel,
+        "events_quality_report": _q_events_quality_report,
     }
 
 
@@ -3388,5 +3427,37 @@ def oracle_sql() -> dict[str, str]:
         "FROM p JOIN nrm na ON p.ia = na.doc_id "
         "JOIN nrm nb ON p.ib = nb.doc_id "
         "WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.5"
+    )
+    d["events_funnel"] = (
+        "WITH v AS (SELECT user_id, min(ts) AS stage_1_ts FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "c AS (SELECT e.user_id, min(e.ts) AS stage_2_ts FROM events e "
+        "JOIN v ON e.user_id = v.user_id "
+        "WHERE e.event_type = 'click' AND e.ts >= v.stage_1_ts "
+        "GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, min(e.ts) AS stage_3_ts FROM events e "
+        "JOIN c ON e.user_id = c.user_id "
+        "WHERE e.event_type = 'purchase' AND e.ts >= c.stage_2_ts "
+        "GROUP BY e.user_id) "
+        "SELECT v.user_id, v.stage_1_ts, c.stage_2_ts, p.stage_3_ts, "
+        "CASE WHEN p.stage_3_ts IS NOT NULL THEN 3 "
+        "WHEN c.stage_2_ts IS NOT NULL THEN 2 ELSE 1 END AS stage_reached "
+        "FROM v LEFT JOIN c ON v.user_id = c.user_id "
+        "LEFT JOIN p ON v.user_id = p.user_id"
+    )
+    d["events_quality_report"] = (
+        "SELECT 'unique(event_id)' AS check_name, "
+        "count(*) - count(DISTINCT event_id) AS violations, "
+        "count(*) AS n_rows FROM events "
+        "UNION ALL SELECT 'not_null(props)', "
+        "count(*) FILTER (props IS NULL), count(*) FROM events "
+        "UNION ALL SELECT 'accepted_values(event_type)', "
+        "count(*) FILTER (event_type IS NOT NULL AND event_type NOT IN "
+        "('view', 'click', 'purchase')), count(*) FROM events "
+        "UNION ALL SELECT 'range(value,[0.0,500.0))', "
+        "count(*) FILTER (value < 0.0 OR value >= 500.0), count(*) FROM events "
+        "UNION ALL SELECT 'foreign_key(user_id)', "
+        "count(*) FILTER (user_id IS NOT NULL AND user_id NOT IN "
+        "(SELECT c_custkey FROM customer)), count(*) FROM events"
     )
     return d

@@ -49,6 +49,11 @@ QUERY_NAMES = [
     "doc_chunks",
     "purchase_graph_pagerank",
     "events_user_skew",
+    "events_asof_join",
+    "events_sliding_1h",
+    "embedding_knn_graph",
+    "returned_item_report",
+    "tfidf_cosine_pairs",
 ]
 
 

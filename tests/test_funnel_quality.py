@@ -1,0 +1,79 @@
+"""Funnel stages and constraint report vs in-process ground truth."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from gencore_ray.ops.funnel import funnel_stages
+from gencore_ray.ops.quality import constraint_report
+
+
+def _events():
+    rows = [
+        # u1: full funnel in order
+        (1, "2024-01-01 00:00", "view"), (1, "2024-01-01 01:00", "click"),
+        (1, "2024-01-01 02:00", "purchase"),
+        # u2: purchase BEFORE click — stops at stage 2
+        (2, "2024-01-01 00:00", "view"), (2, "2024-01-01 03:00", "click"),
+        (2, "2024-01-01 01:00", "purchase"),
+        # u3: click before view — the later click (after view) counts
+        (3, "2024-01-01 01:00", "click"), (3, "2024-01-01 02:00", "view"),
+        (3, "2024-01-01 03:00", "click"), (3, "2024-01-01 04:00", "purchase"),
+        # u4: view only
+        (4, "2024-01-01 00:00", "view"),
+        # u5: never viewed — absent from output
+        (5, "2024-01-01 00:00", "click"), (5, "2024-01-01 01:00", "purchase"),
+        # u6: click at the SAME instant as view (>= boundary)
+        (6, "2024-01-01 00:00", "view"), (6, "2024-01-01 00:00", "click"),
+    ]
+    return pd.DataFrame({
+        "user_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] for r in rows]),
+        "event_type": [r[2] for r in rows],
+    })
+
+
+def test_funnel_stages_semantics(ray_session):
+    got = (
+        funnel_stages(rd.from_pandas(_events()),
+                      ["view", "click", "purchase"], num_parts=3)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert got["user_id"].tolist() == [1, 2, 3, 4, 6]
+    assert got["stage_reached"].tolist() == [3, 2, 3, 1, 2]
+    t = pd.Timestamp
+    assert got.loc[0, "stage_3_ts"] == t("2024-01-01 02:00")
+    # u2's purchase predates the click: no stage 3
+    assert pd.isna(got.loc[1, "stage_3_ts"])
+    # u3: the pre-view click is ignored; the 03:00 click gates the funnel
+    assert got.loc[2, "stage_2_ts"] == t("2024-01-01 03:00")
+    assert got.loc[2, "stage_3_ts"] == t("2024-01-01 04:00")
+    # u6: same-instant events satisfy >=
+    assert got.loc[4, "stage_2_ts"] == t("2024-01-01 00:00")
+
+
+def test_constraint_report_counts(ray_session):
+    df = pd.DataFrame({
+        "id": [1, 2, 2, 3, 4, 4],            # 2 duplicate rows
+        "v": [0.5, -1.0, 3.0, 10.0, np.nan, 2.0],
+        "cat": ["a", "b", "zz", "a", None, "qq"],
+        "fk": [10, 10, 20, 99, 10, 98],      # 99, 98 miss
+    })
+    got = (
+        constraint_report(rd.from_pandas(df), [
+            ("unique", ["id"]),
+            ("not_null", "v"),
+            ("accepted_values", "cat", ["a", "b"]),
+            ("range", "v", 0.0, 5.0),
+            ("foreign_key", "fk", np.array([10, 20])),
+        ], num_parts=3)
+        .to_pandas().set_index("check_name")
+    )
+    assert got.loc["unique(id)", "violations"] == 2
+    assert got.loc["not_null(v)", "violations"] == 1
+    assert got.loc["accepted_values(cat)", "violations"] == 2  # zz, qq; null skipped
+    # range: -1.0 and 10.0 out of [0,5); NaN comparisons are False -> not counted
+    assert got.loc["range(v,[0.0,5.0))", "violations"] == 2
+    assert got.loc["foreign_key(fk)", "violations"] == 2
+    assert (got["n_rows"] == 6).all()
