@@ -1963,6 +1963,27 @@ def _q_events_quality_report(sf_dir: str):
     ], num_parts=8)
 
 
+def _q_events_customer_skew_join(sf_dir: str):
+    """Skew-aware join (ops/skew.py::skew_join): left keys are counted
+    first (slim exchange); keys above the threshold take the broadcast
+    path (their row mass never rides an exchange), the rest take the
+    partitioned hash join — the remedy the key_skew_profile measurement
+    decides on.  Threshold deliberately low here so BOTH paths carry
+    real rows; the SQL twin is the plain inner join (the split must be
+    invisible in the result)."""
+    import ray.data as rd
+
+    from gencore_ray.ops.skew import skew_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+    out = skew_join(ev, cust, "user_id", "c_custkey",
+                    hot_threshold=2, num_parts=16)
+    return out.select_columns(["event_id", "user_id", "value", "c_acctbal"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2069,6 +2090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "events_funnel": _q_events_funnel,
         "events_quality_report": _q_events_quality_report,
+        "events_customer_skew_join": _q_events_customer_skew_join,
     }
 
 
@@ -3459,5 +3481,9 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'foreign_key(user_id)', "
         "count(*) FILTER (user_id IS NOT NULL AND user_id NOT IN "
         "(SELECT c_custkey FROM customer)), count(*) FROM events"
+    )
+    d["events_customer_skew_join"] = (
+        "SELECT e.event_id, e.user_id, e.value, c.c_acctbal "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
     )
     return d

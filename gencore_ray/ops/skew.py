@@ -74,3 +74,94 @@ def key_skew_profile(
     return rd.from_arrow(
         pa.table({k: pa.array([v]) for k, v in row.items()})
     )
+
+
+def skew_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_key: str,
+    right_key: str,
+    hot_threshold: int = 100_000,
+    num_parts: int = 64,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Hash join with explicit hot-key handling — the remedy side of
+    ``key_skew_profile``.
+
+    A plain hash join sends ALL rows of a key to one partition; a key
+    with 10^8 left rows turns one reduce task into the job's critical
+    path.  This variant counts left keys first (one slim exchange),
+    declares keys above ``hot_threshold`` hot, and splits the work:
+
+      cold rows -> normal partitioned ``hash_join``
+      hot rows  -> the RIGHT rows of hot keys are broadcast (ray.put)
+                   and merged map-side into the left's own blocks — the
+                   hot keys' row mass NEVER moves through an exchange.
+
+    Results are the exact union of both paths (equality-tested against
+    the plain join).  Assumption to document at scale: the right side
+    of a hot key must be broadcast-small (dimension-like); if BOTH
+    sides of one key are huge the join output is quadratic in that key
+    and no partitioning can save it — cap or pre-aggregate instead.
+    Only ``how='inner'`` is offered: outer padding would need a second
+    accounting pass across the split.
+    """
+    import numpy as np
+    import ray
+
+    from gencore_ray.ops.relational import grouped_aggregate
+    from gencore_ray.stages.shuffle import hash_join
+
+    if how != "inner":
+        raise ValueError("skew_join supports how='inner' only")
+
+    counts = grouped_aggregate(
+        left.select_columns([left_key]), [left_key],
+        [("cnt", None, "count")], num_parts=num_parts,
+    )
+    hot = counts.filter(expr=f"cnt > {int(hot_threshold)}").to_pandas()
+    # a fully-filtered Dataset can surface as a column-less empty frame
+    hot_keys = (hot[left_key].to_numpy() if len(hot)
+                else np.array([], dtype=np.int64))
+    if not len(hot_keys):
+        return hash_join(left, right, left_key, right_key,
+                         num_parts=num_parts)
+
+    hot_ref = ray.put(hot_keys)
+
+    def split(keep_hot: bool, key: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            m = df[key].isin(ray.get(hot_ref))
+            return df[m] if keep_hot else df[~m]
+        return fn
+
+    # pre-split schemas: either cold side may filter to ZERO rows (every
+    # key hot), which leaves Ray without a derivable schema
+    from gencore_ray.stages.shuffle import to_arrow_blocks
+
+    left = to_arrow_blocks(left)
+    right = to_arrow_blocks(right)
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+
+    cold = hash_join(
+        left.map_batches(split(False, left_key), batch_format="pandas"),
+        right.map_batches(split(False, right_key), batch_format="pandas"),
+        left_key, right_key, num_parts=num_parts,
+        left_schema=lschema, right_schema=rschema,
+    )
+
+    right_hot = right.map_batches(split(True, right_key),
+                                  batch_format="pandas").to_pandas()
+    rh_ref = ray.put(right_hot)
+    rcols = [c for c in right_hot.columns if c != right_key]
+
+    def bcast_merge(df: pd.DataFrame) -> pd.DataFrame:
+        rh = ray.get(rh_ref)
+        out = df.merge(rh, left_on=left_key, right_on=right_key, how="inner")
+        return out[[*df.columns, *rcols]]
+
+    hot_joined = left.map_batches(split(True, left_key),
+                                  batch_format="pandas").map_batches(
+        bcast_merge, batch_format="pandas")
+    return cold.union(hot_joined)

@@ -270,6 +270,8 @@ def hash_join(
     num_parts: int = 64,
     how: str = "inner",
     left_dedupe: list[str] | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Partitioned hash join without persistent aggregator actors.
 
@@ -286,14 +288,23 @@ def hash_join(
     ``how="full_outer"`` the left key column carries
     ``COALESCE(l.key, r.key)`` so right-only rows keep their key.
     """
-    lschema = left.schema().base_schema
-    if not isinstance(lschema, pa.Schema):
-        left = to_arrow_blocks(left)
+    # explicit schemas let a caller join a side that MAY be empty (a
+    # zero-row filtered lineage has no derivable schema — Ray never ran
+    # the map fn); skew_join passes the pre-split schemas this way
+    if left_schema is not None:
+        lschema = left_schema
+    else:
         lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
-    if not isinstance(rschema, pa.Schema):
-        right = to_arrow_blocks(right)
+        if not isinstance(lschema, pa.Schema):
+            left = to_arrow_blocks(left)
+            lschema = left.schema().base_schema
+    if right_schema is not None:
+        rschema = right_schema
+    else:
         rschema = right.schema().base_schema
+        if not isinstance(rschema, pa.Schema):
+            right = to_arrow_blocks(right)
+            rschema = right.schema().base_schema
     lcols = list(lschema.names)
     rcols = [n for n in rschema.names if n != right_key]
     overlap = set(lcols) & set(rcols)

@@ -77,3 +77,44 @@ def test_constraint_report_counts(ray_session):
     assert got.loc["range(v,[0.0,5.0))", "violations"] == 2
     assert got.loc["foreign_key(fk)", "violations"] == 2
     assert (got["n_rows"] == 6).all()
+
+
+def test_skew_join_equals_plain_join(ray_session):
+    from gencore_ray.ops.skew import skew_join
+    from gencore_ray.stages.shuffle import hash_join
+
+    rng = np.random.RandomState(11)
+    # key 7 is pathologically hot on the left; right side is dim-like
+    keys = np.concatenate([rng.randint(0, 20, size=300),
+                           np.full(500, 7, dtype=np.int64)])
+    left = pd.DataFrame({"k": keys.astype(np.int64),
+                         "x": np.arange(len(keys), dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(0, 15, dtype=np.int64),
+                          "name": [f"n{i}" for i in range(15)]})
+
+    got = skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                    "k", "rk", hot_threshold=100, num_parts=4).to_pandas()
+    want = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                     "k", "rk", num_parts=4).to_pandas()
+    key_cols = ["k", "x", "name"]
+    a = got[key_cols].sort_values(key_cols).reset_index(drop=True)
+    b = want[key_cols].sort_values(key_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # the hot path actually engaged (key 7 exceeds the threshold)
+    assert (left["k"] == 7).sum() > 100
+
+
+def test_skew_join_no_hot_keys_delegates(ray_session):
+    from gencore_ray.ops.skew import skew_join
+    from gencore_ray.stages.shuffle import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "x": [10, 20, 30]})
+    right = pd.DataFrame({"rk": [2, 3, 4], "name": ["b", "c", "d"]})
+    got = skew_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk",
+                    hot_threshold=100, num_parts=2).to_pandas()
+    want = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk",
+                     num_parts=2).to_pandas()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True))
