@@ -1984,6 +1984,35 @@ def _q_events_customer_skew_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "value", "c_acctbal"])
 
 
+def _q_source_token_divergence(sf_dir: str):
+    """Corpus drift monitor (ops/drift.py): pairwise Jensen-Shannon
+    divergence between per-source unigram distributions over the
+    global top-2000 tokens — one (group, token)-keyed count exchange,
+    then a vocabulary-bounded driver fold (the broadcast-LM O(V)
+    shape).  Add-1 smoothing makes every log defined; the SQL twin
+    replays counts, the deterministic top-V cut, the smoothed
+    probabilities and the JS sum itself."""
+    from gencore_ray.ops.drift import token_js_divergence
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "source"])
+    return token_js_divergence(docs, group_col="source", top_vocab=2000,
+                               num_parts=16)
+
+
+def _q_doc_length_outliers(sf_dir: str):
+    """Robust per-language length outliers (ops/relational.py::
+    mad_outliers): modified z-score 0.6745*(v-median)/MAD — two exact
+    quantile exchanges + broadcast joins, flagging map never
+    re-shuffles the table.  Degenerate groups (MAD=0) contractually
+    yield NULL mod_z, replayed by the SQL CASE."""
+    from gencore_ray.ops.relational import mad_outliers
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    out = mad_outliers(docs, "lang", "n_chars", z=3.5, num_parts=8)
+    return out.select_columns(
+        ["doc_id", "lang", "n_chars", "med", "mad", "mod_z", "is_outlier"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2091,6 +2120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_quality_report": _q_events_quality_report,
         "events_customer_skew_join": _q_events_customer_skew_join,
+        "source_token_divergence": _q_source_token_divergence,
+        "doc_length_outliers": _q_doc_length_outliers,
     }
 
 
@@ -3485,5 +3516,45 @@ def oracle_sql() -> dict[str, str]:
     d["events_customer_skew_join"] = (
         "SELECT e.event_id, e.user_id, e.value, c.c_acctbal "
         "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+    )
+    d["source_token_divergence"] = (
+        "WITH tok AS (SELECT source, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t "
+        "FROM documents), "
+        "cnt AS (SELECT source, md5_number_lower(t) AS th, "
+        "CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source, th), "
+        "tot AS (SELECT th, sum(c) AS tc FROM cnt GROUP BY th), "
+        "v AS (SELECT th FROM tot ORDER BY tc DESC, th LIMIT 2000), "
+        "nv AS (SELECT count(*) AS n FROM v), "
+        "srcs AS (SELECT DISTINCT source FROM documents), "
+        "m AS (SELECT v.th, s.source, coalesce(cnt.c, 0) AS c "
+        "FROM v CROSS JOIN srcs s "
+        "LEFT JOIN cnt ON cnt.th = v.th AND cnt.source = s.source), "
+        "g AS (SELECT source, sum(c) AS gn FROM m GROUP BY source), "
+        "p AS (SELECT m.th, m.source, "
+        "(m.c + 1.0) / (g.gn + (SELECT n FROM nv)) AS pr "
+        "FROM m JOIN g ON m.source = g.source) "
+        "SELECT a.source AS group_a, b.source AS group_b, "
+        "round(sum(0.5 * a.pr * ln(a.pr / ((a.pr + b.pr) / 2)) "
+        "+ 0.5 * b.pr * ln(b.pr / ((a.pr + b.pr) / 2))), 6) AS js_divergence "
+        "FROM p a JOIN p b ON a.th = b.th AND a.source < b.source "
+        "GROUP BY a.source, b.source"
+    )
+    d["doc_length_outliers"] = (
+        "WITH med AS (SELECT lang, round(quantile_cont(n_chars, 0.5), 6) "
+        "AS med FROM documents GROUP BY lang), "
+        "dev AS (SELECT d.doc_id, d.lang, d.n_chars, m.med, "
+        "abs(d.n_chars - m.med) AS ad FROM documents d "
+        "JOIN med m ON d.lang = m.lang), "
+        "mad AS (SELECT lang, round(quantile_cont(ad, 0.5), 6) AS mad "
+        "FROM dev GROUP BY lang) "
+        "SELECT dev.doc_id, dev.lang, dev.n_chars, dev.med, mad.mad, "
+        "CASE WHEN mad.mad = 0 THEN NULL "
+        "ELSE round(0.6745 * (dev.n_chars - dev.med) / mad.mad, 6) END "
+        "AS mod_z, "
+        "CASE WHEN mad.mad = 0 THEN false "
+        "ELSE abs(round(0.6745 * (dev.n_chars - dev.med) / mad.mad, 6)) > 3.5 "
+        "END AS is_outlier "
+        "FROM dev JOIN mad ON dev.lang = mad.lang"
     )
     return d

@@ -859,6 +859,65 @@ def winsorize_by_group(
     return ds.map_batches(clip, batch_format="pandas")
 
 
+def mad_outliers(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    z: float = 3.5,
+    num_parts: int = 16,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Robust per-group outlier flags via the modified z-score
+    0.6745 * (v - median) / MAD (Iglewicz-Hoaglin): immune to the very
+    outliers a mean/stddev rule would absorb — the right QA gate for
+    heavy-tailed web-doc statistics.
+
+    Two exact-quantile passes (median, then median absolute deviation),
+    each one slim exchange + a broadcast join back — the big table
+    crosses the cluster twice for the quantile exchanges and is never
+    re-shuffled for the flagging map.  Degenerate groups (MAD = 0, i.e.
+    a majority of identical values) get NULL ``mod_z`` and are never
+    flagged — the documented contract, replayed in SQL with a CASE.
+    """
+    import numpy as np
+
+    med = grouped_quantiles(ds, [key], value_col, [("med", 0.5)],
+                            num_parts=num_parts, round_to=round_to).to_pandas()
+    med_ref = ray.put(med)
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(ray.get(med_ref), on=key, how="left")
+        df = df.assign(med=m["med"].to_numpy())
+        df["__ad"] = np.abs(df[value_col].to_numpy(dtype=np.float64)
+                            - df["med"].to_numpy())
+        return df
+
+    with_dev = ds.map_batches(dev, batch_format="pandas").materialize()
+    mad = grouped_quantiles(with_dev, [key], "__ad", [("mad", 0.5)],
+                            num_parts=num_parts, round_to=round_to).to_pandas()
+    mad_ref = ray.put(mad)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(ray.get(mad_ref), on=key, how="left")
+        df = df.assign(mad=m["mad"].to_numpy())
+        v = df[value_col].to_numpy(dtype=np.float64)
+        madv = df["mad"].to_numpy(dtype=np.float64)
+        medv = df["med"].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mz = 0.6745 * (v - medv) / madv
+        p = 10.0 ** round_to
+        mz = np.sign(mz) * np.floor(np.abs(mz) * p + 0.5) / p
+        zero = madv == 0
+        out = df.drop(columns=["__ad"]).assign(
+            mod_z=np.where(zero, np.nan, mz),
+            is_outlier=np.where(zero, False, np.abs(mz) > z),
+        )
+        out["is_outlier"] = out["is_outlier"].astype(bool)
+        return out
+
+    return with_dev.map_batches(flag, batch_format="pandas")
+
+
 def profile_columns(
     ds: rd.Dataset,
     cols: Sequence[str],

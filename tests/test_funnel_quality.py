@@ -118,3 +118,50 @@ def test_skew_join_no_hot_keys_delegates(ray_session):
     pd.testing.assert_frame_equal(
         got[cols].sort_values(cols).reset_index(drop=True),
         want[cols].sort_values(cols).reset_index(drop=True))
+
+
+def test_token_js_divergence_properties(ray_session):
+    from gencore_ray.ops.drift import token_js_divergence
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "source": ["a", "a", "b", "b", "c", "c"],
+        # a and b share a dialect; c is disjoint vocabulary
+        "text": ["cats chase mice in barns", "mice hide from cats in barns",
+                 "cats chase mice around barns", "mice flee cats near barns",
+                 "quantum flux capacitors resonate", "flux resonates in capacitors"],
+    })
+    got = (token_js_divergence(rd.from_pandas(docs), top_vocab=100,
+                               num_parts=2)
+           .to_pandas().set_index(["group_a", "group_b"]))
+    ab = got.loc[("a", "b"), "js_divergence"]
+    ac = got.loc[("a", "c"), "js_divergence"]
+    bc = got.loc[("b", "c"), "js_divergence"]
+    assert 0.0 <= ab < ac <= np.log(2) + 1e-9
+    assert 0.0 <= ab < bc <= np.log(2) + 1e-9
+    assert len(got) == 3  # one row per unordered pair
+
+
+def test_mad_outliers_flags_planted_extremes(ray_session):
+    from gencore_ray.ops.relational import mad_outliers
+
+    rng = np.random.RandomState(5)
+    vals = np.concatenate([rng.normal(100, 5, size=200),
+                           [500.0, -300.0]])       # planted extremes
+    df = pd.DataFrame({"doc_id": np.arange(len(vals)),
+                       "lang": ["en"] * len(vals), "v": vals})
+    # a degenerate group: >50% identical values -> MAD 0 -> never flagged
+    dg = pd.DataFrame({"doc_id": np.arange(1000, 1006),
+                       "lang": ["de"] * 6,
+                       "v": [7.0, 7.0, 7.0, 7.0, 7.0, 9999.0]})
+    got = (mad_outliers(rd.from_pandas(pd.concat([df, dg])), "lang", "v",
+                        z=3.5, num_parts=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    en = got[got["lang"] == "en"]
+    assert bool(en.loc[en["doc_id"] == 200, "is_outlier"].iloc[0])
+    assert bool(en.loc[en["doc_id"] == 201, "is_outlier"].iloc[0])
+    assert en["is_outlier"].sum() <= 6          # robust: bulk not flagged
+    de = got[got["lang"] == "de"]
+    assert (~de["is_outlier"]).all() and de["mod_z"].isna().all()
+    # median/MAD are per-group exact
+    assert np.isclose(de["med"].iloc[0], 7.0) and np.isclose(de["mad"].iloc[0], 0.0)
