@@ -2013,6 +2013,20 @@ def _q_doc_length_outliers(sf_dir: str):
         ["doc_id", "lang", "n_chars", "med", "mad", "mod_z", "is_outlier"])
 
 
+def _q_user_retention_cohorts(sf_dir: str):
+    """Cohort retention triangle (ops/windows.py::retention_cohorts):
+    users bucketed by first-active day, counted per day-offset of later
+    activity.  Per-user distinctness resolved inside the key-keyed
+    partition (user rows co-locate), then one (cohort, offset) count
+    aggregate — two slim exchanges total."""
+    import ray.data as rd
+
+    from gencore_ray.ops.windows import retention_cohorts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return retention_cohorts(ev, period="1d", num_parts=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2122,6 +2136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_customer_skew_join": _q_events_customer_skew_join,
         "source_token_divergence": _q_source_token_divergence,
         "doc_length_outliers": _q_doc_length_outliers,
+        "user_retention_cohorts": _q_user_retention_cohorts,
     }
 
 
@@ -3556,5 +3571,14 @@ def oracle_sql() -> dict[str, str]:
         "ELSE abs(round(0.6745 * (dev.n_chars - dev.med) / mad.mad, 6)) > 3.5 "
         "END AS is_outlier "
         "FROM dev JOIN mad ON dev.lang = mad.lang"
+    )
+    d["user_retention_cohorts"] = (
+        "WITH p AS (SELECT user_id, date_trunc('day', ts) AS d FROM events), "
+        "f AS (SELECT user_id, min(d) AS cohort FROM p GROUP BY user_id), "
+        "a AS (SELECT DISTINCT p.user_id, f.cohort, "
+        "CAST(date_diff('day', f.cohort, p.d) AS BIGINT) AS period_offset "
+        "FROM p JOIN f ON p.user_id = f.user_id) "
+        "SELECT cohort, period_offset, count(*) AS n_active "
+        "FROM a GROUP BY cohort, period_offset"
     )
     return d

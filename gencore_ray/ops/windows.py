@@ -223,3 +223,41 @@ def running_totals(
         return df
 
     return grouped_map(events, key, per_partition, num_parts=num_parts)
+
+
+def retention_cohorts(
+    events: rd.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "1d",
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Cohort retention: users grouped by first-activity period
+    (cohort), counted by how many were active k periods later.
+
+    Output: (cohort, period_offset, n_active) — the activation/
+    retention triangle.  Two slim exchanges: (1) key-keyed first-seen
+    min, whose result rides back joined map-side per partition, then
+    (2) the (cohort, offset) count aggregate over per-batch partials.
+    Distinctness (a user active twice in one period counts once) is
+    resolved inside the key-keyed partition — user rows co-locate, so
+    the dedupe is exact with no extra exchange.
+    """
+    from gencore_ray.ops.relational import grouped_aggregate
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"cohort": pd.Series(dtype="datetime64[us]"),
+                                 "period_offset": pd.Series(dtype="int64")})
+        p = df[ts_col].dt.floor(period)
+        first = p.groupby(df[key]).transform("min")
+        off = ((p - first) / pd.Timedelta(period)).astype(np.int64)
+        out = pd.DataFrame({key: df[key], "cohort": first,
+                            "period_offset": off}).drop_duplicates()
+        return out[["cohort", "period_offset"]]
+
+    act = grouped_map(events.select_columns([key, ts_col]), key,
+                      per_partition, num_parts=num_parts)
+    return grouped_aggregate(act, ["cohort", "period_offset"],
+                             [("n_active", None, "count")],
+                             num_parts=min(num_parts, 16))

@@ -165,3 +165,32 @@ def test_mad_outliers_flags_planted_extremes(ray_session):
     assert (~de["is_outlier"]).all() and de["mod_z"].isna().all()
     # median/MAD are per-group exact
     assert np.isclose(de["med"].iloc[0], 7.0) and np.isclose(de["mad"].iloc[0], 0.0)
+
+
+def test_retention_cohorts_matches_pandas(ray_session):
+    from gencore_ray.ops.windows import retention_cohorts
+
+    rng = np.random.RandomState(13)
+    n = 300
+    ev = pd.DataFrame({
+        "user_id": rng.randint(0, 25, size=n),
+        "ts": pd.Timestamp("2024-06-01")
+        + pd.to_timedelta(rng.randint(0, 86400 * 10, size=n), unit="s"),
+    })
+    got = (retention_cohorts(rd.from_pandas(ev), period="1d", num_parts=4)
+           .to_pandas().sort_values(["cohort", "period_offset"])
+           .reset_index(drop=True))
+    d = ev.assign(day=ev["ts"].dt.floor("1d"))
+    first = d.groupby("user_id")["day"].transform("min")
+    act = d.assign(cohort=first,
+                   period_offset=((d["day"] - first)
+                                  / pd.Timedelta("1d")).astype(np.int64))
+    act = act[["user_id", "cohort", "period_offset"]].drop_duplicates()
+    want = (act.groupby(["cohort", "period_offset"]).size()
+            .rename("n_active").reset_index()
+            .sort_values(["cohort", "period_offset"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    # offset 0 row per cohort == cohort sizes (everyone is active on day 0)
+    day0 = got[got["period_offset"] == 0].set_index("cohort")["n_active"]
+    sizes = act[act["period_offset"] == 0].groupby("cohort").size()
+    assert (day0 == sizes).all()
