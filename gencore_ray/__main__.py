@@ -355,6 +355,59 @@ def _cmd_diff(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_quality(args: argparse.Namespace) -> int:
+    """Declarative constraint checks; one JSON line per constraint.
+    With --strict, exits 1 when any constraint has violations (the
+    reference's refuse-bad-input-loudly discipline as a CI gate)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=args.address, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 **({"num_cpus": args.num_cpus}
+                    if args.address == "local" else {}))
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from gencore_ray.ops.quality import constraint_report
+
+    constraints: list[tuple] = []
+    for spec in args.unique or []:
+        constraints.append(("unique", spec.split(",")))
+    for col in args.not_null or []:
+        constraints.append(("not_null", col))
+    for spec in args.accepted or []:
+        col, _, vals = spec.partition("=")
+        constraints.append(("accepted_values", col, vals.split("|")))
+    for spec in args.range or []:
+        col, _, bounds = spec.partition("=")
+        lo, _, hi = bounds.partition(":")
+        constraints.append(("range", col, float(lo), float(hi)))
+    for spec in args.fk or []:
+        col, _, target = spec.partition("=")
+        path, _, dim_col = target.rpartition(":")
+        keys = _pq.read_table(path, columns=[dim_col])[dim_col].to_numpy()
+        constraints.append(("foreign_key", col, keys))
+    if not constraints:
+        print(json.dumps({"error": "no constraints given"}))
+        return 2
+
+    rep = constraint_report(rd.read_parquet(args.input), constraints,
+                            num_parts=8).to_pandas()
+    total = int(rep["violations"].sum())
+    print(json.dumps({
+        "input": args.input,
+        "checks": rep.to_dict(orient="records"),
+        "total_violations": total,
+    }, default=int))
+    ray.shutdown()
+    return 1 if (args.strict and total) else 0
+
+
 def _cmd_test(_args: argparse.Namespace) -> int:
     """Builtin unit vectors, reference-style (prints PASSED/FAILED)."""
     import numpy as np
@@ -504,6 +557,24 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--address", default="local")
     ch.add_argument("--num-cpus", type=int, default=None)
     ch.set_defaults(fn=_cmd_chunk)
+
+    q = sub.add_parser("quality", help="declarative data-quality "
+                       "constraint checks (counters, optional CI gate)")
+    q.add_argument("-i", "--input", required=True, help="parquet file/dir")
+    q.add_argument("--unique", action="append", metavar="COL[,COL2]",
+                   help="uniqueness over the column set (repeatable)")
+    q.add_argument("--not-null", action="append", metavar="COL")
+    q.add_argument("--accepted", action="append", metavar="COL=V1|V2",
+                   help="accepted-values set (repeatable)")
+    q.add_argument("--range", action="append", metavar="COL=LO:HI",
+                   help="numeric half-open bound [LO, HI) (repeatable)")
+    q.add_argument("--fk", action="append", metavar="COL=DIM.parquet:DIMCOL",
+                   help="foreign-key containment in a dimension parquet")
+    q.add_argument("--strict", action="store_true",
+                   help="exit 1 if any constraint is violated")
+    q.add_argument("--address", default="local")
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=_cmd_quality)
 
     t = sub.add_parser("test", help="builtin unit vectors (reference EP2)")
     t.set_defaults(fn=_cmd_test)

@@ -176,3 +176,35 @@ def test_cli_chunk(tiny_corpus, tmp_path):
     assert set(ct.schema.names) == {"doc_id", "chunk_no", "n_tokens",
                                     "chunk_text"}
     assert max(ct["n_tokens"].to_pylist()) <= 32
+
+
+def test_cli_quality_checks(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+
+    t = str(tmp_path / "t.parquet")
+    dim = str(tmp_path / "dim.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "id": [1, 2, 2, 3], "v": [1.0, -5.0, 2.0, 99.0],
+        "cat": ["a", "b", "xx", "a"], "fk": [10, 10, 7, 20]})), t)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({"k": [10, 20]})), dim)
+    rep = json.loads(_run(
+        "quality", "-i", t, "--unique", "id", "--not-null", "v",
+        "--accepted", "cat=a|b", "--range", "v=0:50",
+        "--fk", f"fk={dim}:k", "--num-cpus", "4"))
+    by = {c["check_name"]: c["violations"] for c in rep["checks"]}
+    assert by["unique(id)"] == 1
+    assert by["not_null(v)"] == 0
+    assert by["accepted_values(cat)"] == 1
+    assert by["range(v,[0.0,50.0))"] == 2
+    assert by["foreign_key(fk)"] == 1
+    assert rep["total_violations"] == 5
+
+    # --strict turns violations into a nonzero exit (the CI-gate shape)
+    env = dict(os.environ, RAY_ADDRESS="")
+    out = subprocess.run(
+        [sys.executable, "-m", "gencore_ray", "quality", "-i", t,
+         "--unique", "id", "--strict", "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=240, env=env,
+        cwd="/root/repo")
+    assert out.returncode == 1
