@@ -2027,6 +2027,17 @@ def _q_user_retention_cohorts(sf_dir: str):
     return retention_cohorts(ev, period="1d", num_parts=16)
 
 
+def _q_doc_token_entropy(sf_dir: str):
+    """Information-density signals (ops/textstats.py::token_entropy):
+    per-doc unigram Shannon entropy (nats) + type/token ratio — a pure
+    map with a sparse (row, token) unique-count fold per batch, never a
+    dense docs x vocab matrix.  Empty docs contractually get zeros."""
+    from gencore_ray.ops.textstats import token_entropy
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return token_entropy(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2137,6 +2148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_divergence": _q_source_token_divergence,
         "doc_length_outliers": _q_doc_length_outliers,
         "user_retention_cohorts": _q_user_retention_cohorts,
+        "doc_token_entropy": _q_doc_token_entropy,
     }
 
 
@@ -3580,5 +3592,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM p JOIN f ON p.user_id = f.user_id) "
         "SELECT cohort, period_offset, count(*) AS n_active "
         "FROM a GROUP BY cohort, period_offset"
+    )
+    d["doc_token_entropy"] = (
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t "
+        "FROM documents), "
+        "c AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t), "
+        "s AS (SELECT doc_id, sum(cnt) AS n FROM c GROUP BY doc_id), "
+        "e AS (SELECT c.doc_id, count(*) AS ty, "
+        "-sum((c.cnt * 1.0 / s.n) * ln(c.cnt * 1.0 / s.n)) AS ent "
+        "FROM c JOIN s ON c.doc_id = s.doc_id GROUP BY c.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens, "
+        "round(coalesce(e.ent, 0), 6) AS entropy, "
+        "round(coalesce(e.ty * 1.0 / s.n, 0), 6) AS type_token_ratio "
+        "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id "
+        "LEFT JOIN e ON d.doc_id = e.doc_id"
     )
     return d

@@ -356,3 +356,64 @@ def tfidf_top_terms(
     out = top_k_per_group(scored, [id_col], ["tfidf", "term"], k,
                           descending=[True, False], num_parts=num_parts)
     return out.select_columns([id_col, "term", "tf", "df", "tfidf"])
+
+
+def token_entropy(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Per-doc Shannon entropy of the unigram distribution (nats) plus
+    the type/token ratio — the information-density quality signals
+    (low entropy = repetitive/templated text, the same family as the
+    Gopher repetition rules but distribution-based).
+
+    Pure map, no exchange.  Per batch the (row, token) pairs are
+    factorized ONCE and folded with a single bincount over combined
+    codes — no per-doc Python beyond the token split.  Empty docs get
+    entropy 0 by contract.
+    """
+    import pandas as pd
+
+    from gencore_ray.functions.text import _TOKEN_RE
+
+    def batch_fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        rows, toks = [], []
+        for r, t in enumerate(df[text_col].tolist()):
+            ts = _TOKEN_RE.findall((t or "").lower())
+            rows.extend([r] * len(ts))
+            toks.extend(ts)
+        n = len(df)
+        ent = np.zeros(n, dtype=np.float64)
+        ttr = np.zeros(n, dtype=np.float64)
+        n_tok = np.zeros(n, dtype=np.int64)
+        if toks:
+            # sparse fold: unique (row, token) pairs with counts — never a
+            # dense docs x vocab matrix (which is O(batch * batch-vocab))
+            rcodes = np.asarray(rows, dtype=np.int64)
+            tcodes, _ = pd.factorize(pd.Series(toks), sort=False)
+            n_types = int(tcodes.max()) + 1
+            comb = rcodes * np.int64(n_types) + tcodes
+            uniq, cnt = np.unique(comb, return_counts=True)
+            urows = uniq // n_types
+            tot = np.bincount(rcodes, minlength=n).astype(np.float64)
+            n_tok = tot.astype(np.int64)
+            p = cnt / tot[urows]
+            ent = -np.bincount(urows, weights=p * np.log(p), minlength=n)
+            ttr = np.where(tot > 0,
+                           np.bincount(urows, minlength=n) / np.maximum(tot, 1),
+                           0.0)
+            ent[tot == 0] = 0.0
+        p10 = 10.0 ** round_to
+        out = pd.DataFrame({
+            id_col: ids,
+            "n_tokens": n_tok,
+            "entropy": np.sign(ent) * np.floor(np.abs(ent) * p10 + 0.5) / p10,
+            "type_token_ratio": np.floor(ttr * p10 + 0.5) / p10,
+        })
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        batch_fn, batch_format="pandas")

@@ -194,3 +194,20 @@ def test_retention_cohorts_matches_pandas(ray_session):
     day0 = got[got["period_offset"] == 0].set_index("cohort")["n_active"]
     sizes = act[act["period_offset"] == 0].groupby("cohort").size()
     assert (day0 == sizes).all()
+
+
+def test_token_entropy_known_values(ray_session):
+    from gencore_ray.ops.textstats import token_entropy
+
+    docs = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                         "text": ["a a b", "", "x y z w", "t t t t"]})
+    got = (token_entropy(rd.from_pandas(docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want0 = -(2 / 3 * np.log(2 / 3) + 1 / 3 * np.log(1 / 3))
+    assert np.isclose(got.loc[0, "entropy"], round(want0, 6))
+    assert got.loc[0, "n_tokens"] == 3
+    assert np.isclose(got.loc[0, "type_token_ratio"], round(2 / 3, 6))
+    assert got.loc[1, "entropy"] == 0.0 and got.loc[1, "n_tokens"] == 0
+    assert np.isclose(got.loc[2, "entropy"], round(np.log(4), 6))  # uniform
+    assert got.loc[3, "entropy"] == 0.0                            # constant
+    assert np.isclose(got.loc[3, "type_token_ratio"], 0.25)
