@@ -1916,7 +1916,7 @@ def _q_bpe_encode_stats(sf_dir: str):
 def _q_tfidf_cosine_pairs(sf_dir: str):
     """Sparse TF-IDF cosine pairs (ops/sparse.py): the inverted-index
     join — pairs generated term-by-term so cost is sum(df^2) over the
-    df-pruned vocabulary, not n^2; stop terms (df > 100) are the
+    df-pruned vocabulary, not n^2; stop terms (df > 20% of docs) are the
     pruning AND the hot-key guard.  Every float (idf, weights, norms,
     dot) replayed by the SQL twin; cosine rounded before the 0.5
     threshold so the cut is exact."""
@@ -3495,7 +3495,8 @@ def oracle_sql() -> dict[str, str]:
         "FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, th), "
         "dfq AS (SELECT th, count(*) AS df FROM tf GROUP BY th), "
         "v AS (SELECT th, ln((SELECT count(*) FROM documents) * 1.0 / df) AS idf "
-        "FROM dfq WHERE df BETWEEN 2 AND 100), "
+        "FROM dfq WHERE df BETWEEN 2 AND "
+        "floor(0.2 * (SELECT count(*) FROM documents))), "
         "w AS (SELECT tf.doc_id, tf.th, tf.tf * v.idf AS w "
         "FROM tf JOIN v USING(th)), "
         "nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id), "

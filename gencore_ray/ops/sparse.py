@@ -43,7 +43,7 @@ def tfidf_cosine_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: int = 100,
+    max_df: int | float = 0.2,
     min_df: int = 2,
     round_to: int = 6,
     num_parts: int = 16,
@@ -54,13 +54,17 @@ def tfidf_cosine_pairs(
 
     idf = ln(N / df); terms outside [min_df, max_df] are removed from
     the vectors entirely (norms included) — standard stop-term pruning,
-    which is also what bounds the per-term pair fan-out.
+    which is also what bounds the per-term pair fan-out.  ``max_df``
+    < 1.0 means a FRACTION of the corpus (the scale-stable contract —
+    an absolute cut empties the vocabulary once every term's df grows
+    past it); >= 1 is an absolute document count.
     """
     from gencore_ray.functions.text import _TOKEN_RE
     from gencore_ray.ops.relational import grouped_aggregate
     from gencore_ray.stages.shuffle import grouped_map, hash_join
 
     n_docs = docs.count()
+    max_df_abs = int(max_df) if max_df >= 1 else int(np.floor(max_df * n_docs))
 
     def term_rows(df: pd.DataFrame) -> pd.DataFrame:
         ids, ths, tfs = [], [], []
@@ -83,8 +87,13 @@ def tfidf_cosine_pairs(
 
     dfreq = grouped_aggregate(T.select_columns(["th"]), ["th"],
                               [("df", None, "count")], num_parts=num_parts)
-    dfreq = dfreq.filter(expr=f"df >= {int(min_df)} and df <= {int(max_df)}")
+    dfreq = dfreq.filter(expr=f"df >= {int(min_df)} and df <= {max_df_abs}")
     dfp = dfreq.to_pandas()          # pruned vocabulary — bounded by max_df cut
+    if not len(dfp):                 # empty prune survives column-less
+        return rd.from_pandas(pd.DataFrame({
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64")}))
     idf = dict(zip(dfp["th"].to_numpy(),
                    np.log(float(n_docs) / dfp["df"].to_numpy(dtype=np.float64))))
     idf_ref = ray.put(idf)
