@@ -2038,6 +2038,23 @@ def _q_doc_token_entropy(sf_dir: str):
     return token_entropy(docs)
 
 
+def _q_top_session_paths(sf_dir: str):
+    """Event-path mining (ops/funnel.py::top_session_paths): the 20
+    most common event-type sequences over 30-min-gap sessions (first 5
+    events, (ts, id)-ordered so ties are deterministic) — one user-keyed
+    exchange does sessionisation AND path building; only short distinct
+    path strings reach the count fold."""
+    import ray.data as rd
+
+    from gencore_ray.ops.funnel import top_session_paths
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    return top_session_paths(ev, gap=pd.Timedelta(minutes=30), max_len=5,
+                             k=20, num_parts=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2149,6 +2166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_outliers": _q_doc_length_outliers,
         "user_retention_cohorts": _q_user_retention_cohorts,
         "doc_token_entropy": _q_doc_token_entropy,
+        "top_session_paths": _q_top_session_paths,
     }
 
 
@@ -3608,5 +3626,22 @@ def oracle_sql() -> dict[str, str]:
         "round(coalesce(e.ty * 1.0 / s.n, 0), 6) AS type_token_ratio "
         "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id "
         "LEFT JOIN e ON d.doc_id = e.doc_id"
+    )
+    d["top_session_paths"] = (
+        "WITH d AS (SELECT user_id, ts, event_id, event_type, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid "
+        "FROM d), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid "
+        "ORDER BY ts, event_id) AS pos FROM s), "
+        "p AS (SELECT user_id, sid, "
+        "string_agg(event_type, '->' ORDER BY ts, event_id) AS path "
+        "FROM r WHERE pos <= 5 GROUP BY user_id, sid), "
+        "c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY path) "
+        "SELECT path, n_sessions FROM c "
+        "ORDER BY n_sessions DESC, path LIMIT 20"
     )
     return d

@@ -63,3 +63,47 @@ def funnel_stages(
     ev = events.select_columns([key, ts_col, type_col])
     ev = ev.filter(expr=" or ".join(f"{type_col} == '{s}'" for s in stages))
     return grouped_map(ev, key, per_partition, num_parts=num_parts)
+
+
+def top_session_paths(
+    events: rd.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap: pd.Timedelta = pd.Timedelta(minutes=30),
+    max_len: int = 5,
+    k: int = 20,
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Path mining: the ``k`` most common event-type sequences over
+    sessions (gap-based sessionisation, first ``max_len`` events per
+    session, '->'-joined).  Ties broken (count desc, path asc).
+
+    One key-keyed exchange does sessionisation AND path building (user
+    rows co-locate; ordering is (ts, id) — deterministic under ts
+    ties); the count aggregate then moves one row per distinct path per
+    partition — path strings are short and low-cardinality, so the
+    final fold is tiny.
+    """
+    from gencore_ray.ops.relational import grouped_aggregate, topk
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"path": pd.Series(dtype=object)})
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        prev = df.groupby(key, sort=False)[ts_col].shift()
+        brk = (prev.isna() | ((df[ts_col] - prev) > gap)).astype(np.int64)
+        sess = brk.groupby(df[key]).cumsum()
+        g = df.assign(__s=sess)
+        g = g.assign(__pos=g.groupby([key, "__s"], sort=False).cumcount())
+        g = g[g["__pos"] < max_len]
+        agg = (g.groupby([key, "__s"], sort=False)[type_col]
+               .agg("->".join).rename("path").reset_index())
+        return agg[["path"]]
+
+    p = grouped_map(events.select_columns([key, ts_col, type_col, id_col]),
+                    key, paths, num_parts=num_parts)
+    counts = grouped_aggregate(p, ["path"], [("n_sessions", None, "count")],
+                               num_parts=min(num_parts, 16))
+    return topk(counts, ["n_sessions", "path"], k, descending=[True, False])

@@ -211,3 +211,33 @@ def test_token_entropy_known_values(ray_session):
     assert np.isclose(got.loc[2, "entropy"], round(np.log(4), 6))  # uniform
     assert got.loc[3, "entropy"] == 0.0                            # constant
     assert np.isclose(got.loc[3, "type_token_ratio"], 0.25)
+
+
+def test_top_session_paths_matches_pandas(ray_session):
+    from gencore_ray.ops.funnel import top_session_paths
+
+    rng = np.random.RandomState(17)
+    n = 400
+    ev = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.randint(0, 12, size=n),
+        "ts": pd.Timestamp("2024-07-01")
+        + pd.to_timedelta(rng.randint(0, 86400, size=n), unit="s"),
+        "event_type": rng.choice(["a", "b", "c"], size=n),
+    })
+    gap = pd.Timedelta(minutes=30)
+    got = (top_session_paths(rd.from_pandas(ev), gap=gap, max_len=3, k=10,
+                             num_parts=4).to_pandas())
+    d = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    prev = d.groupby("user_id")["ts"].shift()
+    brk = (prev.isna() | ((d["ts"] - prev) > gap)).astype(np.int64)
+    d = d.assign(sid=brk.groupby(d["user_id"]).cumsum())
+    d = d.assign(pos=d.groupby(["user_id", "sid"]).cumcount())
+    p = (d[d["pos"] < 3].groupby(["user_id", "sid"])["event_type"]
+         .agg("->".join).rename("path").reset_index())
+    want = (p.groupby("path").size().rename("n_sessions").reset_index()
+            .sort_values(["n_sessions", "path"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[["path", "n_sessions"]],
+        want[["path", "n_sessions"]], check_dtype=False)
