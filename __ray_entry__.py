@@ -2055,6 +2055,22 @@ def _q_top_session_paths(sf_dir: str):
                              k=20, num_parts=16)
 
 
+def _q_events_daily_filled(sf_dir: str):
+    """Gap-filling resample (ops/windows.py::fill_period_gaps): dense
+    per-user daily series with explicit zero rows between each user's
+    first and last active day — output mass bounded by per-key
+    activity span, never the global time range.  One user-keyed
+    exchange; expansion is vectorised repeat/arange."""
+    import ray.data as rd
+
+    from gencore_ray.ops.windows import fill_period_gaps
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = fill_period_gaps(ev, period="1d", num_parts=16)
+    return _round_cols(out, {"total_value": 6})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2167,6 +2183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_cohorts": _q_user_retention_cohorts,
         "doc_token_entropy": _q_doc_token_entropy,
         "top_session_paths": _q_top_session_paths,
+        "events_daily_filled": _q_events_daily_filled,
     }
 
 
@@ -3643,5 +3660,21 @@ def oracle_sql() -> dict[str, str]:
         "c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY path) "
         "SELECT path, n_sessions FROM c "
         "ORDER BY n_sessions DESC, path LIMIT 20"
+    )
+    d["events_daily_filled"] = (
+        "WITH p AS (SELECT user_id, date_trunc('day', ts) AS d, value "
+        "FROM events), "
+        "g AS (SELECT user_id, d, count(*) AS n_events, "
+        "sum(value) AS total_value FROM p GROUP BY user_id, d), "
+        "b AS (SELECT user_id, min(d) AS mn, max(d) AS mx FROM g "
+        "GROUP BY user_id), "
+        "dense AS (SELECT user_id, "
+        "unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS period_start "
+        "FROM b) "
+        "SELECT dense.user_id, dense.period_start, "
+        "coalesce(g.n_events, 0) AS n_events, "
+        "round(coalesce(g.total_value, 0), 6) AS total_value "
+        "FROM dense LEFT JOIN g ON g.user_id = dense.user_id "
+        "AND g.d = dense.period_start"
     )
     return d

@@ -261,3 +261,53 @@ def retention_cohorts(
     return grouped_aggregate(act, ["cohort", "period_offset"],
                              [("n_active", None, "count")],
                              num_parts=min(num_parts, 16))
+
+
+def fill_period_gaps(
+    events: rd.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: str = "1d",
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Dense per-key period series: aggregate to (key, period) counts
+    and sums, then EMIT the missing periods between each key's first
+    and last active period as explicit zero rows — the gap-filling
+    resample every time-series consumer (rate alerting, trend fits)
+    needs before arithmetic on the series.
+
+    One key-keyed exchange; the expansion is vectorised repeat/arange
+    per partition.  Scale note: output mass is span/period rows per
+    key — bounded by the key's own activity span, never the global
+    corpus span.
+    """
+    per = pd.Timedelta(period)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype=df[key].dtype if len(df) else "int64"),
+                "period_start": pd.Series(dtype="datetime64[us]"),
+                "n_events": pd.Series(dtype="int64"),
+                "total_value": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        p = df[ts_col].dt.floor(period)
+        g = (df.assign(__p=p).groupby([key, "__p"], sort=True)
+             .agg(n_events=(ts_col, "size"), total_value=(value_col, "sum"))
+             .reset_index())
+        # dense index per key: first..last active period
+        bounds = g.groupby(key, sort=False)["__p"].agg(["min", "max"])
+        reps = ((bounds["max"] - bounds["min"]) / per).astype(np.int64) + 1
+        keys_out = np.repeat(bounds.index.to_numpy(), reps.to_numpy())
+        offs = np.concatenate([np.arange(r) for r in reps.to_numpy()]) \
+            if len(reps) else np.array([], dtype=np.int64)
+        starts = np.repeat(bounds["min"].to_numpy(), reps.to_numpy())
+        dense = pd.DataFrame({key: keys_out,
+                              "__p": starts + offs * per.to_numpy()})
+        out = dense.merge(g, on=[key, "__p"], how="left")
+        out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+        out["total_value"] = out["total_value"].fillna(0.0)
+        return out.rename(columns={"__p": "period_start"})
+
+    return grouped_map(events.select_columns([key, ts_col, value_col]),
+                       key, per_partition, num_parts=num_parts)

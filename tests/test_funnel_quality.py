@@ -241,3 +241,26 @@ def test_top_session_paths_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True)[["path", "n_sessions"]],
         want[["path", "n_sessions"]], check_dtype=False)
+
+
+def test_fill_period_gaps_dense_series(ray_session):
+    from gencore_ray.ops.windows import fill_period_gaps
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 05:00", "2024-01-01 09:00",
+                              "2024-01-04 12:00", "2024-02-10 00:00"]),
+        "value": [10.0, 5.0, 2.0, 7.0],
+    })
+    got = (fill_period_gaps(rd.from_pandas(ev), period="1d", num_parts=2)
+           .to_pandas().sort_values(["user_id", "period_start"])
+           .reset_index(drop=True))
+    u1 = got[got["user_id"] == 1]
+    # Jan 1..4 inclusive: 4 rows, gaps Jan 2-3 explicit zeros
+    assert len(u1) == 4
+    assert u1["n_events"].tolist() == [2, 0, 0, 1]
+    assert u1["total_value"].tolist() == [15.0, 0.0, 0.0, 2.0]
+    u2 = got[got["user_id"] == 2]
+    assert len(u2) == 1 and u2["n_events"].iloc[0] == 1
+    # span is PER KEY: u2's single day doesn't inherit u1's range
+    assert u2["period_start"].iloc[0] == pd.Timestamp("2024-02-10")
