@@ -148,6 +148,27 @@ def lag_lead(
     return grouped_map(events, key, per_partition, num_parts=num_parts)
 
 
+def _range_frame_bounds(codes: np.ndarray, ts0: np.ndarray,
+                        range_us: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row [lo, hi) index bounds of the trailing RANGE frame over a
+    (key-code, time)-sorted series — the pure kernel of
+    ``sliding_range_agg``.  ``codes`` must be monotone non-decreasing
+    and ``ts0`` sorted ascending within each code, starting at >= 0.
+    Encodes (code, t) into one sortable axis so BOTH boundaries come
+    from plain ``searchsorted`` with no per-group loop.
+    """
+    if not len(codes):
+        return (np.zeros(0, dtype=np.int64),) * 2
+    big = np.int64(int(ts0.max()) + range_us + 2)
+    if (int(codes.max()) + 1) * int(big) >= 2**62:
+        raise ValueError("range-frame offset encoding overflow — "
+                         "raise num_parts")
+    comb = codes * big + ts0
+    lo = np.searchsorted(comb, codes * big + (ts0 - range_us), side="left")
+    hi = np.searchsorted(comb, comb, side="right")
+    return lo.astype(np.int64), hi.astype(np.int64)
+
+
 def sliding_range_agg(
     events: rd.Dataset,
     key: str = "user_id",
@@ -186,13 +207,7 @@ def sliding_range_agg(
         codes, _ = pd.factorize(df[key], sort=False)  # monotone: df is key-sorted
         codes = codes.astype(np.int64)
         ts0 = ts - ts.min()
-        big = np.int64(ts0.max() + range_us + 2)
-        if (codes.max() + 1) * int(big) >= 2**62:  # offset-encoding overflow guard
-            raise ValueError("sliding_range_agg: key-count x time-span too large "
-                             "for one partition — raise num_parts")
-        comb = codes * big + ts0
-        lo = np.searchsorted(comb, codes * big + (ts0 - range_us), side="left")
-        hi = np.searchsorted(comb, comb, side="right")
+        lo, hi = _range_frame_bounds(codes, ts0, range_us)
         v = np.floor(df[value_col].to_numpy(dtype=np.float64)).astype(np.int64)
         cs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(v)])
         win_n = (hi - lo).astype(np.int64)

@@ -196,3 +196,55 @@ def test_gram_window_coords_invariants(lens, L):
         a = h2[d2 == 0]
         b = h2[d2 == 1]
         assert (a == b).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 30),
+    seed=st.integers(0, 10_000),
+    bin_w=st.integers(1, 500),
+)
+def test_interval_ownership_rule_is_exactly_once(n, seed, bin_w):
+    """The max-lo-bin ownership lemma behind interval_overlap_join:
+    for ANY bin width, every overlapping pair has exactly one owner
+    bin, and that bin is touched by BOTH intervals."""
+    rng = np.random.RandomState(seed)
+    lo = rng.randint(0, 1000, size=n).astype(np.int64)
+    hi = lo + rng.randint(0, 400, size=n).astype(np.int64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if not (lo[i] <= hi[j] and lo[j] <= hi[i]):
+                continue
+            owner = max(lo[i], lo[j]) // bin_w
+            # owner bin lies within both intervals' bin ranges
+            assert lo[i] // bin_w <= owner <= hi[i] // bin_w
+            assert lo[j] // bin_w <= owner <= hi[j] // bin_w
+            # and it is unique by construction (a single integer)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(0, 60),
+    n_keys=st.integers(1, 5),
+    span=st.integers(1, 5_000),
+    width=st.integers(0, 2_000),
+    seed=st.integers(0, 10_000),
+)
+def test_range_frame_bounds_equal_bruteforce(n, n_keys, span, width, seed):
+    """The offset-encoded searchsorted kernel of sliding_range_agg ==
+    per-row brute force, including duplicate timestamps (peers) and
+    the [t - w, t] closed boundary."""
+    from gencore_ray.ops.windows import _range_frame_bounds
+
+    rng = np.random.RandomState(seed)
+    codes = np.sort(rng.randint(0, n_keys, size=n)).astype(np.int64)
+    ts0 = np.concatenate([
+        np.sort(rng.randint(0, span, size=int((codes == k).sum())))
+        for k in range(n_keys)
+    ]).astype(np.int64) if n else np.zeros(0, dtype=np.int64)
+    lo, hi = _range_frame_bounds(codes, ts0, width)
+    for i in range(n):
+        in_frame = ((codes == codes[i]) & (ts0 >= ts0[i] - width)
+                    & (ts0 <= ts0[i]))
+        assert hi[i] - lo[i] == in_frame.sum()
+        assert in_frame[lo[i]:hi[i]].all()
