@@ -2071,6 +2071,31 @@ def _q_events_daily_filled(sf_dir: str):
     return _round_cols(out, {"total_value": 6})
 
 
+def _q_events_zorder_keys(sf_dir: str):
+    """Z-order layout keys (ops/zorder.py): Morton-interleave
+    (user_id, floor(value)) so a later sort+write co-locates rows close
+    in BOTH dimensions — the min/max-pruning file layout for 2-D range
+    scans.  Pure integer bit twiddling, replayed in SQL as a 32-term
+    shift/mask sum."""
+    import ray.data as rd
+
+    from gencore_ray.ops.zorder import zorder_keys
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "a": df["user_id"].to_numpy() % 65536,
+            "b": np.floor(df["value"].to_numpy()).astype(np.int64) % 65536,
+        })
+
+    keyed = zorder_keys(ev.map_batches(bucket, batch_format="pandas"),
+                        "a", "b")
+    return keyed.select_columns(["event_id", "zkey"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2184,6 +2209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_entropy": _q_doc_token_entropy,
         "top_session_paths": _q_top_session_paths,
         "events_daily_filled": _q_events_daily_filled,
+        "events_zorder_keys": _q_events_zorder_keys,
     }
 
 
@@ -3677,4 +3703,8 @@ def oracle_sql() -> dict[str, str]:
         "FROM dense LEFT JOIN g ON g.user_id = dense.user_id "
         "AND g.d = dense.period_start"
     )
+    # 32-term Morton interleave: bit i of each 16-bit bucket lands on
+    # bit 2i (user_id) / 2i+1 (floor(value)) — built programmatically,
+    # matching ops/zorder.py::morton_key exactly
+    d["events_zorder_keys"] = 'SELECT event_id, ((((user_id % 65536) >> 0) & 1) * 1) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 0) & 1) * 2) + ((((user_id % 65536) >> 1) & 1) * 4) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 1) & 1) * 8) + ((((user_id % 65536) >> 2) & 1) * 16) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 2) & 1) * 32) + ((((user_id % 65536) >> 3) & 1) * 64) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 3) & 1) * 128) + ((((user_id % 65536) >> 4) & 1) * 256) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 4) & 1) * 512) + ((((user_id % 65536) >> 5) & 1) * 1024) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 5) & 1) * 2048) + ((((user_id % 65536) >> 6) & 1) * 4096) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 6) & 1) * 8192) + ((((user_id % 65536) >> 7) & 1) * 16384) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 7) & 1) * 32768) + ((((user_id % 65536) >> 8) & 1) * 65536) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 8) & 1) * 131072) + ((((user_id % 65536) >> 9) & 1) * 262144) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 9) & 1) * 524288) + ((((user_id % 65536) >> 10) & 1) * 1048576) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 10) & 1) * 2097152) + ((((user_id % 65536) >> 11) & 1) * 4194304) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 11) & 1) * 8388608) + ((((user_id % 65536) >> 12) & 1) * 16777216) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 12) & 1) * 33554432) + ((((user_id % 65536) >> 13) & 1) * 67108864) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 13) & 1) * 134217728) + ((((user_id % 65536) >> 14) & 1) * 268435456) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 14) & 1) * 536870912) + ((((user_id % 65536) >> 15) & 1) * 1073741824) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 15) & 1) * 2147483648) AS zkey FROM events'
     return d

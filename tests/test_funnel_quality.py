@@ -264,3 +264,31 @@ def test_fill_period_gaps_dense_series(ray_session):
     assert len(u2) == 1 and u2["n_events"].iloc[0] == 1
     # span is PER KEY: u2's single day doesn't inherit u1's range
     assert u2["period_start"].iloc[0] == pd.Timestamp("2024-02-10")
+
+
+def test_morton_key_properties(ray_session):
+    from gencore_ray.ops.zorder import morton_key, zorder_keys
+
+    # interleave correctness on known values
+    assert morton_key(np.array([0]), np.array([0]))[0] == 0
+    assert morton_key(np.array([1]), np.array([0]))[0] == 1   # a -> even bits
+    assert morton_key(np.array([0]), np.array([1]))[0] == 2   # b -> odd bits
+    assert morton_key(np.array([3]), np.array([3]))[0] == 15  # 0b1111
+    # bijectivity over a grid: 32x32 distinct pairs -> distinct keys
+    a, b = np.meshgrid(np.arange(32), np.arange(32))
+    keys = morton_key(a.ravel(), b.ravel())
+    assert len(np.unique(keys)) == 32 * 32
+    # locality: nearby cells share high bits more than far cells
+    k00 = morton_key(np.array([5]), np.array([5]))[0]
+    k01 = morton_key(np.array([5]), np.array([6]))[0]
+    kff = morton_key(np.array([500]), np.array([900]))[0]
+    assert abs(k01 - k00) < abs(kff - k00)
+    # dataset op adds the column and rejects negatives
+    df = pd.DataFrame({"a": [1, 2], "b": [3, 4]})
+    out = zorder_keys(rd.from_pandas(df), "a", "b").to_pandas()
+    assert (out["zkey"] == morton_key(df["a"].to_numpy(),
+                                      df["b"].to_numpy())).all()
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        zorder_keys(rd.from_pandas(pd.DataFrame({"a": [-1], "b": [0]})),
+                    "a", "b").to_pandas()
