@@ -44,19 +44,33 @@ def token_js_divergence(
     from gencore_ray.ops.relational import grouped_aggregate, topk
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
-        gs, ths, cs = [], [], []
-        for g, t in zip(df[group_col].tolist(), df[text_col].tolist()):
-            toks = _TOKEN_RE.findall((t or "").lower())
-            if not toks:
-                continue
-            vc = pd.Series(toks).value_counts()
-            gs.extend([g] * len(vc))
-            ths.extend(md5_low64(term) for term in vc.index)
-            cs.extend(int(c) for c in vc.to_numpy())
+        # batch-wide factorize + sparse unique fold; md5 once per
+        # DISTINCT token per batch (same kernel shape as
+        # ops/sparse.py::term_rows)
+        tok_lists = [_TOKEN_RE.findall((t or "").lower())
+                     for t in df[text_col].tolist()]
+        lens = np.fromiter(map(len, tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        empty = pd.DataFrame({
+            group_col: pd.Series(dtype=object),
+            "th": pd.Series(dtype="int64"),
+            "cnt": pd.Series(dtype="int64")})
+        if not int(lens.sum()):
+            return empty
+        from itertools import chain
+        gcodes, guniq = pd.factorize(df[group_col], sort=False)
+        gpos = np.repeat(gcodes.astype(np.int64), lens)
+        tcodes, uniques = pd.factorize(
+            pd.Series(list(chain.from_iterable(tok_lists))), sort=False)
+        n_uniq = len(uniques)
+        th_uniq = np.fromiter((md5_low64(u) for u in uniques),
+                              dtype=np.uint64, count=n_uniq).view(np.int64)
+        comb = gpos * np.int64(n_uniq) + tcodes
+        uniq, cnt = np.unique(comb, return_counts=True)
         return pd.DataFrame({
-            group_col: pd.Series(gs, dtype=object),
-            "th": pd.Series(np.asarray(ths, dtype=np.uint64).view(np.int64)),
-            "cnt": pd.Series(cs, dtype="int64"),
+            group_col: guniq.take(uniq // n_uniq),
+            "th": th_uniq[uniq % n_uniq],
+            "cnt": cnt.astype(np.int64),
         })
 
     gc = grouped_aggregate(

@@ -67,19 +67,33 @@ def tfidf_cosine_pairs(
     max_df_abs = int(max_df) if max_df >= 1 else int(np.floor(max_df * n_docs))
 
     def term_rows(df: pd.DataFrame) -> pd.DataFrame:
-        ids, ths, tfs = [], [], []
-        for i, t in zip(df[id_col].tolist(), df[text_col].tolist()):
-            toks = _TOKEN_RE.findall((t or "").lower())
-            if not toks:
-                continue
-            vc = pd.Series(toks).value_counts()
-            ids.extend([i] * len(vc))
-            ths.extend(md5_low64(term) for term in vc.index)
-            tfs.extend(int(c) for c in vc.to_numpy())
+        # one factorize + one unique over the whole batch (the sparse
+        # fold of textstats.token_entropy); md5 runs ONCE per DISTINCT
+        # token in the batch — the Zipfian corpus makes that the win
+        ids_arr = df[id_col].to_numpy(dtype=np.int64)
+        tok_lists = [_TOKEN_RE.findall((t or "").lower())
+                     for t in df[text_col].tolist()]
+        lens = np.fromiter(map(len, tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        empty = pd.DataFrame({
+            id_col: pd.Series(dtype="int64"),
+            "th": pd.Series(dtype="int64"),
+            "tf": pd.Series(dtype="int64")})
+        if not int(lens.sum()):
+            return empty
+        from itertools import chain
+        pos = np.repeat(np.arange(len(df)), lens)
+        tcodes, uniques = pd.factorize(
+            pd.Series(list(chain.from_iterable(tok_lists))), sort=False)
+        n_uniq = len(uniques)
+        th_uniq = np.fromiter((md5_low64(u) for u in uniques),
+                              dtype=np.uint64, count=n_uniq).view(np.int64)
+        comb = pos * np.int64(n_uniq) + tcodes
+        uniq, cnt = np.unique(comb, return_counts=True)
         return pd.DataFrame({
-            id_col: pd.Series(ids, dtype="int64"),
-            "th": pd.Series(np.asarray(ths, dtype=np.uint64).view(np.int64)),
-            "tf": pd.Series(tfs, dtype="int64"),
+            id_col: ids_arr[uniq // n_uniq],
+            "th": th_uniq[uniq % n_uniq],
+            "tf": cnt.astype(np.int64),
         })
 
     T = docs.select_columns([id_col, text_col]).map_batches(
