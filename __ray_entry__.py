@@ -2085,6 +2085,11 @@ def _q_events_zorder_keys(sf_dir: str):
                          columns=["event_id", "user_id", "value"])
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # numpy % is floor-mod, SQL % is C-style: they only agree on
+        # non-negative inputs, so negatives must fail loudly here
+        if (df["user_id"].to_numpy() < 0).any() or (df["value"].to_numpy() < 0).any():
+            raise ValueError("events_zorder_keys: negative inputs break "
+                             "engine/SQL modulo parity")
         return pd.DataFrame({
             "event_id": df["event_id"],
             "a": df["user_id"].to_numpy() % 65536,

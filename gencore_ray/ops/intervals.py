@@ -90,6 +90,13 @@ def interval_overlap_join(
                 raise ValueError("interval_overlap_join: hi < lo")
             b0, b1 = lo // bw, hi // bw
             reps = (b1 - b0 + 1).astype(np.int64)
+            if len(reps) and int(reps.max()) > 1_000_000:
+                # a degenerate interval spanning ~10^6 bins would explode
+                # the exchange silently — refuse loudly; pick a bin_width
+                # near the median span instead
+                raise ValueError(
+                    f"interval_overlap_join: an interval spans {int(reps.max())} "
+                    f"bins (bin_width={int(bw)}) — raise bin_width")
             base = np.repeat(b0, reps)
             # within-interval bin offsets: 0..reps-1 via cumcount reset
             off = np.arange(len(base), dtype=np.int64) - np.repeat(

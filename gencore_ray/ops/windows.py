@@ -300,7 +300,7 @@ def fill_period_gaps(
     per = pd.Timedelta(period)
 
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {key: pd.Series(dtype=df[key].dtype if len(df) else "int64"),
+        cols = {key: pd.Series(dtype=df[key].dtype),  # empty frames keep dtype
                 "period_start": pd.Series(dtype="datetime64[us]"),
                 "n_events": pd.Series(dtype="int64"),
                 "total_value": pd.Series(dtype="float64")}
