@@ -54,6 +54,10 @@ QUERY_NAMES = [
     "embedding_knn_graph",
     "returned_item_report",
     "tfidf_cosine_pairs",
+    "events_funnel",
+    "events_quality_report",
+    "source_token_divergence",
+    "top_session_paths",
 ]
 
 

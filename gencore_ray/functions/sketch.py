@@ -396,3 +396,84 @@ def approx_quantiles(
         for blob in t["sk"].to_pylist():
             acc.merge(KLL.from_bytes(blob))
     return {q: acc.quantile(q) for q in qs}
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# estimates with a one-sided error bound — the complement of Misra-Gries
+# (MG undercounts by at most n/(capacity+1); CM OVERcounts by at most
+# eps*n with probability 1-delta, never undercounts).  Used where the
+# per-key count table itself is too large to exchange: each block folds
+# into a fixed (depth x width) uint64 grid, grids add elementwise.
+# ---------------------------------------------------------------------------
+
+
+def cm_params(eps: float = 1e-4, delta: float = 1e-3) -> tuple[int, int]:
+    """(depth, width) for error <= eps*n with prob >= 1-delta:
+    width = ceil(e/eps), depth = ceil(ln(1/delta))."""
+    width = int(np.ceil(np.e / eps))
+    depth = int(np.ceil(np.log(1.0 / delta)))
+    return depth, width
+
+
+def _cm_hash(keys: np.ndarray, row: int, seed: int, width: int) -> np.ndarray:
+    from gencore_ray.functions.hashing import splitmix64
+
+    salt = np.uint64((0x9E3779B97F4A7C15 * (row + 1) + seed) % (1 << 64))
+    with np.errstate(over="ignore"):
+        h = splitmix64(keys.astype(np.uint64) ^ salt)
+    return (h % np.uint64(width)).astype(np.int64)
+
+
+def cm_batch(keys: np.ndarray, depth: int, width: int,
+             seed: int = 42) -> np.ndarray:
+    """Fold a batch of uint64 keys into a fresh (depth, width) grid."""
+    grid = np.zeros((depth, width), dtype=np.int64)
+    for r in range(depth):
+        idx = _cm_hash(keys, r, seed, width)
+        np.add.at(grid[r], idx, 1)
+    return grid
+
+
+def cm_query(grid: np.ndarray, keys: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Point estimates: min over rows of the hashed cells (>= true)."""
+    depth, width = grid.shape
+    est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(depth):
+        est = np.minimum(est, grid[r][_cm_hash(keys, r, seed, width)])
+    return est
+
+
+def cm_count(ds, col: str, query_keys: np.ndarray,
+             eps: float = 1e-4, delta: float = 1e-3,
+             seed: int = 42) -> np.ndarray:
+    """Distributed count-min over ``col`` (uint64-hashable values):
+    one fixed-size grid per batch, elementwise-summed on the driver
+    (grids are ~depth*width*8 bytes regardless of corpus size), then
+    point-queried for ``query_keys``.  Never undercounts; overcounts
+    by <= eps*n with probability 1-delta."""
+    import pyarrow as pa
+
+    from gencore_ray.functions.hashing import hash_str_array_u64
+
+    depth, width = cm_params(eps, delta)
+
+    def to_keys(vals) -> np.ndarray:
+        arr = vals.to_numpy(zero_copy_only=False)
+        if arr.dtype.kind in "iu":
+            return arr.astype(np.uint64)
+        return hash_str_array_u64([str(v) for v in arr])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = cm_batch(to_keys(t[col]), depth, width, seed)
+        return pa.table({"g": pa.array([g.tobytes()], pa.binary())})
+
+    grid = np.zeros((depth, width), dtype=np.int64)
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    for t in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for blob in t["g"].to_pylist():
+            grid += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+    qk = query_keys.astype(np.uint64) if query_keys.dtype.kind in "iu" \
+        else hash_str_array_u64([str(v) for v in query_keys])
+    return cm_query(grid, qk, seed)

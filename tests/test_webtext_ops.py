@@ -487,3 +487,38 @@ def test_bm25_empty_corpus(ray_session):
     out = bm25_topk(docs, ["alpha"], k=3)
     assert out.count() == 0
     assert out.schema().names == ["doc_id", "score"]
+
+
+def test_count_min_bounds_and_merge(ray_session):
+    """CM never undercounts; overcount bounded by eps*n with high
+    probability; distributed fold == single-box fold."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gencore_ray.functions.sketch import cm_batch, cm_count, cm_query
+
+    rng = np.random.RandomState(7)
+    # Zipf-ish: key k appears ~1000/k times
+    keys = np.concatenate([np.full(1000 // (k + 1), k, dtype=np.int64)
+                           for k in range(50)])
+    rng.shuffle(keys)
+    df = pd.DataFrame({"k": keys})
+    n = len(keys)
+    true = pd.Series(keys).value_counts()
+    qk = np.arange(50, dtype=np.int64)
+    eps, delta = 0.01, 1e-3
+    est = cm_count(rd.from_pandas(df).repartition(6), "k", qk,
+                   eps=eps, delta=delta)
+    tv = np.array([int(true.get(k, 0)) for k in qk])
+    assert (est >= tv).all(), "count-min must never undercount"
+    assert (est - tv <= eps * n + 1).all()  # the w=ceil(e/eps) guarantee
+
+    # mergeability: sum of per-chunk grids == one-shot grid
+    from gencore_ray.functions.sketch import cm_params
+    d_, w_ = cm_params(eps, delta)
+    g1 = cm_batch(keys[: n // 2].astype(np.uint64), d_, w_)
+    g2 = cm_batch(keys[n // 2:].astype(np.uint64), d_, w_)
+    g = cm_batch(keys.astype(np.uint64), d_, w_)
+    assert (g1 + g2 == g).all()
+    assert (cm_query(g1 + g2, qk.astype(np.uint64)) == est).all()
