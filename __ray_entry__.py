@@ -2104,6 +2104,26 @@ def _q_events_zorder_keys(sf_dir: str):
     return keyed.select_columns(["event_id", "zkey"])
 
 
+def _q_events_type_hour_chi2(sf_dir: str):
+    """Chi-square independence (ops/relational.py): is the event-type
+    mix independent of hour-of-day?  One (type, hour)-keyed count
+    exchange; the driver folds only the 5 x 24 contingency cells
+    (expected counts over the FULL grid, absent cells observed 0)."""
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import chi_square_independence
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def hour(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "hh": df["ts"].dt.hour.astype("int64")})
+
+    return chi_square_independence(
+        ev.map_batches(hour, batch_format="pandas"), "event_type", "hh")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2218,6 +2238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_session_paths": _q_top_session_paths,
         "events_daily_filled": _q_events_daily_filled,
         "events_zorder_keys": _q_events_zorder_keys,
+        "events_type_hour_chi2": _q_events_type_hour_chi2,
     }
 
 
@@ -3714,5 +3735,22 @@ def oracle_sql() -> dict[str, str]:
     # 32-term Morton interleave: bit i of each 16-bit bucket lands on
     # bit 2i (user_id) / 2i+1 (floor(value)) — built programmatically,
     # matching ops/zorder.py::morton_key exactly
+    d["events_type_hour_chi2"] = (
+        "WITH t AS (SELECT event_type AS a, "
+        "CAST(extract(hour FROM ts) AS BIGINT) AS b FROM events), "
+        "c AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS o "
+        "FROM t GROUP BY a, b), "
+        "ra AS (SELECT a, sum(o) AS ta FROM c GROUP BY a), "
+        "rb AS (SELECT b, sum(o) AS tb FROM c GROUP BY b), "
+        "nn AS (SELECT sum(o) AS n FROM c), "
+        "grid AS (SELECT ra.a, rb.b, ra.ta, rb.tb FROM ra CROSS JOIN rb), "
+        "j AS (SELECT g.a, g.b, coalesce(c.o, 0) AS o, "
+        "g.ta * g.tb / (SELECT n FROM nn) AS e "
+        "FROM grid g LEFT JOIN c ON g.a = c.a AND g.b = c.b) "
+        "SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2, "
+        "CAST(((SELECT count(*) FROM ra) - 1) "
+        "* ((SELECT count(*) FROM rb) - 1) AS BIGINT) AS dof, "
+        "CAST((SELECT n FROM nn) AS BIGINT) AS n_rows FROM j"
+    )
     d["events_zorder_keys"] = 'SELECT event_id, ((((user_id % 65536) >> 0) & 1) * 1) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 0) & 1) * 2) + ((((user_id % 65536) >> 1) & 1) * 4) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 1) & 1) * 8) + ((((user_id % 65536) >> 2) & 1) * 16) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 2) & 1) * 32) + ((((user_id % 65536) >> 3) & 1) * 64) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 3) & 1) * 128) + ((((user_id % 65536) >> 4) & 1) * 256) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 4) & 1) * 512) + ((((user_id % 65536) >> 5) & 1) * 1024) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 5) & 1) * 2048) + ((((user_id % 65536) >> 6) & 1) * 4096) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 6) & 1) * 8192) + ((((user_id % 65536) >> 7) & 1) * 16384) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 7) & 1) * 32768) + ((((user_id % 65536) >> 8) & 1) * 65536) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 8) & 1) * 131072) + ((((user_id % 65536) >> 9) & 1) * 262144) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 9) & 1) * 524288) + ((((user_id % 65536) >> 10) & 1) * 1048576) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 10) & 1) * 2097152) + ((((user_id % 65536) >> 11) & 1) * 4194304) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 11) & 1) * 8388608) + ((((user_id % 65536) >> 12) & 1) * 16777216) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 12) & 1) * 33554432) + ((((user_id % 65536) >> 13) & 1) * 67108864) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 13) & 1) * 134217728) + ((((user_id % 65536) >> 14) & 1) * 268435456) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 14) & 1) * 536870912) + ((((user_id % 65536) >> 15) & 1) * 1073741824) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 15) & 1) * 2147483648) AS zkey FROM events'
     return d

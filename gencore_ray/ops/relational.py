@@ -918,6 +918,47 @@ def mad_outliers(
     return with_dev.map_batches(flag, batch_format="pandas")
 
 
+def chi_square_independence(
+    ds: rd.Dataset,
+    col_a: str,
+    col_b: str,
+    num_parts: int = 8,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Pearson chi-square test of independence between two categorical
+    columns — the statistical drift/bias probe (is event mix
+    independent of hour? is language independent of source?).
+
+    ONE (a, b)-keyed count exchange (pre-aggregated in the mappers);
+    the driver folds only the contingency CELLS (|A| x |B|, bounded by
+    the categories, never the rows): expected = row_tot * col_tot / n
+    over the FULL grid (absent cells count as observed 0), chi2 =
+    sum((o-e)^2/e), dof = (|A|-1)(|B|-1).  Output: one row
+    (chi2, dof, n_rows).
+    """
+    import numpy as np
+
+    counts = grouped_aggregate(
+        ds.select_columns([col_a, col_b]), [col_a, col_b],
+        [("o", None, "count")], num_parts=num_parts,
+    ).to_pandas()
+    if not len(counts):
+        return rd.from_pandas(pd.DataFrame(
+            {"chi2": [0.0], "dof": [0], "n_rows": [0]}))
+    piv = counts.pivot_table(index=col_a, columns=col_b, values="o",
+                             fill_value=0, aggfunc="sum")
+    o = piv.to_numpy(dtype=np.float64)
+    n = o.sum()
+    e = np.outer(o.sum(axis=1), o.sum(axis=0)) / n
+    chi2 = float(((o - e) ** 2 / e).sum())
+    p = 10.0 ** round_to
+    return rd.from_pandas(pd.DataFrame({
+        "chi2": [np.floor(chi2 * p + 0.5) / p],
+        "dof": [np.int64((o.shape[0] - 1) * (o.shape[1] - 1))],
+        "n_rows": [np.int64(n)],
+    }))
+
+
 def profile_columns(
     ds: rd.Dataset,
     cols: Sequence[str],

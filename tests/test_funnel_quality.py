@@ -292,3 +292,33 @@ def test_morton_key_properties(ray_session):
     with _pytest.raises(Exception):
         zorder_keys(rd.from_pandas(pd.DataFrame({"a": [-1], "b": [0]})),
                     "a", "b").to_pandas()
+
+
+def test_chi_square_independence_known_values(ray_session):
+    from gencore_ray.ops.relational import chi_square_independence
+
+    # perfectly independent 2x2: chi2 == 0
+    ind = pd.DataFrame({"a": ["x"] * 40 + ["y"] * 40,
+                        "b": (["p"] * 20 + ["q"] * 20) * 2})
+    got = chi_square_independence(rd.from_pandas(ind), "a", "b").to_pandas()
+    assert got["chi2"].iloc[0] == 0.0 and got["dof"].iloc[0] == 1
+    assert got["n_rows"].iloc[0] == 80
+
+    # hand-computed dependent table: [[30, 10], [10, 30]]
+    dep = pd.DataFrame({
+        "a": ["x"] * 40 + ["y"] * 40,
+        "b": ["p"] * 30 + ["q"] * 10 + ["p"] * 10 + ["q"] * 30,
+    })
+    got = chi_square_independence(rd.from_pandas(dep), "a", "b").to_pandas()
+    o = np.array([[30.0, 10.0], [10.0, 30.0]])
+    e = np.outer(o.sum(1), o.sum(0)) / o.sum()
+    want = ((o - e) ** 2 / e).sum()
+    assert np.isclose(got["chi2"].iloc[0], round(want, 6))
+
+    # absent cells count as observed zero (y never sees q)
+    sparse = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"]})
+    got = chi_square_independence(rd.from_pandas(sparse), "a", "b").to_pandas()
+    o = np.array([[1.0, 1.0], [1.0, 0.0]])
+    e = np.outer(o.sum(1), o.sum(0)) / o.sum()
+    want = ((o - e) ** 2 / e).sum()
+    assert np.isclose(got["chi2"].iloc[0], round(want, 6))
