@@ -2124,6 +2124,36 @@ def _q_events_type_hour_chi2(sf_dir: str):
         ev.map_batches(hour, batch_format="pandas"), "event_type", "hh")
 
 
+def _q_user_value_trends(sf_dir: str):
+    """Per-user OLS trend of event value over time (ops/relational.py::
+    grouped_linear_trend): closed-form regression from five moment sums
+    in ONE partial+final aggregate — no per-group solver.  x is epoch
+    hours (double), keeping slope magnitudes round-stable; the oracle
+    replays the identical raw-moment formula (not regr_slope, whose
+    streaming co-moment accumulation has a different error profile)."""
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import grouped_linear_trend
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    REF = pd.Timestamp("2024-01-01").value // 1000  # epoch us
+
+    def xy(df: pd.DataFrame) -> pd.DataFrame:
+        # hours since a FIXED recent reference: keeps x (and therefore
+        # the intercept's extrapolation point) well-conditioned — epoch-0
+        # hours put 50 years of lever arm on every rounding error
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "x": (us - REF) / 3.6e9,
+                             "y": df["value"]})
+
+    return grouped_linear_trend(
+        ev.map_batches(xy, batch_format="pandas"), "user_id", "x", "y",
+        num_parts=16, min_points=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2239,6 +2269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_filled": _q_events_daily_filled,
         "events_zorder_keys": _q_events_zorder_keys,
         "events_type_hour_chi2": _q_events_type_hour_chi2,
+        "user_value_trends": _q_user_value_trends,
     }
 
 
@@ -3751,6 +3782,18 @@ def oracle_sql() -> dict[str, str]:
         "CAST(((SELECT count(*) FROM ra) - 1) "
         "* ((SELECT count(*) FROM rb) - 1) AS BIGINT) AS dof, "
         "CAST((SELECT n FROM nn) AS BIGINT) AS n_rows FROM j"
+    )
+    d["user_value_trends"] = (
+        "WITH t AS (SELECT user_id, (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 3600000000.0 AS x, "
+        "value AS y FROM events), "
+        "m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+        "sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, "
+        "sum(x * y) AS sxy FROM t GROUP BY user_id) "
+        "SELECT user_id, n, "
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, "
+        "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, "
+        "6) AS intercept "
+        "FROM m WHERE n >= 3 AND (n * sxx - sx * sx) <> 0"
     )
     d["events_zorder_keys"] = 'SELECT event_id, ((((user_id % 65536) >> 0) & 1) * 1) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 0) & 1) * 2) + ((((user_id % 65536) >> 1) & 1) * 4) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 1) & 1) * 8) + ((((user_id % 65536) >> 2) & 1) * 16) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 2) & 1) * 32) + ((((user_id % 65536) >> 3) & 1) * 64) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 3) & 1) * 128) + ((((user_id % 65536) >> 4) & 1) * 256) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 4) & 1) * 512) + ((((user_id % 65536) >> 5) & 1) * 1024) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 5) & 1) * 2048) + ((((user_id % 65536) >> 6) & 1) * 4096) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 6) & 1) * 8192) + ((((user_id % 65536) >> 7) & 1) * 16384) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 7) & 1) * 32768) + ((((user_id % 65536) >> 8) & 1) * 65536) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 8) & 1) * 131072) + ((((user_id % 65536) >> 9) & 1) * 262144) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 9) & 1) * 524288) + ((((user_id % 65536) >> 10) & 1) * 1048576) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 10) & 1) * 2097152) + ((((user_id % 65536) >> 11) & 1) * 4194304) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 11) & 1) * 8388608) + ((((user_id % 65536) >> 12) & 1) * 16777216) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 12) & 1) * 33554432) + ((((user_id % 65536) >> 13) & 1) * 67108864) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 13) & 1) * 134217728) + ((((user_id % 65536) >> 14) & 1) * 268435456) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 14) & 1) * 536870912) + ((((user_id % 65536) >> 15) & 1) * 1073741824) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 15) & 1) * 2147483648) AS zkey FROM events'
     return d

@@ -918,6 +918,68 @@ def mad_outliers(
     return with_dev.map_batches(flag, batch_format="pandas")
 
 
+def grouped_linear_trend(
+    ds: rd.Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+    num_parts: int = 16,
+    round_to: int = 6,
+    min_points: int = 2,
+) -> rd.Dataset:
+    """Per-group OLS trend line y = slope*x + intercept from the five
+    moment sums (n, Sx, Sy, Sxx, Sxy) — closed-form regression as ONE
+    partial+final aggregate; no per-group solver, no second pass.
+    Groups with < ``min_points`` points or zero x-variance are dropped
+    (slope undefined) — the SQL ``regr_slope IS NOT NULL`` contract.
+
+    Output: (key, n, slope, intercept) rounded to ``round_to``.
+    """
+    import numpy as np
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(dtype=np.float64)
+        y = df[y_col].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({key: df[key], "x": x, "y": y,
+                          "xx": x * x, "xy": x * y})
+        out = g.groupby(key, sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), sxy=("xy", "sum")).reset_index()
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: pd.Series(dtype=df[key].dtype),
+                                 "n": pd.Series(dtype="int64"),
+                                 "slope": pd.Series(dtype="float64"),
+                                 "intercept": pd.Series(dtype="float64")})
+        g = df.groupby(key, sort=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxx=("sxx", "sum"), sxy=("sxy", "sum")).reset_index()
+        n = g["n"].to_numpy(dtype=np.float64)
+        sx, sy = g["sx"].to_numpy(), g["sy"].to_numpy()
+        sxx, sxy = g["sxx"].to_numpy(), g["sxy"].to_numpy()
+        denom = n * sxx - sx * sx
+        ok = (g["n"].to_numpy() >= min_points) & (denom != 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (n * sxy - sx * sy) / denom
+            intercept = (sy - slope * sx) / n
+        p = 10.0 ** round_to
+        out = pd.DataFrame({
+            key: g[key], "n": g["n"].astype(np.int64),
+            "slope": np.sign(slope) * np.floor(np.abs(slope) * p + 0.5) / p,
+            "intercept": np.sign(intercept)
+            * np.floor(np.abs(intercept) * p + 0.5) / p,
+        })
+        return out[ok]
+
+    partials = ds.select_columns([key, x_col, y_col]).map_batches(
+        partial, batch_format="pandas")
+    from gencore_ray.stages.shuffle import grouped_map
+
+    return grouped_map(partials, key, final, num_parts=num_parts)
+
+
 def chi_square_independence(
     ds: rd.Dataset,
     col_a: str,

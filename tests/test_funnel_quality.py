@@ -322,3 +322,27 @@ def test_chi_square_independence_known_values(ray_session):
     e = np.outer(o.sum(1), o.sum(0)) / o.sum()
     want = ((o - e) ** 2 / e).sum()
     assert np.isclose(got["chi2"].iloc[0], round(want, 6))
+
+
+def test_grouped_linear_trend_recovers_planted_lines(ray_session):
+    from gencore_ray.ops.relational import grouped_linear_trend
+
+    rng = np.random.RandomState(21)
+    frames = []
+    truth = {1: (2.5, 10.0), 2: (-1.0, 100.0), 3: (0.0, 7.0)}
+    for k, (m, b) in truth.items():
+        x = rng.rand(60) * 50
+        frames.append(pd.DataFrame({"k": k, "x": x, "y": m * x + b}))
+    # a 1-point group and a zero-variance-x group: both dropped
+    frames.append(pd.DataFrame({"k": [4], "x": [1.0], "y": [5.0]}))
+    frames.append(pd.DataFrame({"k": [5] * 4, "x": [2.0] * 4,
+                                "y": [1.0, 2.0, 3.0, 4.0]}))
+    df = pd.concat(frames, ignore_index=True)
+    got = (grouped_linear_trend(rd.from_pandas(df), "k", "x", "y",
+                                num_parts=3, min_points=2)
+           .to_pandas().set_index("k"))
+    assert set(got.index) == {1, 2, 3}
+    for k, (m, b) in truth.items():
+        assert np.isclose(got.loc[k, "slope"], m, atol=1e-5)
+        assert np.isclose(got.loc[k, "intercept"], b, atol=1e-4)
+        assert got.loc[k, "n"] == 60
