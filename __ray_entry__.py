@@ -2154,6 +2154,19 @@ def _q_user_value_trends(sf_dir: str):
         num_parts=16, min_points=3)
 
 
+def _q_weighted_jaccard_dups(sf_dir: str):
+    """Weighted (multiset) Jaccard pairs (ops/sparse.py::
+    weighted_jaccard_pairs): sum(min tf)/sum(max tf) over the df-pruned
+    vocabulary via the inverted-index exchange — every intermediate an
+    INTEGER (sum_max = tot_a + tot_b - sum_min over shared terms), so
+    the single rounded division is the only float in the metric."""
+    from gencore_ray.ops.sparse import weighted_jaccard_pairs
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return weighted_jaccard_pairs(docs, threshold=0.5, max_df=0.5,
+                                  num_parts=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2270,6 +2283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zorder_keys": _q_events_zorder_keys,
         "events_type_hour_chi2": _q_events_type_hour_chi2,
         "user_value_trends": _q_user_value_trends,
+        "weighted_jaccard_dups": _q_weighted_jaccard_dups,
     }
 
 
@@ -3794,6 +3808,27 @@ def oracle_sql() -> dict[str, str]:
         "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, "
         "6) AS intercept "
         "FROM m WHERE n >= 3 AND (n * sxx - sx * sx) <> 0"
+    )
+    d["weighted_jaccard_dups"] = (
+        "WITH tok AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents), "
+        "tf AS (SELECT doc_id, md5_number_lower(t) AS th, "
+        "CAST(count(*) AS BIGINT) AS tf "
+        "FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, th), "
+        "dfq AS (SELECT th, count(*) AS df FROM tf GROUP BY th), "
+        "v AS (SELECT th FROM dfq WHERE df BETWEEN 2 AND "
+        "floor(0.5 * (SELECT count(*) FROM documents))), "
+        "tp AS (SELECT tf.doc_id, tf.th, tf.tf FROM tf JOIN v USING(th)), "
+        "tot AS (SELECT doc_id, sum(tf) AS tot FROM tp GROUP BY doc_id), "
+        "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, "
+        "sum(least(a.tf, b.tf)) AS smin "
+        "FROM tp a JOIN tp b ON a.th = b.th AND a.doc_id < b.doc_id "
+        "GROUP BY ia, ib) "
+        "SELECT ia AS doc_a, ib AS doc_b, "
+        "round(smin * 1.0 / (ta.tot + tb.tot - smin), 6) AS w_jaccard "
+        "FROM p JOIN tot ta ON p.ia = ta.doc_id "
+        "JOIN tot tb ON p.ib = tb.doc_id "
+        "WHERE round(smin * 1.0 / (ta.tot + tb.tot - smin), 6) >= 0.5"
     )
     d["events_zorder_keys"] = 'SELECT event_id, ((((user_id % 65536) >> 0) & 1) * 1) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 0) & 1) * 2) + ((((user_id % 65536) >> 1) & 1) * 4) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 1) & 1) * 8) + ((((user_id % 65536) >> 2) & 1) * 16) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 2) & 1) * 32) + ((((user_id % 65536) >> 3) & 1) * 64) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 3) & 1) * 128) + ((((user_id % 65536) >> 4) & 1) * 256) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 4) & 1) * 512) + ((((user_id % 65536) >> 5) & 1) * 1024) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 5) & 1) * 2048) + ((((user_id % 65536) >> 6) & 1) * 4096) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 6) & 1) * 8192) + ((((user_id % 65536) >> 7) & 1) * 16384) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 7) & 1) * 32768) + ((((user_id % 65536) >> 8) & 1) * 65536) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 8) & 1) * 131072) + ((((user_id % 65536) >> 9) & 1) * 262144) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 9) & 1) * 524288) + ((((user_id % 65536) >> 10) & 1) * 1048576) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 10) & 1) * 2097152) + ((((user_id % 65536) >> 11) & 1) * 4194304) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 11) & 1) * 8388608) + ((((user_id % 65536) >> 12) & 1) * 16777216) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 12) & 1) * 33554432) + ((((user_id % 65536) >> 13) & 1) * 67108864) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 13) & 1) * 134217728) + ((((user_id % 65536) >> 14) & 1) * 268435456) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 14) & 1) * 536870912) + ((((user_id % 65536) >> 15) & 1) * 1073741824) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 15) & 1) * 2147483648) AS zkey FROM events'
     return d

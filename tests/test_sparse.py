@@ -78,3 +78,46 @@ def test_tfidf_stop_term_prune_drops_common_words(ray_session):
     have = {(int(a), int(b), float(c)) for a, b, c in
             zip(got["doc_a"], got["doc_b"], got["cos_sim"])}
     assert have == want
+
+
+def test_weighted_jaccard_pairs_matches_dense(ray_session):
+    import re
+
+    from gencore_ray.ops.sparse import weighted_jaccard_pairs
+
+    docs = pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS})
+    got = weighted_jaccard_pairs(rd.from_pandas(docs), threshold=0.05,
+                                 max_df=len(TEXTS), min_df=2,
+                                 num_parts=4).to_pandas()
+    tok = re.compile(r"[a-z0-9_]+")
+    tfs = []
+    for t in TEXTS:
+        d = {}
+        for w in tok.findall(t.lower()):
+            h = md5_low64(w)
+            d[h] = d.get(h, 0) + 1
+        tfs.append(d)
+    dfc = {}
+    for d in tfs:
+        for h in d:
+            dfc[h] = dfc.get(h, 0) + 1
+    keep = {h for h, c in dfc.items() if 2 <= c <= len(TEXTS)}
+    pruned = [{h: c for h, c in d.items() if h in keep} for d in tfs]
+    want = set()
+    for i in range(len(TEXTS)):
+        for j in range(i + 1, len(TEXTS)):
+            shared = set(pruned[i]) & set(pruned[j])
+            if not shared:
+                continue
+            smin = sum(min(pruned[i][h], pruned[j][h]) for h in shared)
+            smax = sum(pruned[i].values()) + sum(pruned[j].values()) - smin
+            wj = round(smin / smax, 6)
+            if wj >= 0.05:
+                want.add((i, j, wj))
+    have = {(int(a), int(b), float(c)) for a, b, c in
+            zip(got["doc_a"], got["doc_b"], got["w_jaccard"])}
+    assert have == want
+    # multiset sensitivity: 'the the the the the' vs one 'the' must NOT
+    # score 1.0 (set Jaccard would) — check any pair involving doc 6
+    six = {p for p in have if 6 in p[:2]}
+    assert all(c < 1.0 for _, _, c in six)
