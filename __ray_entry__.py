@@ -2167,6 +2167,19 @@ def _q_weighted_jaccard_dups(sf_dir: str):
                                   num_parts=16)
 
 
+def _q_sorted_neighborhood_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking (ops/neighborhood.py, Hernandez &
+    Stolfo): candidates within a 5-rank window under sanitized-prefix
+    order — the third blocking strategy beside LSH and the suffix
+    array; global rank via the range-partition prefix-sum pattern,
+    window pairs owned by the larger rank's block (exactly once).
+    Pair mass is n*window, linear by construction."""
+    from gencore_ray.ops.neighborhood import sorted_neighborhood_pairs
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return sorted_neighborhood_pairs(docs, window=5, num_parts=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2284,6 +2297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_hour_chi2": _q_events_type_hour_chi2,
         "user_value_trends": _q_user_value_trends,
         "weighted_jaccard_dups": _q_weighted_jaccard_dups,
+        "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
     }
 
 
@@ -3829,6 +3843,15 @@ def oracle_sql() -> dict[str, str]:
         "FROM p JOIN tot ta ON p.ia = ta.doc_id "
         "JOIN tot tb ON p.ib = tb.doc_id "
         "WHERE round(smin * 1.0 / (ta.tot + tb.tot - smin), 6) >= 0.5"
+    )
+    d["sorted_neighborhood_pairs"] = (
+        "WITH r AS (SELECT doc_id, substr(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', '', 'g'), 1, 8) AS sk FROM documents), "
+        "rn AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) - 1 "
+        "AS rn FROM r) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(b.rn - a.rn AS BIGINT) AS rank_dist "
+        "FROM rn a JOIN rn b ON b.rn > a.rn AND b.rn - a.rn <= 5"
     )
     d["events_zorder_keys"] = 'SELECT event_id, ((((user_id % 65536) >> 0) & 1) * 1) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 0) & 1) * 2) + ((((user_id % 65536) >> 1) & 1) * 4) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 1) & 1) * 8) + ((((user_id % 65536) >> 2) & 1) * 16) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 2) & 1) * 32) + ((((user_id % 65536) >> 3) & 1) * 64) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 3) & 1) * 128) + ((((user_id % 65536) >> 4) & 1) * 256) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 4) & 1) * 512) + ((((user_id % 65536) >> 5) & 1) * 1024) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 5) & 1) * 2048) + ((((user_id % 65536) >> 6) & 1) * 4096) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 6) & 1) * 8192) + ((((user_id % 65536) >> 7) & 1) * 16384) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 7) & 1) * 32768) + ((((user_id % 65536) >> 8) & 1) * 65536) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 8) & 1) * 131072) + ((((user_id % 65536) >> 9) & 1) * 262144) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 9) & 1) * 524288) + ((((user_id % 65536) >> 10) & 1) * 1048576) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 10) & 1) * 2097152) + ((((user_id % 65536) >> 11) & 1) * 4194304) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 11) & 1) * 8388608) + ((((user_id % 65536) >> 12) & 1) * 16777216) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 12) & 1) * 33554432) + ((((user_id % 65536) >> 13) & 1) * 67108864) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 13) & 1) * 134217728) + ((((user_id % 65536) >> 14) & 1) * 268435456) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 14) & 1) * 536870912) + ((((user_id % 65536) >> 15) & 1) * 1073741824) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 15) & 1) * 2147483648) AS zkey FROM events'
     return d

@@ -121,3 +121,31 @@ def test_weighted_jaccard_pairs_matches_dense(ray_session):
     # score 1.0 (set Jaccard would) — check any pair involving doc 6
     six = {p for p in have if 6 in p[:2]}
     assert all(c < 1.0 for _, _, c in six)
+
+
+def test_sorted_neighborhood_pairs_matches_bruteforce(ray_session):
+    import re
+
+    from gencore_ray.ops.neighborhood import sorted_neighborhood_pairs
+
+    rng = np.random.RandomState(3)
+    words = ["apple", "apply", "apricot", "banana", "bandana", "candle",
+             "zebra", "zebras", ""]
+    texts = [f"{rng.choice(words)} {rng.choice(words)} filler {i}"
+             for i in range(60)]
+    docs = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                         "text": texts})
+    w = 4
+    got = sorted_neighborhood_pairs(rd.from_pandas(docs), window=w,
+                                    num_parts=5).to_pandas()
+    # brute force: rank under (sanitized 8-char prefix, doc_id)
+    pat = re.compile(r"[^a-z0-9 ]")
+    keys = sorted((pat.sub("", t.lower())[:8], i)
+                  for i, t in enumerate(texts))
+    want = set()
+    for a in range(len(keys)):
+        for b in range(a + 1, min(a + w + 1, len(keys))):
+            want.add((keys[a][1], keys[b][1], b - a))
+    have = set(zip(got["id_a"], got["id_b"], got["rank_dist"]))
+    assert have == want
+    assert len(got) == len(got.drop_duplicates()), "pair emitted twice"
