@@ -2180,6 +2180,22 @@ def _q_sorted_neighborhood_pairs(sf_dir: str):
     return sorted_neighborhood_pairs(docs, window=5, num_parts=16)
 
 
+def _q_neighborhood_edit_verify(sf_dir: str):
+    """Record-linkage composition: sorted-neighborhood blocking
+    (ops/neighborhood.py) piped into the exact Levenshtein verifier
+    (ops/editdist.py::pair_edit_distances) — blocking and verification
+    as freely composable stages, the same two-phase shape as the
+    flagship's LSH -> Jaccard pipeline."""
+    from gencore_ray.ops.editdist import pair_edit_distances
+    from gencore_ray.ops.neighborhood import sorted_neighborhood_pairs
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    pairs = sorted_neighborhood_pairs(docs, window=5, num_parts=16)
+    out = pair_edit_distances(docs, pairs.select_columns(["id_a", "id_b"]),
+                              a_col="id_a", b_col="id_b", num_parts=16)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2298,6 +2314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_trends": _q_user_value_trends,
         "weighted_jaccard_dups": _q_weighted_jaccard_dups,
         "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
+        "neighborhood_edit_verify": _q_neighborhood_edit_verify,
     }
 
 
@@ -3852,6 +3869,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "CAST(b.rn - a.rn AS BIGINT) AS rank_dist "
         "FROM rn a JOIN rn b ON b.rn > a.rn AND b.rn - a.rn <= 5"
+    )
+    d["neighborhood_edit_verify"] = (
+        "WITH r AS (SELECT doc_id, substr(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', '', 'g'), 1, 8) AS sk FROM documents), "
+        "rn AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) - 1 "
+        "AS rn FROM r), "
+        "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM rn a "
+        "JOIN rn b ON b.rn > a.rn AND b.rn - a.rn <= 5), "
+        "k AS (SELECT doc_id, substr(text, 1, 240) AS t240, "
+        "strlen(substr(text, 1, 240)) AS bl FROM documents) "
+        "SELECT p.ia AS id_a, p.ib AS id_b, "
+        "levenshtein(ka.t240, kb.t240) AS edit_distance, "
+        "round(CASE WHEN greatest(ka.bl, kb.bl) = 0 THEN 1.0 ELSE "
+        "1.0 - levenshtein(ka.t240, kb.t240) "
+        "/ CAST(greatest(ka.bl, kb.bl) AS DOUBLE) END, 6) "
+        "AS edit_similarity "
+        "FROM p JOIN k ka ON p.ia = ka.doc_id "
+        "JOIN k kb ON p.ib = kb.doc_id"
     )
     d["events_zorder_keys"] = 'SELECT event_id, ((((user_id % 65536) >> 0) & 1) * 1) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 0) & 1) * 2) + ((((user_id % 65536) >> 1) & 1) * 4) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 1) & 1) * 8) + ((((user_id % 65536) >> 2) & 1) * 16) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 2) & 1) * 32) + ((((user_id % 65536) >> 3) & 1) * 64) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 3) & 1) * 128) + ((((user_id % 65536) >> 4) & 1) * 256) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 4) & 1) * 512) + ((((user_id % 65536) >> 5) & 1) * 1024) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 5) & 1) * 2048) + ((((user_id % 65536) >> 6) & 1) * 4096) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 6) & 1) * 8192) + ((((user_id % 65536) >> 7) & 1) * 16384) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 7) & 1) * 32768) + ((((user_id % 65536) >> 8) & 1) * 65536) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 8) & 1) * 131072) + ((((user_id % 65536) >> 9) & 1) * 262144) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 9) & 1) * 524288) + ((((user_id % 65536) >> 10) & 1) * 1048576) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 10) & 1) * 2097152) + ((((user_id % 65536) >> 11) & 1) * 4194304) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 11) & 1) * 8388608) + ((((user_id % 65536) >> 12) & 1) * 16777216) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 12) & 1) * 33554432) + ((((user_id % 65536) >> 13) & 1) * 67108864) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 13) & 1) * 134217728) + ((((user_id % 65536) >> 14) & 1) * 268435456) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 14) & 1) * 536870912) + ((((user_id % 65536) >> 15) & 1) * 1073741824) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 15) & 1) * 2147483648) AS zkey FROM events'
     return d
