@@ -107,7 +107,10 @@ def pair_edit_distances(
         sim = np.where(denom > 0, 1.0 - dist / np.maximum(denom, 1.0), 1.0)
         out = df[[a_col, b_col]].copy()
         out["edit_distance"] = dist
-        out["edit_similarity"] = np.round(sim, 6)
+        # half-away rounding (DuckDB round()): np.round is banker's and
+        # diverges on exact .5 boundaries — 1 - 91/128 = 0.2890625 is
+        # representable and DID land on one
+        out["edit_similarity"] = np.floor(sim * 1e6 + 0.5) / 1e6
         return out
 
     return j.map_batches(_score, batch_format="pandas")
