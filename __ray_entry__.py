@@ -2196,6 +2196,19 @@ def _q_neighborhood_edit_verify(sf_dir: str):
     return out
 
 
+def _q_set_jaccard_join(sf_dir: str):
+    """Exact set-similarity self-join (ops/setjoin.py, PPJoin prefix
+    filtering): token-SET Jaccard >= 0.5 with 100% recall — the exact
+    complement to MinHash-LSH.  Rarest-first prefixes index almost
+    nothing per doc; verification counts per-candidate tokens seen
+    from both sides over one slim (pair, token) exchange (no token
+    list ever rides a join)."""
+    from gencore_ray.ops.setjoin import set_similarity_join
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return set_similarity_join(docs, threshold=0.75, num_parts=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2315,6 +2328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_jaccard_dups": _q_weighted_jaccard_dups,
         "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
         "neighborhood_edit_verify": _q_neighborhood_edit_verify,
+        "set_jaccard_join": _q_set_jaccard_join,
     }
 
 
@@ -3887,6 +3901,30 @@ def oracle_sql() -> dict[str, str]:
         "AS edit_similarity "
         "FROM p JOIN k ka ON p.ia = ka.doc_id "
         "JOIN k kb ON p.ib = kb.doc_id"
+    )
+    d["set_jaccard_join"] = (
+        "WITH tok AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents), "
+        "dtok AS (SELECT DISTINCT doc_id, md5_number_lower(t) AS th "
+        "FROM (SELECT doc_id, unnest(toks) AS t FROM tok)), "
+        "dfq AS (SELECT th, count(*) AS df FROM dtok GROUP BY th), "
+        "rk AS (SELECT d.doc_id, d.th, "
+        "row_number() OVER (PARTITION BY d.doc_id ORDER BY q.df, d.th) - 1 "
+        "AS pos, count(*) OVER (PARTITION BY d.doc_id) AS sz "
+        "FROM dtok d JOIN dfq q ON d.th = q.th), "
+        "pfx AS (SELECT doc_id, th, sz FROM rk "
+        "WHERE pos < sz - ceil(0.75 * sz) + 1), "
+        "cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, "
+        "a.sz AS sa, b.sz AS sb FROM pfx a "
+        "JOIN pfx b ON a.th = b.th AND a.doc_id < b.doc_id "
+        "WHERE b.sz >= 0.75 * a.sz AND a.sz >= 0.75 * b.sz), "
+        "inter AS (SELECT c.ia, c.ib, count(*) AS i FROM cand c "
+        "JOIN dtok x ON x.doc_id = c.ia "
+        "JOIN dtok y ON y.doc_id = c.ib AND y.th = x.th GROUP BY c.ia, c.ib) "
+        "SELECT c.ia AS doc_a, c.ib AS doc_b, "
+        "round(i * 1.0 / (c.sa + c.sb - i), 6) AS jaccard "
+        "FROM cand c JOIN inter ON c.ia = inter.ia AND c.ib = inter.ib "
+        "WHERE round(i * 1.0 / (c.sa + c.sb - i), 6) >= 0.75"
     )
     d["events_zorder_keys"] = 'SELECT event_id, ((((user_id % 65536) >> 0) & 1) * 1) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 0) & 1) * 2) + ((((user_id % 65536) >> 1) & 1) * 4) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 1) & 1) * 8) + ((((user_id % 65536) >> 2) & 1) * 16) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 2) & 1) * 32) + ((((user_id % 65536) >> 3) & 1) * 64) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 3) & 1) * 128) + ((((user_id % 65536) >> 4) & 1) * 256) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 4) & 1) * 512) + ((((user_id % 65536) >> 5) & 1) * 1024) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 5) & 1) * 2048) + ((((user_id % 65536) >> 6) & 1) * 4096) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 6) & 1) * 8192) + ((((user_id % 65536) >> 7) & 1) * 16384) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 7) & 1) * 32768) + ((((user_id % 65536) >> 8) & 1) * 65536) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 8) & 1) * 131072) + ((((user_id % 65536) >> 9) & 1) * 262144) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 9) & 1) * 524288) + ((((user_id % 65536) >> 10) & 1) * 1048576) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 10) & 1) * 2097152) + ((((user_id % 65536) >> 11) & 1) * 4194304) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 11) & 1) * 8388608) + ((((user_id % 65536) >> 12) & 1) * 16777216) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 12) & 1) * 33554432) + ((((user_id % 65536) >> 13) & 1) * 67108864) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 13) & 1) * 134217728) + ((((user_id % 65536) >> 14) & 1) * 268435456) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 14) & 1) * 536870912) + ((((user_id % 65536) >> 15) & 1) * 1073741824) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 15) & 1) * 2147483648) AS zkey FROM events'
     return d

@@ -149,3 +149,37 @@ def test_sorted_neighborhood_pairs_matches_bruteforce(ray_session):
     have = set(zip(got["id_a"], got["id_b"], got["rank_dist"]))
     assert have == want
     assert len(got) == len(got.drop_duplicates()), "pair emitted twice"
+
+
+def test_set_similarity_join_exact_recall(ray_session):
+    """PPJoin prefix filter must have 100% recall: every brute-force
+    pair above the threshold appears, with the exact Jaccard."""
+    import re
+
+    from gencore_ray.ops.setjoin import set_similarity_join
+
+    rng = np.random.RandomState(4)
+    vocab = [f"w{i}" for i in range(120)]
+    base = [" ".join(rng.choice(vocab, size=rng.randint(5, 25),
+                                replace=False)) for _ in range(30)]
+    texts = list(base)
+    for t in base[:10]:          # planted near-dups: drop/add a token
+        toks = t.split()
+        texts.append(" ".join(toks[:-1] + [rng.choice(vocab)]))
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    tau = 0.5
+    got = set_similarity_join(rd.from_pandas(docs), threshold=tau,
+                              num_parts=4).to_pandas()
+    tok = re.compile(r"[a-z0-9_]+")
+    sets = [set(tok.findall(t.lower())) for t in texts]
+    want = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            if not sets[i] or not sets[j]:
+                continue
+            jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+            if round(jac, 6) >= tau:
+                want.add((i, j, round(jac, 6)))
+    have = set(zip(got["doc_a"], got["doc_b"], got["jaccard"]))
+    assert have == want
+    assert len(want) >= 10       # the planted dups are all found
