@@ -149,3 +149,60 @@ def test_knn_graph_matches_bruteforce(ray_session):
         assert sub["nbr_id"].tolist() == order.tolist()
         assert np.allclose(sub["cos_sim"].to_numpy(), cos[i][order])
         assert sub["rank"].tolist() == list(range(1, k + 1))
+
+
+def test_new_ops_partition_invariance(ray_session):
+    """Results must not depend on num_parts — THE distributed-
+    correctness property for every exchange-based op."""
+    from gencore_ray.ops.asof import asof_join
+    from gencore_ray.ops.funnel import funnel_stages
+    from gencore_ray.ops.setjoin import set_similarity_join
+    from gencore_ray.ops.windows import sliding_range_agg
+
+    ev = _rand_events(31, 150).rename(columns={"k": "user_id"})
+    ev["event_type"] = np.random.RandomState(32).choice(
+        ["view", "click", "purchase"], size=len(ev))
+
+    def norm(df, cols):
+        return (df[cols].sort_values(cols, kind="mergesort")
+                .reset_index(drop=True))
+
+    # sliding RANGE window
+    a = sliding_range_agg(rd.from_pandas(ev), num_parts=1).to_pandas()
+    b = sliding_range_agg(rd.from_pandas(ev), num_parts=7).to_pandas()
+    cols = ["event_id", "win_n", "win_vsum"]
+    pd.testing.assert_frame_equal(norm(a, cols), norm(b, cols))
+
+    # funnel
+    a = funnel_stages(rd.from_pandas(ev), ["view", "click", "purchase"],
+                      num_parts=1).to_pandas()
+    b = funnel_stages(rd.from_pandas(ev), ["view", "click", "purchase"],
+                      num_parts=6).to_pandas()
+    cols = ["user_id", "stage_reached"]
+    pd.testing.assert_frame_equal(norm(a, cols), norm(b, cols))
+
+    # as-of join
+    right = (ev[["user_id", "ts", "value"]]
+             .groupby(["user_id", "ts"], as_index=False)["value"].max()
+             .rename(columns={"value": "rv"}))
+    left = ev[["event_id", "user_id", "ts"]]
+    a = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                  key="user_id", ts_col="ts", num_parts=1).to_pandas()
+    b = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                  key="user_id", ts_col="ts", num_parts=5).to_pandas()
+    cols = ["event_id", "rv"]
+    pd.testing.assert_frame_equal(norm(a, cols), norm(b, cols))
+
+    # exact set-similarity join
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [" ".join(f"tok{(i * 7 + j) % 30}" for j in range(12))
+                 for i in range(40)],
+    })
+    a = set_similarity_join(rd.from_pandas(docs), threshold=0.5,
+                            num_parts=1).to_pandas()
+    b = set_similarity_join(rd.from_pandas(docs), threshold=0.5,
+                            num_parts=9).to_pandas()
+    cols = ["doc_a", "doc_b", "jaccard"]
+    pd.testing.assert_frame_equal(norm(a, cols), norm(b, cols))
+    assert len(a) > 0          # the rotating-vocab docs do overlap
