@@ -58,6 +58,10 @@ QUERY_NAMES = [
     "events_quality_report",
     "source_token_divergence",
     "top_session_paths",
+    "doc_token_entropy",
+    "events_daily_filled",
+    "user_value_trends",
+    "sorted_neighborhood_pairs",
 ]
 
 
