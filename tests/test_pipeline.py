@@ -448,6 +448,22 @@ def test_cluster_parity_midscale(ray_session):
     assert hits / max(1, len(jp)) >= 0.99
 
 
+def test_cluster_parity_2k(ray_session):
+    """Parity at 2000 pages / a third fresh seed — the largest corpus
+    the brute-force oracle affords in-suite (~5 s); exercises bucket
+    caps, the Bloom gate and CC at 5x the fixture scale."""
+    import ray.data as rd2
+
+    pages_tbl, _ = generate_pages(2000, 1234, with_truth=True)
+    pages = rd2.from_arrow(pages_tbl.select(["url", "warc_ts", "text", "lang"]))
+    out = dedup_pages(pages, CFG).clusters.to_pandas()
+    ids = pages_tbl["url"].to_pylist()
+    texts = pages_tbl["text"].to_pylist()
+    oclust = union_find_clusters(ids, oracle_edges(ids, texts, CFG))
+    eng = dict(zip(out["url"], out["cluster_id"]))
+    assert [u for u in ids if eng.get(u) != oclust[u]] == []
+
+
 def test_simhash_delta_consistency(corpus, ray_session):
     """Round-2 VERDICT #10: the full default pipeline (SimHash edges ON)
     must equal the fully SQL-checked simhash_enabled=False twin
