@@ -346,3 +346,26 @@ def test_grouped_linear_trend_recovers_planted_lines(ray_session):
         assert np.isclose(got.loc[k, "slope"], m, atol=1e-5)
         assert np.isclose(got.loc[k, "intercept"], b, atol=1e-4)
         assert got.loc[k, "n"] == 60
+
+
+def test_compression_ratio_signal(ray_session):
+    import zlib
+
+    from gencore_ray.ops.textstats import compression_ratio
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["spam " * 400,                       # hyper-repetitive
+                 "".join(chr(c) for c in
+                         np.random.RandomState(0).randint(33, 123, 2000)),
+                 ""],
+    })
+    got = (compression_ratio(rd.from_pandas(docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(docs["text"]):
+        b = t.encode()
+        want = round(len(zlib.compress(b, 6)) / len(b), 6) if b else 1.0
+        assert np.isclose(got.loc[i, "zlib_ratio"], want)
+        assert got.loc[i, "raw_bytes"] == len(b)
+    # repetitive text compresses far better than high-entropy text
+    assert got.loc[0, "zlib_ratio"] < 0.05 < 0.5 < got.loc[1, "zlib_ratio"]
