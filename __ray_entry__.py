@@ -2209,6 +2209,24 @@ def _q_set_jaccard_join(sf_dir: str):
     return set_similarity_join(docs, threshold=0.75, num_parts=16)
 
 
+def _q_events_watermark_lateness(sf_dir: str):
+    """The reference's watermark semantics as an operator
+    (ops/windows.py::watermark_lateness): processing order = event_id,
+    watermark = running max event-time over strictly earlier arrivals
+    minus 10 min, an event is late iff its own ts is below it.  One
+    arrival-range partition pass + a tiny driver carry round (the
+    prefix-scan shape); the SQL twin is a single ROWS-frame running
+    max window."""
+    import ray.data as rd
+
+    from gencore_ray.ops.windows import watermark_lateness
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+    return watermark_lateness(ev, delay=pd.Timedelta(minutes=10),
+                              num_parts=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2329,6 +2347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_pairs": _q_sorted_neighborhood_pairs,
         "neighborhood_edit_verify": _q_neighborhood_edit_verify,
         "set_jaccard_join": _q_set_jaccard_join,
+        "events_watermark_lateness": _q_events_watermark_lateness,
     }
 
 
@@ -3925,6 +3944,14 @@ def oracle_sql() -> dict[str, str]:
         "round(i * 1.0 / (c.sa + c.sb - i), 6) AS jaccard "
         "FROM cand c JOIN inter ON c.ia = inter.ia AND c.ib = inter.ib "
         "WHERE round(i * 1.0 / (c.sa + c.sb - i), 6) >= 0.75"
+    )
+    d["events_watermark_lateness"] = (
+        "SELECT event_id, ts, "
+        "max(ts) OVER w - INTERVAL 10 MINUTE AS watermark, "
+        "coalesce(ts < max(ts) OVER w - INTERVAL 10 MINUTE, false) "
+        "AS is_late FROM events "
+        "WINDOW w AS (ORDER BY event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
     )
     d["events_zorder_keys"] = 'SELECT event_id, ((((user_id % 65536) >> 0) & 1) * 1) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 0) & 1) * 2) + ((((user_id % 65536) >> 1) & 1) * 4) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 1) & 1) * 8) + ((((user_id % 65536) >> 2) & 1) * 16) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 2) & 1) * 32) + ((((user_id % 65536) >> 3) & 1) * 64) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 3) & 1) * 128) + ((((user_id % 65536) >> 4) & 1) * 256) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 4) & 1) * 512) + ((((user_id % 65536) >> 5) & 1) * 1024) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 5) & 1) * 2048) + ((((user_id % 65536) >> 6) & 1) * 4096) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 6) & 1) * 8192) + ((((user_id % 65536) >> 7) & 1) * 16384) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 7) & 1) * 32768) + ((((user_id % 65536) >> 8) & 1) * 65536) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 8) & 1) * 131072) + ((((user_id % 65536) >> 9) & 1) * 262144) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 9) & 1) * 524288) + ((((user_id % 65536) >> 10) & 1) * 1048576) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 10) & 1) * 2097152) + ((((user_id % 65536) >> 11) & 1) * 4194304) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 11) & 1) * 8388608) + ((((user_id % 65536) >> 12) & 1) * 16777216) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 12) & 1) * 33554432) + ((((user_id % 65536) >> 13) & 1) * 67108864) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 13) & 1) * 134217728) + ((((user_id % 65536) >> 14) & 1) * 268435456) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 14) & 1) * 536870912) + ((((user_id % 65536) >> 15) & 1) * 1073741824) + ((((CAST(floor(value) AS BIGINT) % 65536) >> 15) & 1) * 2147483648) AS zkey FROM events'
     return d

@@ -326,3 +326,89 @@ def fill_period_gaps(
 
     return grouped_map(events.select_columns([key, ts_col, value_col]),
                        key, per_partition, num_parts=num_parts)
+
+
+def watermark_lateness(
+    events: rd.Dataset,
+    arrival_col: str = "event_id",
+    ts_col: str = "ts",
+    delay: pd.Timedelta = pd.Timedelta(minutes=10),
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """The reference's watermark semantics as a first-class operator
+    (/root/reference/src/gencore.cpp:319-389: clusters flush once the
+    read head passes them; reads behind the watermark are impossible by
+    the sortedness precondition — in a web event log they are LATE).
+
+    Processing order is ``arrival_col``; the watermark after each
+    arrival is ``running_max(ts) - delay`` over all STRICTLY EARLIER
+    arrivals; an event is late iff its own ts is below that watermark.
+    Output: every event + (watermark, is_late) — the triage a
+    streaming ingest needs before windowed aggregation.
+
+    Distributed shape: the prefix-scan pattern (ops/packing.py) —
+    range-partition by arrival id (order-preserving), ONE tiny driver
+    round carries each partition's max-ts prefix, then a vectorised
+    cummax inside each partition.  SQL twin: ``max(ts) OVER (ORDER BY
+    arrival ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+    """
+    from gencore_ray.ops.relational import grouped_aggregate
+
+    ev = events.select_columns([arrival_col, ts_col])
+    max_id = ev.max(arrival_col)
+    if max_id is None:
+        return rd.from_pandas(pd.DataFrame({
+            arrival_col: pd.Series(dtype="int64"),
+            ts_col: pd.Series(dtype="datetime64[us]"),
+            "watermark": pd.Series(dtype="datetime64[us]"),
+            "is_late": pd.Series(dtype="bool")}))
+    width = max(1, (int(max_id) + num_parts) // num_parts)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(part=df[arrival_col].to_numpy(np.int64) // width)
+
+    parted = ev.map_batches(part, batch_format="pandas")
+    ptots = grouped_aggregate(parted, ["part"], [("mx", ts_col, "max")],
+                              num_parts=4).to_pandas().sort_values("part")
+    # exclusive running max of earlier partitions' ts maxima
+    carry = {}
+    run = None
+    for p, mx in zip(ptots["part"].astype(np.int64), ptots["mx"]):
+        carry[int(p)] = run
+        run = mx if run is None or mx > run else run
+    import ray
+
+    carry_ref = ray.put(carry)
+
+    delay_us = np.int64(int(delay / pd.Timedelta(microseconds=1)))
+    NEG = np.iinfo(np.int64).min
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["part"]).assign(
+                watermark=pd.Series(dtype="datetime64[us]"),
+                is_late=pd.Series(dtype="bool"))
+        df = df.sort_values(arrival_col, kind="mergesort")
+        tsv = (df[ts_col].astype("datetime64[us]").astype("int64")
+               .to_numpy())
+        # running max over STRICTLY EARLIER arrivals, seeded with the
+        # carried maximum of all earlier partitions
+        c = ray.get(carry_ref).get(int(df["part"].iloc[0]))
+        # Timestamp.value is ALWAYS nanoseconds — divide to the us axis
+        seed = NEG if c is None else int(pd.Timestamp(c).value) // 1000
+        prev = np.concatenate([
+            np.array([seed], dtype=np.int64),
+            np.maximum.accumulate(np.maximum(tsv, seed))[:-1],
+        ])
+        has_wm = prev != NEG
+        wm = np.where(has_wm, prev - delay_us, 0)
+        late = has_wm & (tsv < wm)
+        out = df.drop(columns=["part"]).assign(
+            watermark=pd.Series(wm, index=df.index).astype("datetime64[us]")
+            .mask(~has_wm),
+            is_late=late)
+        return out
+
+    from gencore_ray.stages.shuffle import grouped_map
+
+    return grouped_map(parted, "part", per_partition, num_parts=num_parts)

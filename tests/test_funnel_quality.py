@@ -369,3 +369,35 @@ def test_compression_ratio_signal(ray_session):
         assert got.loc[i, "raw_bytes"] == len(b)
     # repetitive text compresses far better than high-entropy text
     assert got.loc[0, "zlib_ratio"] < 0.05 < 0.5 < got.loc[1, "zlib_ratio"]
+
+
+def test_watermark_lateness_matches_sequential(ray_session):
+    from gencore_ray.ops.windows import watermark_lateness
+
+    rng = np.random.RandomState(41)
+    n = 300
+    # event-time with out-of-order arrivals: arrival order is event_id
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.Timestamp("2024-09-01")
+        + pd.to_timedelta(np.arange(n) * 60
+                          + rng.randint(-1200, 1200, size=n), unit="s"),
+    })
+    delay = pd.Timedelta(minutes=10)
+    got = (watermark_lateness(rd.from_pandas(ev), delay=delay, num_parts=5)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert len(got) == n
+    run = None
+    n_late = 0
+    for i in range(n):
+        if run is None:
+            assert pd.isna(got.loc[i, "watermark"])
+            assert not got.loc[i, "is_late"]
+        else:
+            wm = run - delay
+            assert got.loc[i, "watermark"] == wm
+            assert bool(got.loc[i, "is_late"]) == bool(ev.loc[i, "ts"] < wm)
+            n_late += int(ev.loc[i, "ts"] < wm)
+        t = ev.loc[i, "ts"]
+        run = t if run is None or t > run else run
+    assert n_late > 0   # the jitter actually produces late events
