@@ -55,7 +55,40 @@ def compare(name: str, eng: pd.DataFrame, ora: pd.DataFrame) -> str:
     return "OK"
 
 
+def _chunked(sf_dir: str, chunk: int) -> None:
+    """Run the sweep in batches of ``chunk`` queries, each in a FRESH
+    subprocess: a single driver session executing 100+ queries creates
+    thousands of datasets and has been observed to segfault inside
+    _raylet.so near the end (Ray-internal; every query passes in a
+    fresh process).  Chunking bounds each session's dataset count."""
+    import subprocess
+
+    import importlib.util
+
+    sys.path.insert(0, "/root/repo")
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    names = [n for n in m.queries() if n in m.oracle_sql()]
+    fails = 0
+    for i in range(0, len(names), chunk):
+        proc = subprocess.run(
+            [sys.executable, __file__, sf_dir, *names[i:i + chunk]],
+            capture_output=True, text=True)
+        sys.stdout.write(proc.stdout)
+        fails += proc.returncode != 0
+    sys.exit(1 if fails else 0)
+
+
 def main() -> None:
+    if "--chunk" in sys.argv:
+        i = sys.argv.index("--chunk")
+        chunk = int(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
+        _chunked(sys.argv[1] if len(sys.argv) > 1
+                 else "/root/testdata/sf0.01", chunk)
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import duckdb
     import ray
