@@ -87,6 +87,12 @@ def sorted_neighborhood_pairs(
     def local_rank(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return df.assign(local_rn=pd.Series(dtype="int64"))
+        # the global-rank carry needs one part per partition (parts
+        # 0..num_parts-1 exchange as p % num_parts — a bijection);
+        # loud, not assumed
+        if df["part"].nunique() != 1:
+            raise AssertionError("sorted_neighborhood_pairs: partition "
+                                 "holds multiple key ranges")
         df = df.sort_values(["sk", id_col], kind="mergesort")
         df = df.assign(local_rn=np.arange(len(df), dtype=np.int64))
         return df

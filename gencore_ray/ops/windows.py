@@ -388,6 +388,13 @@ def watermark_lateness(
             return df.drop(columns=["part"]).assign(
                 watermark=pd.Series(dtype="datetime64[us]"),
                 is_late=pd.Series(dtype="bool"))
+        # the carry protocol needs one part per partition — guaranteed by
+        # construction (parts 0..num_parts-1, int keys exchange as
+        # p % num_parts, a bijection); keep it loud, not assumed
+        if df["part"].nunique() != 1:
+            raise AssertionError("watermark_lateness: partition holds "
+                                 "multiple arrival ranges — part/num_parts "
+                                 "bijection broken")
         df = df.sort_values(arrival_col, kind="mergesort")
         tsv = (df[ts_col].astype("datetime64[us]").astype("int64")
                .to_numpy())
