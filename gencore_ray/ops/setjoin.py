@@ -17,16 +17,20 @@ Dataflow:
   3. prefix-token-keyed exchange -> candidate pairs (deduped by a
      pair-keyed aggregate; prefix tokens are rare by construction, so
      the per-token fan-out is the opposite of a hot key)
-  4. verification WITHOUT token lists: the candidate set (near-linear
-     by the prefix filter; loud guard) is broadcast as a doc ->
-     (pair, side) index, one pass over the term rows emits slim
-     (pair, th, side) rows, and a pair-keyed exchange counts tokens
-     seen from BOTH sides — the exact intersection size.
+  4. verification WITHOUT token lists and WITHOUT driver collection:
+     the candidate table stays a Dataset; each side's token rows
+     attach via a partitioned ``hash_join`` on the doc id, the two
+     attached streams union, and ONE pair-keyed exchange counts the
+     (pair, token) keys seen twice — i.e. from both sides — which is
+     the exact intersection size.  Sizes ride the candidate rows, so
+     the Jaccard finishes inside the same exchange.
 
 Partitioning assumptions: a token's prefix postings fit a partition
 (prefixes select LOW-df tokens; a token with huge df appears in almost
-no prefixes) and the candidate PAIR LIST fits the driver (the edge-set
-collection bound the flagship's driver-CC also documents).
+no prefixes), and a single DOC's (pairs x tokens) verification rows fit
+the join partition that colocates them — a doc in k pairs with t
+tokens emits k*t slim rows there before the pair-keyed exchange
+spreads them (the one skew axis; prefix filtering keeps k near-linear).
 """
 
 from __future__ import annotations
@@ -116,73 +120,75 @@ def set_similarity_join(
                              [("sa", "sa", "max"), ("sb", "sb", "max")],
                              num_parts=num_parts)
 
-    # --- verification: (pair, token) exchange — token LISTS never ride
-    # a join (list payloads trip Ray's output-buffer slicing).  The
-    # candidate set is collected once (bounded: prefix filtering emits
-    # near-linear candidates; loud guard below) and broadcast as a
-    # doc -> [(pair, side)] index; one pass over the term rows emits
-    # (pair, th, side), and a pair-keyed exchange counts tokens seen
-    # from BOTH sides = the exact intersection size.
-    cp = cand.to_pandas()
-    if not len(cp):
-        return rd.from_pandas(pd.DataFrame(
-            {"doc_a": pd.Series(dtype="int64"),
-             "doc_b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}))
-    if len(cp) > 20_000_000:
-        raise ValueError(
-            f"set_similarity_join: {len(cp)} candidates — raise threshold "
-            "or pre-partition the corpus before the join")
-    cp = cp.reset_index(drop=True)
-    cp["pid"] = np.arange(len(cp), dtype=np.int64)
-    side_a = cp[["pid", "doc_a"]].rename(columns={"doc_a": "d"})
-    side_a["side"] = np.int8(0)
-    side_b = cp[["pid", "doc_b"]].rename(columns={"doc_b": "d"})
-    side_b["side"] = np.int8(1)
-    doc_index = pd.concat([side_a, side_b], ignore_index=True)
-    idx_ref = ray.put(doc_index)
-    sizes_ref = ray.put(cp[["pid", "doc_a", "doc_b", "sa", "sb"]])
+    # --- verification: the candidate table stays a DATASET end to end
+    # — token LISTS never ride a join (list payloads trip Ray's
+    # output-buffer slicing) and the pair set never lands on the
+    # driver.  Each side's distinct (doc, th) rows attach via a
+    # partitioned hash_join on the doc id; each (pair, th) key then
+    # appears ONCE per side that owns the token, so a pair-keyed
+    # exchange counting keys seen twice computes the exact
+    # intersection, and sa/sb (riding the candidate rows) finish the
+    # Jaccard inside the same exchange.
+    from gencore_ray.stages.shuffle import (
+        hash_join, scaled_num_parts, to_arrow_blocks)
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        ix = ray.get(idx_ref)
-        m = df[[id_col, "th"]].merge(ix, left_on=id_col, right_on="d")
-        return m[["pid", "th", "side"]]
+    empty_out = rd.from_pandas(pd.DataFrame(
+        {"doc_a": pd.Series(dtype="int64"),
+         "doc_b": pd.Series(dtype="int64"),
+         "jaccard": pd.Series(dtype="float64")}))
+    cand = cand.materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return empty_out
+    # verification row mass = sum(sa + sb) over candidates; scale the
+    # exchange partition count with it (Arrow 2 GB IPC bound)
+    est_rows = float(cand.sum("sa") or 0) + float(cand.sum("sb") or 0)
+    vparts = scaled_num_parts(num_parts, est_rows * 48.0)
 
-    P = T.select_columns([id_col, "th"]).map_batches(
-        emit, batch_format="pandas")
+    Tslim = to_arrow_blocks(T.select_columns([id_col, "th"])).rename_columns(
+        {id_col: "__d"}).materialize()
 
-    def inter_count(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"pid": pd.Series(dtype="int64"),
-                              "inter": pd.Series(dtype="int64")})
-        if not len(df):
-            return empty
-        # a token counts toward the intersection iff both sides saw it
-        d = df.drop_duplicates(["pid", "th", "side"])
-        both = (d.groupby(["pid", "th"], sort=False)["side"]
-                .size().reset_index(name="ns"))
-        both = both[both["ns"] == 2]
-        out = (both.groupby("pid", sort=False).size()
-               .reset_index(name="inter"))
-        return out.astype({"pid": "int64", "inter": "int64"})
+    PRIME = np.uint64(0x9E3779B97F4A7C15)
 
-    I = grouped_map(P, "pid", inter_count, num_parts=num_parts)
+    def _pkey(t):
+        import pyarrow as pa
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = ((a * PRIME) ^ b).astype(np.int64)
+        return t.append_column("pkey", pa.array(k))
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    ja = hash_join(cand, Tslim, "doc_a", "__d", num_parts=vparts)
+    jb = hash_join(cand, Tslim, "doc_b", "__d", num_parts=vparts)
+    P = ja.union(jb).map_batches(_pkey, batch_format="pyarrow")
+
+    def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                               "doc_b": pd.Series(dtype="int64"),
                               "jaccard": pd.Series(dtype="float64")})
         if not len(df):
             return empty
-        sz = ray.get(sizes_ref)
-        m = df.merge(sz, on="pid")
-        inter = m["inter"].to_numpy(np.int64)
-        union = m["sa"].to_numpy(np.int64) + m["sb"].to_numpy(np.int64) \
-            - inter
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        th = df["th"].to_numpy()
+        order = np.lexsort((th, b, a))
+        a, b, th = a[order], b[order], th[order]
+        # each (pair, th) row is unique per side (term rows are distinct
+        # per doc; candidate rows unique per pair), so a run of length 2
+        # == token present in BOTH sets
+        new_tok = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+                        | (th[1:] != th[:-1])]
+        new_pair = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        gid = np.cumsum(new_pair) - 1
+        inter = np.bincount(gid[~new_tok], minlength=int(gid[-1]) + 1)
+        first = np.flatnonzero(new_pair)
+        sa = df["sa"].to_numpy(np.int64)[order][first]
+        sb = df["sb"].to_numpy(np.int64)[order][first]
+        union = sa + sb - inter
         jac = np.floor(inter / union * 10.0 ** round_to + 0.5) \
             / 10.0 ** round_to
-        out = pd.DataFrame({"doc_a": m["doc_a"].to_numpy(np.int64),
-                            "doc_b": m["doc_b"].to_numpy(np.int64),
-                            "jaccard": jac})
-        return out[out["jaccard"] >= tau]
+        keep = jac >= tau
+        return pd.DataFrame({"doc_a": a[first][keep],
+                             "doc_b": b[first][keep],
+                             "jaccard": jac[keep]})
 
-    return I.map_batches(finish, batch_format="pandas")
+    return grouped_map(P, "pkey", verify_partition, num_parts=vparts)

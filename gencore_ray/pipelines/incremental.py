@@ -152,12 +152,160 @@ def _dataset_bloom(ds: rd.Dataset, col: str) -> np.ndarray:
     return bits
 
 
+def _merge_driver(prior, edges, new_sig, feat_cols, cluster_cols):
+    """Driver-CC merge path (small edge sets): collect edges, broadcast
+    the affected-url set and the label map.  Returns
+    (members, untouched, n_affected_clusters)."""
+    edf = (edges.select_columns(["url_a", "url_b"]).to_pandas()
+           if edges is not None else None)
+    if edf is None or "url_a" not in edf.columns:   # zero verified edges
+        edf = pd.DataFrame({"url_a": pd.Series(dtype=str),
+                            "url_b": pd.Series(dtype=str)})
+    edge_urls = set(edf["url_a"]) | set(edf["url_b"])
+    urls_ref = ray.put(edge_urls)
+
+    def _touched_cids(t: pa.Table) -> pa.Table:
+        us = ray.get(urls_ref)
+        mask = t["url"].to_pandas().isin(us).to_numpy()
+        return pa.table({
+            "cluster_id": pa.array(
+                pd.unique(t["cluster_id"].to_pandas()[mask]), pa.string())
+        })
+
+    if edge_urls:
+        aff_cids = set(
+            prior.map_batches(_touched_cids, batch_format="pyarrow")
+            .to_pandas()["cluster_id"]
+        )
+    else:
+        aff_cids = set()
+    cids_ref = ray.put(aff_cids)
+
+    def _split(t: pa.Table, affected: bool) -> pa.Table:
+        cs = ray.get(cids_ref)
+        mask = t["cluster_id"].to_pandas().isin(cs).to_numpy()
+        if not affected:
+            mask = ~mask
+        return t.take(pa.array(np.flatnonzero(mask)))
+
+    aff = prior.map_batches(
+        lambda t: _split(t, True), batch_format="pyarrow"
+    ).materialize() if aff_cids else None
+
+    # CC over new edges + prior star edges (member -> prior cluster_id;
+    # cluster ids ARE min urls, so labels stay urls)
+    star = (
+        aff.select_columns(["url", "cluster_id"]).to_pandas()
+        if aff is not None else pd.DataFrame({"url": [], "cluster_id": []})
+    )
+    cc_edges = pa.table({
+        "url_a": pa.array(
+            list(edf["url_a"]) + list(star["url"]), pa.string()),
+        "url_b": pa.array(
+            list(edf["url_b"]) + list(star["cluster_id"]), pa.string()),
+    })
+    label_map = driver_cc(rd.from_arrow(cc_edges)) if cc_edges.num_rows else {}
+    map_ref = ray.put(label_map)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        urls = t["url"].to_pandas()
+        lab = urls.map(m).fillna(urls)
+        return t.append_column("cluster_id", pa.array(lab, pa.string()))
+
+    members = new_sig.select_columns(feat_cols).map_batches(
+        _assign, batch_format="pyarrow"
+    )
+    if aff is not None:
+        members = members.union(
+            aff.select_columns(feat_cols).map_batches(
+                _assign, batch_format="pyarrow")
+        )
+    untouched = prior.map_batches(
+        lambda t: _split(t, False), batch_format="pyarrow"
+    ).select_columns(cluster_cols)
+    return members, untouched, len(aff_cids)
+
+
+def _merge_distributed(prior, edges, new_sig, feat_cols, cluster_cols,
+                       num_parts: int):
+    """Distributed merge path: neither the edge set nor any url/label
+    map ever lands on the driver.  Affected clusters are found by a
+    semi join (prior members vs edge endpoints), star edges flow as a
+    Dataset into ``distributed_cc``, and labels re-attach via
+    partitioned left-outer hash joins (the flagship's distributed
+    branch, pipelines/dedup.py).  Returns (members, untouched, n_aff).
+    """
+    from gencore_ray.stages.cc import distributed_cc
+    from gencore_ray.stages.shuffle import (
+        dedupe_rows, hash_join, to_arrow_blocks)
+
+    e = to_arrow_blocks(
+        edges.select_columns(["url_a", "url_b"])).materialize()
+
+    def _endpoints(t: pa.Table) -> pa.Table:
+        a = (t["url_a"].combine_chunks()
+             if isinstance(t["url_a"], pa.ChunkedArray) else t["url_a"])
+        b = (t["url_b"].combine_chunks()
+             if isinstance(t["url_b"], pa.ChunkedArray) else t["url_b"])
+        return pa.table({"eurl": pa.concat_arrays([a, b])})
+
+    eu = e.map_batches(_endpoints, batch_format="pyarrow")
+    touched = hash_join(
+        prior.select_columns(["url", "cluster_id"]), eu, "url", "eurl",
+        num_parts=num_parts, how="semi")
+    tc = to_arrow_blocks(
+        dedupe_rows(touched.select_columns(["cluster_id"]), ["cluster_id"],
+                    num_parts=num_parts)
+    ).rename_columns({"cluster_id": "tcid"}).materialize()
+    n_aff = tc.count()
+
+    if n_aff:
+        aff = hash_join(prior, tc, "cluster_id", "tcid",
+                        num_parts=num_parts, how="semi").materialize()
+        untouched = hash_join(prior, tc, "cluster_id", "tcid",
+                              num_parts=num_parts, how="anti"
+                              ).select_columns(cluster_cols)
+        star = aff.select_columns(["url", "cluster_id"]).map_batches(
+            lambda t: pa.table({"url_a": t["url"], "url_b": t["cluster_id"]}),
+            batch_format="pyarrow")
+        cc_in = e.union(star)
+    else:
+        aff = None
+        untouched = prior.select_columns(cluster_cols)
+        cc_in = e
+
+    labels = distributed_cc(cc_in).map_batches(
+        lambda t: pa.table({"node": t["url"], "label": t["label"]}),
+        batch_format="pyarrow").materialize()
+
+    def _attach(src: rd.Dataset) -> rd.Dataset:
+        j = hash_join(
+            to_arrow_blocks(src.select_columns(feat_cols)), labels,
+            "url", "node", num_parts=num_parts, how="left_outer")
+
+        def fill(t: pa.Table) -> pa.Table:
+            lab = t["label"].to_pandas()
+            lab = lab.fillna(pd.Series(t["url"].to_pandas()))
+            t = t.drop_columns(["label"])
+            return t.append_column("cluster_id", pa.array(lab, pa.string()))
+
+        return j.map_batches(fill, batch_format="pyarrow")
+
+    members = _attach(new_sig)
+    if aff is not None:
+        members = members.union(_attach(aff))
+    return members, untouched, n_aff
+
+
 def incremental_dedup(
     new_pages: rd.Dataset,
     state_dir: str,
     cfg: DedupConfig | None = None,
     extract_html: bool = False,
     update_state: bool = True,
+    cc_mode: str = "auto",            # "auto" | "driver" | "distributed"
+    cc_driver_max_edges: int = 5_000_000,
 ) -> DedupResult:
     """Merge a new page batch into prior dedup state.
 
@@ -166,6 +314,14 @@ def incremental_dedup(
     new docs are re-labelled and re-elected). With ``update_state``
     the state dir is advanced to reflect the merge (new signatures
     appended; clusters dir atomically replaced).
+
+    CC follows the flagship's auto discipline (pipelines/dedup.py): at
+    most ``cc_driver_max_edges`` verified edges take the vectorised
+    driver path; above it the edge table NEVER lands on the driver —
+    prior-cluster star edges flow as a Dataset into ``distributed_cc``
+    and labels re-attach via partitioned hash joins, so a pathological
+    daily batch (boilerplate linking a large fraction of the prior
+    corpus) degrades to extra exchanges, not driver memory.
     """
     cfg = cfg or DedupConfig()
     meta = _load_state_meta(state_dir, cfg)
@@ -262,16 +418,19 @@ def incremental_dedup(
         slim = new_sig.select_columns(_SLIM_COLS).union(old_slim)
         _t("pair_doc_bloom")
         edges = verified_edges(pairs, slim, cfg).materialize()
-        edf = edges.select_columns(["url_a", "url_b"]).to_pandas()
+        n_edges = edges.count()
         _t("verify")
     else:
-        edf = None
-    if edf is None or "url_a" not in edf.columns:   # zero verified edges
-        edf = pd.DataFrame({"url_a": pd.Series(dtype=str),
-                            "url_b": pd.Series(dtype=str)})
-    counters["new_edges"] = len(edf)
+        edges = None
+        n_edges = 0
+    counters["new_edges"] = n_edges
 
-    # --- affected prior clusters ------------------------------------
+    # flagship auto discipline (pipelines/dedup.py): the collected edge
+    # set is driver-safe only below the threshold; above it everything
+    # stays a Dataset end to end
+    if cc_mode == "auto":
+        cc_mode = "driver" if n_edges <= cc_driver_max_edges else "distributed"
+
     prior = rd.read_parquet(cl_dir)
     # feature columns present in BOTH the prior state and the new batch
     # (warc_ts is optional in the pages schema); the output schema
@@ -281,73 +440,19 @@ def incremental_dedup(
     cluster_cols = feat_cols + [
         "cluster_id", "cluster_size", "is_representative", "rep_score",
     ]
-    edge_urls = set(edf["url_a"]) | set(edf["url_b"])
-    urls_ref = ray.put(edge_urls)
 
-    def _touched_cids(t: pa.Table) -> pa.Table:
-        us = ray.get(urls_ref)
-        mask = t["url"].to_pandas().isin(us).to_numpy()
-        return pa.table({
-            "cluster_id": pa.array(
-                pd.unique(t["cluster_id"].to_pandas()[mask]), pa.string())
-        })
-
-    if edge_urls:
-        aff_cids = set(
-            prior.map_batches(_touched_cids, batch_format="pyarrow")
-            .to_pandas()["cluster_id"]
-        )
+    if cc_mode == "distributed" and n_edges > 0:
+        members, untouched, n_aff = _merge_distributed(
+            prior, edges, new_sig, feat_cols, cluster_cols, P)
+        counters["affected_clusters"] = n_aff
+        _t("affected_scan")
     else:
-        aff_cids = set()
-    counters["affected_clusters"] = len(aff_cids)
-    _t("affected_scan")
-    cids_ref = ray.put(aff_cids)
-
-    def _split(t: pa.Table, affected: bool) -> pa.Table:
-        cs = ray.get(cids_ref)
-        mask = t["cluster_id"].to_pandas().isin(cs).to_numpy()
-        if not affected:
-            mask = ~mask
-        return t.take(pa.array(np.flatnonzero(mask)))
-
-    aff = prior.map_batches(
-        lambda t: _split(t, True), batch_format="pyarrow"
-    ).materialize() if aff_cids else None
-
-    # --- connected components over new edges + prior star edges -----
-    star = (
-        aff.select_columns(["url", "cluster_id"]).to_pandas()
-        if aff is not None else pd.DataFrame({"url": [], "cluster_id": []})
-    )
-    cc_edges = pa.table({
-        "url_a": pa.array(
-            list(edf["url_a"]) + list(star["url"]), pa.string()),
-        "url_b": pa.array(
-            list(edf["url_b"]) + list(star["cluster_id"]), pa.string()),
-    })
-    label_map = driver_cc(rd.from_arrow(cc_edges)) if cc_edges.num_rows else {}
-    map_ref = ray.put(label_map)
-
-    def _assign(t: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        urls = t["url"].to_pandas()
-        lab = urls.map(m).fillna(urls)
-        return t.append_column("cluster_id", pa.array(lab, pa.string()))
-
-    members = new_sig.select_columns(feat_cols).map_batches(
-        _assign, batch_format="pyarrow"
-    )
-    if aff is not None:
-        aff_members = aff.select_columns(feat_cols).map_batches(
-            _assign, batch_format="pyarrow"
-        )
-        members = members.union(aff_members)
+        members, untouched, n_aff = _merge_driver(
+            prior, edges, new_sig, feat_cols, cluster_cols)
+        counters["affected_clusters"] = n_aff
+        _t("affected_scan")
     updated = elect_representatives(members, cfg, num_parts=ncpu)
     updated = updated.select_columns(cluster_cols)
-
-    untouched = prior.map_batches(
-        lambda t: _split(t, False), batch_format="pyarrow"
-    ).select_columns(cluster_cols)
     clusters = updated.union(untouched)
     if update_state:
         clusters = clusters.materialize()

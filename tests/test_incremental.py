@@ -77,6 +77,35 @@ def test_chained_increments_equal_full_run(split_corpus, tmp_path):
     assert (full["is_representative"] == inc["is_representative"]).all()
 
 
+def test_chained_increments_distributed_cc(split_corpus, tmp_path):
+    """The distributed merge path (what the auto-switch selects above
+    cc_driver_max_edges) must equal the from-scratch run exactly, also
+    across chained merges — star edges flow as a Dataset into
+    distributed_cc, labels re-attach via hash joins.  One leg forces
+    cc_mode='distributed'; the other proves the auto wiring by setting
+    the switch threshold to 0 edges."""
+    tbl, _, _ = split_corpus
+    idx = np.arange(tbl.num_rows)
+    b0 = tbl.take([int(i) for i in idx if i % 3 == 0])
+    b1 = tbl.take([int(i) for i in idx if i % 3 == 1])
+    b2 = tbl.take([int(i) for i in idx if i % 3 == 2])
+
+    full = _cluster_frame(dedup_pages(rd.from_arrow(tbl), CFG).clusters)
+
+    sd = str(tmp_path / "state_dcc")
+    dedup_pages(rd.from_arrow(b0), CFG, state_dir=sd)
+    incremental_dedup(rd.from_arrow(b1), sd, CFG, cc_mode="distributed")
+    res = incremental_dedup(rd.from_arrow(b2), sd, CFG,
+                            cc_mode="auto", cc_driver_max_edges=0)
+    inc = _cluster_frame(res.clusters)
+
+    assert list(full.index) == list(inc.index)
+    assert (full["cluster_id"] == inc["cluster_id"]).all()
+    assert (full["cluster_size"] == inc["cluster_size"]).all()
+    assert (full["is_representative"] == inc["is_representative"]).all()
+    assert res.counters["affected_clusters"] > 0
+
+
 def test_unrelated_batch_leaves_prior_rows_untouched(split_corpus, tmp_path):
     """A new batch with no duplicates against the state: every prior
     row passes through unchanged and every new doc is a singleton."""
