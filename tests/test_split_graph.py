@@ -177,6 +177,28 @@ def test_pagerank_matches_reference_with_dangling(ray_session):
     assert got["rank"].sum() == pytest.approx(1.0, abs=1e-9)  # stochastic
 
 
+def test_pagerank_distributed_equals_broadcast(ray_session):
+    """The doc-scale joined-rank-table regime must reproduce the
+    broadcast regime to float round-off, including dangling mass, and
+    the auto switch must take it when |V| exceeds the threshold."""
+    rng = np.random.default_rng(7)
+    E = rng.integers(0, 60, size=(400, 2)).astype(np.int64)
+    E = np.vstack([E, [[3, 888], [11, 888]]])      # 888 is dangling
+    edges = rd.from_arrow(pa.table({"src": E[:, 0], "dst": E[:, 1]}))
+    bc = pagerank(edges, iters=6, num_parts=4, mode="broadcast") \
+        .to_pandas().set_index("node").sort_index()
+    di = pagerank(edges, iters=6, num_parts=3, mode="distributed") \
+        .to_pandas().set_index("node").sort_index()
+    assert list(bc.index) == list(di.index)
+    np.testing.assert_allclose(bc["rank"], di["rank"], rtol=0, atol=1e-12)
+    assert di["rank"].sum() == pytest.approx(1.0, abs=1e-9)
+    # auto switch: |V|=61 > 10 forces the distributed path
+    au = pagerank(edges, iters=6, num_parts=4, mode="auto",
+                  max_broadcast_nodes=10) \
+        .to_pandas().set_index("node").sort_index()
+    np.testing.assert_allclose(bc["rank"], au["rank"], rtol=0, atol=1e-12)
+
+
 def test_pagerank_empty(ray_session):
     edges = rd.from_arrow(
         pa.table({"src": pa.array([], pa.int64()),
