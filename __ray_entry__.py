@@ -29,6 +29,15 @@ def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_as_pages_from(ds):
+    """documents Dataset (doc_id, text) -> pages-like (url, text)."""
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls = pa.array([f"doc-{int(i):08d}" for i in t["doc_id"].to_pylist()], pa.string())
+        return pa.table({"url": urls, "text": t["text"]})
+
+    return ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _docs_as_pages(sf_dir: str):
     """documents(doc_id,text,...) -> pages-like input (url,text)."""
     import ray.data as rd
@@ -504,6 +513,56 @@ def _q_cluster_consensus(sf_dir: str):
         ["cluster_id", "cluster_size", "rep_url", "max_quality",
          "max_text_len", "total_text_len"]
     )
+
+
+def _q_cluster_consensus_ref(sf_dir: str):
+    """G6 side-input cross-check (gencore consults the reference genome
+    at ambiguous pileup positions, src/group.cpp:430-501): a trusted
+    (url, text) table — here every 5th doc, standing in for a curated
+    source — is broadcast into the vote; at positions with NO strict
+    count majority that the cluster's trusted stream covers, the
+    trusted token is imposed and counted.  The count rule is integer-
+    exact, so ref_overrides replays in SQL verbatim.
+
+    This corpus's near-dups differ by truncation, never substitution —
+    members agree at every covered position — so the query PLANTS
+    disagreements deterministically: member streams (vote input only;
+    clustering is untouched) get token #2 replaced with 'refx' for
+    every doc_id % 7 == 3, while the trusted table reads the original
+    text.  The SQL twin applies the identical perturbation."""
+    import ray.data as rd
+
+    from gencore_ray.config import DedupConfig
+    from gencore_ray.pipelines.dedup import dedup_pages
+    from gencore_ray.stages.consensus import synthesize_clusters
+
+    pages = _docs_as_pages(sf_dir)
+    res = dedup_pages(pages, DedupConfig())
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    def _every5(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.flatnonzero(d % 5 == 0)))
+
+    trusted = _docs_as_pages_from(
+        docs.map_batches(_every5, batch_format="pyarrow"))
+
+    def _plant(t: pa.Table) -> pa.Table:
+        out = []
+        for u, x in zip(t["url"].to_pylist(), t["text"].to_pylist()):
+            if int(u[4:]) % 7 == 3 and x:
+                tk = x.split()
+                if len(tk) >= 2:
+                    tk[1] = "refx"
+                    x = " ".join(tk)
+            out.append(x)
+        return pa.table({"url": t["url"],
+                         "text": pa.array(out, pa.string())})
+
+    voted_pages = pages.map_batches(_plant, batch_format="pyarrow")
+    cons = synthesize_clusters(voted_pages, res.clusters, trusted=trusted)
+    return cons.select_columns(
+        ["cluster_id", "cluster_size", "ref_overrides"])
 
 
 def _q_cluster_size_histogram(sf_dir: str):
@@ -2274,6 +2333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "cluster_size_histogram": _q_cluster_size_histogram,
         "cluster_consensus": _q_cluster_consensus,
+        "cluster_consensus_ref": _q_cluster_consensus_ref,
         "text_quality_profile": _q_text_quality_profile,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
@@ -2709,6 +2769,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(tl) AS BIGINT) AS max_text_len, "
             "CAST(sum(tl) AS BIGINT) AS total_text_len "
             "FROM r GROUP BY cid"
+        ),
+        "cluster_consensus_ref": (
+            _PIPELINE_CTE + ", "
+            # member texts of multi clusters, whitespace-tokenized with
+            # 1-based positions (engine uses 0-based; the amb/ref join
+            # is internal to each side, so the base cancels)
+            "m AS (SELECT s.cid, s.did, d.text, "
+            "count(*) OVER (PARTITION BY s.cid) AS csz "
+            "FROM scored s JOIN documents d ON d.doc_id = s.did), "
+            "mm AS (SELECT cid, did, coalesce(text, '') AS text "
+            "FROM m WHERE csz > 1), "
+            "tk AS (SELECT cid, did, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS tok, "
+            "generate_subscripts(regexp_extract_all(text, '\\S+'), 1) "
+            "AS pos FROM mm), "
+            # planted substitution (vote input only): token #2 of every
+            # did % 7 = 3 member becomes 'refx' — the engine's _plant
+            "tv AS (SELECT cid, did, pos, CASE WHEN did % 7 = 3 "
+            "AND pos = 2 THEN 'refx' ELSE tok END AS tok FROM tk), "
+            "pc AS (SELECT cid, pos, tok, count(*) AS c "
+            "FROM tv GROUP BY 1, 2, 3), "
+            "ps AS (SELECT cid, pos, max(c) AS maxc, sum(c) AS ncov "
+            "FROM pc GROUP BY 1, 2), "
+            "amb AS (SELECT cid, pos FROM ps WHERE 2 * maxc <= ncov), "
+            # trusted stream per cluster = MIN member doc in the
+            # trusted set (every 5th doc); its tokens are already in tk
+            "rm AS (SELECT cid, min(did) AS rdid FROM mm "
+            "WHERE did % 5 = 0 GROUP BY cid), "
+            "rtk AS (SELECT rm.cid, t.pos FROM rm "
+            "JOIN tk t ON t.cid = rm.cid AND t.did = rm.rdid), "
+            "ov AS (SELECT a.cid, count(*) AS n FROM amb a "
+            "JOIN rtk r ON r.cid = a.cid AND r.pos = a.pos GROUP BY 1), "
+            "sz AS (SELECT cid, count(*) AS cluster_size "
+            "FROM scored GROUP BY cid) "
+            "SELECT printf('doc-%08d', sz.cid) AS cluster_id, "
+            "sz.cluster_size, "
+            "CAST(coalesce(ov.n, 0) AS BIGINT) AS ref_overrides "
+            "FROM sz LEFT JOIN ov ON ov.cid = sz.cid"
         ),
         "cluster_size_histogram": (
             _PIPELINE_CTE + " "

@@ -58,6 +58,71 @@ def levenshtein(a: str, b: str) -> int:
     return int(prev[-1])
 
 
+def levenshtein_batch(ta: list, tb: list, chunk: int = 1024) -> np.ndarray:
+    """Exact unit-cost edit distance for MANY pairs at once — the same
+    two-row prefix-scan DP as :func:`levenshtein`, vectorised across
+    the pair axis: every numpy op covers a (pairs x len_b) matrix, so
+    the per-row Python overhead is paid once per CHARACTER POSITION of
+    the longest string in a chunk instead of once per (pair, position).
+
+    Pairs are sorted by ``len(a)`` and processed in length-similar
+    chunks so a short pair never rides the long pairs' iteration
+    count; each pair's result is harvested at its own ``i == len_a``
+    row.  Byte semantics identical to :func:`levenshtein` (UTF-8
+    bytes, DuckDB's unit).
+    """
+    n = len(ta)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    ab = [x.encode() for x in ta]
+    bb = [y.encode() for y in tb]
+    la = np.fromiter((len(x) for x in ab), dtype=np.int64, count=n)
+    lb = np.fromiter((len(y) for y in bb), dtype=np.int64, count=n)
+    # trivial rows: empty side or equal bytes
+    out[la == 0] = lb[la == 0]
+    out[lb == 0] = la[lb == 0]
+    todo = np.flatnonzero(
+        (la > 0) & (lb > 0)
+        & np.fromiter((x != y for x, y in zip(ab, bb)), dtype=bool, count=n))
+    if not len(todo):
+        return out
+    todo = todo[np.argsort(la[todo], kind="stable")]
+
+    for c0 in range(0, len(todo), chunk):
+        idx = todo[c0:c0 + chunk]
+        m = len(idx)
+        amax = int(la[idx].max())
+        bmax = int(lb[idx].max())
+        A = np.full((m, amax), -1, dtype=np.int16)
+        B = np.full((m, bmax), -2, dtype=np.int16)   # pad != A's pad
+        for r, p in enumerate(idx):
+            A[r, :la[p]] = np.frombuffer(ab[p], dtype=np.uint8)
+            B[r, :lb[p]] = np.frombuffer(bb[p], dtype=np.uint8)
+        # int32 DP cells: distances are bounded by max(len) << 2^31,
+        # and halving the element width halves the memory traffic of
+        # the (pairs x len_b) sweeps
+        offsets = np.arange(1, bmax + 1, dtype=np.int32)
+        prev = np.broadcast_to(
+            np.arange(bmax + 1, dtype=np.int32), (m, bmax + 1)).copy()
+        cur = np.empty_like(prev)
+        lbi = lb[idx]
+        lai = la[idx]
+        for i in range(1, amax + 1):
+            ca = A[:, i - 1][:, None]
+            t = np.minimum(prev[:, :-1] + (B != ca), prev[:, 1:] + 1)
+            np.subtract(t, offsets, out=t)
+            np.minimum.accumulate(t, axis=1, out=t)
+            cur[:, 0] = i
+            np.add(np.minimum(t, i), offsets, out=cur[:, 1:])
+            done = lai == i
+            if done.any():
+                rows = np.flatnonzero(done)
+                out[idx[rows]] = cur[rows, lbi[rows]]
+            prev, cur = cur, prev
+    return out
+
+
 def pair_edit_distances(
     docs: rd.Dataset,
     pairs: rd.Dataset,
@@ -95,11 +160,8 @@ def pair_edit_distances(
 
     def _score(df: pd.DataFrame) -> pd.DataFrame:
         ta, tb = df["__ta"].tolist(), df["__tb"].tolist()
-        dist = np.fromiter(
-            (levenshtein(x or "", y or "") for x, y in zip(ta, tb)),
-            dtype=np.int64,
-            count=len(ta),
-        )
+        dist = levenshtein_batch(
+            [x or "" for x in ta], [y or "" for y in tb])
         denom = np.maximum(
             [len((x or "").encode()) for x in ta],
             [len((y or "").encode()) for y in tb],

@@ -248,6 +248,57 @@ def test_consensus_synthesis_vote(ray_session):
     assert len(out) == 3                                       # one row per cluster
 
 
+def test_consensus_trusted_source_override(ray_session):
+    """G6 side-input cross-check (gencore's reference-genome
+    consultation, src/group.cpp:430-501): at vote positions with NO
+    strict count majority, a trusted (url, text) stream overrides the
+    quality-weighted winner; overrides are counted and tagged."""
+    from gencore_ray.stages.consensus import synthesize_clusters
+
+    def member(url, cid, q, text):
+        return {"url": url, "cluster_id": cid, "cluster_size": 2,
+                "is_representative": url.endswith("1"), "quality": q,
+                "text_len": len(text), "text": text}
+
+    rows = [
+        # planted disagreement: counts tie 1-1 at pos 1, weighted
+        # winner would be "dog" (0.9 > 0.2) — trusted must impose "cat"
+        member("r1", "r1", 0.2, "the cat sat"),
+        member("r2", "r1", 0.9, "the dog sat"),
+        # identical shape, no trusted member: weight wins
+        member("n1", "n1", 0.2, "the cat sat"),
+        member("n2", "n1", 0.9, "the dog sat"),
+        # trusted member present but position HAS a strict count
+        # majority: no override
+        member("u1", "u1", 0.3, "a b"),
+        member("u2", "u1", 0.3, "a b"),
+        member("u3", "u1", 0.3, "a c"),
+    ]
+    rows[-1]["cluster_size"] = rows[-2]["cluster_size"] = rows[-3]["cluster_size"] = 3
+    clusters = rd.from_items([{k: v for k, v in r.items() if k != "text"}
+                              for r in rows])
+    pages = rd.from_items([{"url": r["url"], "text": r["text"]}
+                           for r in rows])
+    trusted = rd.from_items([
+        {"url": "r1", "text": "the cat sat"},
+        {"url": "u3", "text": "a c"},
+    ])
+    out = synthesize_clusters(pages, clusters, CFG, num_parts=3,
+                              trusted=trusted).to_pandas()
+    out = out.set_index("cluster_id")
+    assert out.loc["r1", "consensus_text"] == "the cat sat"
+    assert int(out.loc["r1", "ref_overrides"]) == 1
+    assert out.loc["r1", "content_src"] == "consensus_vote+ref"
+    assert out.loc["n1", "consensus_text"] == "the dog sat"
+    assert int(out.loc["n1", "ref_overrides"]) == 0
+    assert out.loc["n1", "content_src"] == "consensus_vote"
+    assert out.loc["u1", "consensus_text"] == "a b"    # majority holds
+    assert int(out.loc["u1", "ref_overrides"]) == 0
+    # without a trusted table the schema still carries ref_overrides=0
+    plain = synthesize_clusters(pages, clusters, CFG, num_parts=3).to_pandas()
+    assert (plain["ref_overrides"] == 0).all()
+
+
 def test_consensus_vote_vectorized_matches_scalar():
     """The factorized vote (_vote_clusters: one lexsort + segment-sum
     per partition) must reproduce the scalar per-position dict vote

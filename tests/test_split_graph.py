@@ -117,6 +117,27 @@ def test_levenshtein_matches_duckdb_bytes():
         ).fetchone()[0], (a, b)
 
 
+def test_levenshtein_batch_equals_scalar():
+    """The chunked pair-axis DP must equal the scalar kernel byte for
+    byte — including empty sides, equal strings, multibyte UTF-8, and
+    length skew across a chunk boundary."""
+    from gencore_ray.ops.editdist import levenshtein, levenshtein_batch
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcdeé ")
+    pairs = [("", ""), ("", "abc"), ("xyz", ""), ("same", "same"),
+             ("kitten", "sitting"), ("é", "e")]
+    for _ in range(300):
+        x = "".join(rng.choice(alpha, size=rng.integers(0, 40)))
+        y = "".join(rng.choice(alpha, size=rng.integers(0, 40)))
+        pairs.append((x, y))
+    ta = [p[0] for p in pairs]
+    tb = [p[1] for p in pairs]
+    got = levenshtein_batch(ta, tb, chunk=64)   # force chunk boundaries
+    want = np.array([levenshtein(x, y) for x, y in pairs])
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pair_edit_distances_end_to_end(ray_session):
     docs = rd.from_arrow(
         pa.table(
