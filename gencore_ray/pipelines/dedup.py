@@ -284,6 +284,8 @@ def dedup_pages(
     features = sig.select_columns(
         [c for c in ["url", "warc_ts", "text_len", "quality"] if c in sig.columns()]
     )
+    feat_thread = None
+    feat_box: dict = {}
     if state_dir is None:
         # CC/elect only ever touch the slim feature columns; pin them as
         # their own materialized blocks and drop the LAST references to
@@ -292,9 +294,27 @@ def dedup_pages(
         # the object store can evict/un-spill them during the tail
         # stages instead of holding peak bytes to the end of the run.
         # (state_dir keeps sig alive: save_state persists it below.)
-        features = features.materialize()
-        sig = None
-        pairs = None
+        # The pin runs in a BACKGROUND thread so its task wave overlaps
+        # the driver-serial CC below (both only read sig; the thread
+        # merely submits Ray tasks) — a measured ~1 s off the critical
+        # path at 1M pages that neither leg's cpu count can touch.
+        import threading
+
+        def _pin() -> None:
+            feat_box["ds"] = features.materialize()
+
+        feat_thread = threading.Thread(target=_pin, daemon=True)
+        feat_thread.start()
+
+    def _pinned_features():
+        nonlocal features, sig, pairs
+        if feat_thread is not None:
+            feat_thread.join()
+            features = feat_box["ds"]
+            sig = None
+            pairs = None
+        return features
+
     t_cc = time.monotonic()
     if cc_mode == "distributed":
         from gencore_ray.stages.shuffle import hash_join
@@ -306,7 +326,7 @@ def dedup_pages(
             batch_format="pyarrow",
         )
         members = hash_join(
-            features, labels, "url", "node",
+            _pinned_features(), labels, "url", "node",
             num_parts=cfg.join_num_partitions or ncpu, how="left_outer",
         )
 
@@ -329,7 +349,7 @@ def dedup_pages(
             lab = urls.map(m).fillna(urls)     # vectorised dict lookup
             return t.append_column("cluster_id", pa.array(lab, pa.string()))
 
-        members = features.map_batches(assign, batch_format="pyarrow")
+        members = _pinned_features().map_batches(assign, batch_format="pyarrow")
 
     _t("cc+assign", t_cc)
     # labels are assigned; the edge table's last consumer has run

@@ -56,10 +56,13 @@ def _min_label_cc(u: np.ndarray, v: np.ndarray, n: int,
 def driver_cc(edges: rd.Dataset) -> dict[str, str]:
     """Collect (url_a,url_b) edges, vectorised CC -> url->label (min url).
 
-    Batches arrive as Arrow string arrays and are factorised against the
-    SORTED unique-url table (np.searchsorted), so the numeric component
-    minimum IS the lexicographic min url — no per-row Python loop
-    anywhere.  Matches ``union_find_clusters`` (the test oracle) exactly.
+    Distinct urls come from ``pd.factorize`` (C hash table — np.unique
+    on object strings is a Python-level sort over EVERY endpoint, the
+    measured 2.6 s driver floor at 1M pages), then only the DISTINCT
+    urls are argsorted so codes can be re-ranked lexicographically; the
+    numeric component minimum over ranks IS the lexicographic min url —
+    no per-row Python loop anywhere.  Matches ``union_find_clusters``
+    (the test oracle) exactly.
     """
     ua: list[np.ndarray] = []
     ub: list[np.ndarray] = []
@@ -72,11 +75,17 @@ def driver_cc(edges: rd.Dataset) -> dict[str, str]:
         return {}
     a = np.concatenate(ua)
     b = np.concatenate(ub)
-    uniq = np.unique(np.concatenate([a, b]))
-    cu = np.searchsorted(uniq, a)
-    cv = np.searchsorted(uniq, b)
+    codes, uniq_idx = pd.factorize(np.concatenate([a, b]), sort=False)
+    uniq = np.asarray(uniq_idx, dtype=object)
+    order = np.argsort(uniq, kind="stable")     # lex sort, distinct only
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq), dtype=np.int64)
+    rcodes = rank[codes]
+    cu = rcodes[: len(a)]
+    cv = rcodes[len(a):]
     parent = _min_label_cc(cu, cv, len(uniq))
-    return dict(zip(uniq.tolist(), uniq[parent].tolist()))
+    sorted_uniq = uniq[order]
+    return dict(zip(sorted_uniq.tolist(), sorted_uniq[parent].tolist()))
 
 
 # ---------------------------------------------------------------------------
