@@ -219,13 +219,55 @@ def dedup_pages(
     pairs = run_stage(
         "candidate_pairs", lambda: candidate_pairs(sig, cfg, dedupe=False)
     )
-    ver_edges = run_stage("verified_edges", lambda: verified_edges(pairs, sig, cfg))
+    if ckpt.enabled:
+        # disk-backed (checkpointed) stage inputs are not
+        # MaterializedDatasets, but parquet metadata makes counting
+        # cheap — pass an explicit mass estimate so the attached-pair
+        # partition count still scales with DATA (Arrow 2 GB IPC bound),
+        # not only with CPUs.  ~2.5 KB/doc payload when size is unknown.
+        sig_rows = max(1, sig.count())
+        nb = sig.size_bytes() or (2560 * sig_rows)
+        ve_est = pairs.count() * (16.0 + nb / sig_rows)
+    else:
+        ve_est = None
+    ver_edges = run_stage(
+        "verified_edges",
+        lambda: verified_edges(pairs, sig, cfg, est_bytes=ve_est))
 
     # lineage counters (gencore Stats analogue, src/stats.cpp:101-151);
     # counts on materialized datasets read block metadata — no recompute
     counters["pages_in"] = sig.count()
     counters["candidate_pairs"] = pairs.count()
     counters["verified_edges"] = ver_edges.count()
+
+    # the three AGGREGATE counters below each launch a full task wave
+    # over a materialized table; none of them gates the CC/elect tail,
+    # so they run in background threads and join before the counters
+    # are read (and before sig/pairs references are dropped) — at 1M
+    # pages this takes ~1 s of fixed wave latency off the critical path
+    import threading as _threading
+
+    _cthreads: list = []
+    _cerrs: list = []
+
+    def _async_counter(fn) -> None:
+        def _run():
+            try:
+                fn()
+            except Exception as e:          # re-raised at join
+                _cerrs.append(e)
+
+        th = _threading.Thread(target=_run, daemon=True)
+        th.start()
+        _cthreads.append(th)
+
+    def _join_counters() -> None:
+        for th in _cthreads:
+            th.join()
+        _cthreads.clear()
+        if _cerrs:
+            raise _cerrs[0]
+
     # exploded bucket-key volume (the pipeline's one big exchange):
     # exact count derived from the materialized signature table — bands
     # + sketch keys per active doc + C(B, B-k) simhash combos — without
@@ -241,17 +283,24 @@ def dedup_pages(
         n_ck = int(len(ck.values))
         return pa.table({"k": [int(active.sum()) * (cfg.bands + n_combo) + n_ck]})
 
-    counters["explode_rows"] = int(
-        sig.map_batches(_key_mass, batch_format="pyarrow").sum("k") or 0
-    )
-    if counters["pages_in"]:
-        counters["explode_rows_per_doc_x100"] = (
-            counters["explode_rows"] * 100 // counters["pages_in"]
+    def _explode_rows(_sig=sig) -> None:
+        counters["explode_rows"] = int(
+            _sig.map_batches(_key_mass, batch_format="pyarrow").sum("k") or 0
         )
-    try:
-        counters["capped_docs"] = int(pairs.sum("capped") or 0)  # distributed sum
-    except Exception:
-        pass
+        if counters["pages_in"]:
+            counters["explode_rows_per_doc_x100"] = (
+                counters["explode_rows"] * 100 // counters["pages_in"]
+            )
+
+    _async_counter(_explode_rows)
+
+    def _capped(_pairs=pairs) -> None:
+        try:
+            counters["capped_docs"] = int(_pairs.sum("capped") or 0)
+        except Exception:
+            pass
+
+    _async_counter(_capped)
     if cfg.simhash_enabled:
         # edges that qualified ONLY via the Hamming clause: exactly the
         # delta between this pipeline and its fully SQL-expressible
@@ -265,9 +314,12 @@ def dedup_pages(
             cont = t["containment"].to_numpy(zero_copy_only=False)
             return pa.table({"k": [int(((jac < tau) & (cont < c)).sum())]})
 
-        counters["hamming_only_edges"] = int(
-            ver_edges.map_batches(_ham_only, batch_format="pyarrow").sum("k") or 0
-        )
+        def _hamming(_ve=ver_edges) -> None:
+            counters["hamming_only_edges"] = int(
+                _ve.map_batches(_ham_only, batch_format="pyarrow").sum("k") or 0
+            )
+
+        _async_counter(_hamming)
 
     all_edges = ver_edges.select_columns(["url_a", "url_b"])
 
@@ -311,6 +363,9 @@ def dedup_pages(
         if feat_thread is not None:
             feat_thread.join()
             features = feat_box["ds"]
+            # counter threads hold their own sig/pairs refs — join them
+            # before dropping ours so the release actually releases
+            _join_counters()
             sig = None
             pairs = None
         return features
@@ -358,6 +413,7 @@ def dedup_pages(
     clusters = run_stage(
         "clusters", lambda: elect_representatives(members, cfg, num_parts=ncpu)
     )
+    _join_counters()          # no-op if _pinned_features already joined
     counters["pages_out"] = clusters.count()
     if cc_mode == "driver":
         counters["dup_pages"] = len(label_map)               # pages in multi-clusters

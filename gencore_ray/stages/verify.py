@@ -188,7 +188,8 @@ EDGE_SCHEMA = pa.schema(
 )
 
 
-def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig,
+                   est_bytes: float | None = None) -> rd.Dataset:
     """One task graph: exchange(sig by uhash) ∥ exchange(pairs by ha) →
     attach A → exchange(pair rows by hb) → fused attach B + verify.
 
@@ -216,15 +217,18 @@ def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig) -> rd.D
     from gencore_ray.stages.shuffle import scaled_num_parts
 
     cpu_p = int(ray.cluster_resources().get("CPU", 8))
-    if isinstance(pairs, MaterializedDataset) and \
-            isinstance(sig, MaterializedDataset):
-        sig_rows = max(1, sig.count())
-        payload_b = (sig.size_bytes() or 0) / sig_rows
-        est_bytes = pairs.count() * (16 + payload_b)
-    else:
-        # unmaterialized inputs (operator used standalone): counting
-        # would re-execute lineage; fall back to the cpu floor
-        est_bytes = 0
+    if est_bytes is None:
+        if isinstance(pairs, MaterializedDataset) and \
+                isinstance(sig, MaterializedDataset):
+            sig_rows = max(1, sig.count())
+            payload_b = (sig.size_bytes() or 0) / sig_rows
+            est_bytes = pairs.count() * (16 + payload_b)
+        else:
+            # unmaterialized inputs (operator used standalone): counting
+            # would re-execute lineage; fall back to the cpu floor.
+            # Checkpointed (disk-backed) callers pass est_bytes instead
+            # (pipelines/dedup.py) — parquet metadata makes it cheap.
+            est_bytes = 0
     P = cfg.join_num_partitions or scaled_num_parts(cpu_p, est_bytes)
 
     # candidate-doc prefilter: the slim projection carries tshash
