@@ -189,7 +189,8 @@ EDGE_SCHEMA = pa.schema(
 
 
 def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig,
-                   est_bytes: float | None = None) -> rd.Dataset:
+                   est_bytes: float | None = None,
+                   chunks: int | None = None) -> rd.Dataset:
     """One task graph: exchange(sig by uhash) ∥ exchange(pairs by ha) →
     attach A → exchange(pair rows by hb) → fused attach B + verify.
 
@@ -270,34 +271,80 @@ def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig,
             _filter_slim, batch_format="pyarrow", zero_copy_batch=True
         )
     slim_blocks, _ = exchange_refs(to_arrow_blocks(slim), "uhash", P)
-    pair_blocks, _ = exchange_refs(
-        to_arrow_blocks(pairs.select_columns(["ha", "hb"])), "ha", P
-    )
-    if slim_blocks is None or pair_blocks is None:
+    if slim_blocks is None:
         return rd.from_arrow(EDGE_SCHEMA.empty_table())
 
-    j1 = [_attach_a.remote(pair_blocks[p], slim_blocks[p]) for p in range(P)]
+    # --- pair-chunking: bound the stage's IN-FLIGHT attached-pair mass.
+    # The raw task graph below has no backpressure — all P partitions'
+    # attach-A output, its re-exchange, and attach-B intermediates
+    # co-reside — so its liveset is ~3x the attached-pair bytes.  On one
+    # node that must fit store+spill disk (measured: a 4M-page corpus'
+    # 36M candidate rows x ~2 KB payload = ~70 GB attach mass wedged the
+    # sandbox); on a cluster it is the per-node footprint.  Pairs are
+    # split into K hash-chunks on the (ha, hb) PAIR key (all copies of a
+    # pair land in one chunk, so the in-partition dedupe still sees
+    # them together); the slim signature partitions are exchanged ONCE
+    # and reused by every chunk; each chunk's graph runs to a barrier
+    # before the next submits.  K == 1 (the common case) is exactly the
+    # old single-shot path.
+    if chunks is not None:
+        K = max(1, int(chunks))
+    else:
+        store_b = float(
+            ray.cluster_resources().get("object_store_memory", 0) or (8 << 30))
+        budget = store_b * 0.5
+        K = max(1, min(256, int(np.ceil(3.0 * est_bytes / budget)))) \
+            if est_bytes else 1
 
-    # re-exchange the attached pair rows by hb (schema known statically)
     slim_schema = slim.schema().base_schema
     j1_schema = pa.schema(
         [("ha", pa.uint64()), ("hb", pa.uint64())]
         + [pa.field(_RENAME_A.get(f.name, f.name), f.type)
            for f in slim_schema if f.name != "uhash"]
     )
-    maps = [
-        _exchange_map.options(num_returns=P).remote(j1[p], "hb", P)
-        for p in range(P)
-    ]
-    if P == 1:
-        maps = [[r] for r in maps]
     use_internal = _use_internal()
-    j1b = [
-        _exchange_reduce.remote(j1_schema, use_internal, *[maps[q][p] for q in range(P)])
-        for p in range(P)
-    ]
-    outs = [
-        _attach_b_verify.remote(j1b[p][0], slim_blocks[p], cfg, use_internal)
-        for p in range(P)
-    ]
-    return _dataset_from_reduced([o[0] for o in outs], [o[1] for o in outs])
+    pairs_sel = to_arrow_blocks(pairs.select_columns(["ha", "hb"]))
+    if K > 1:
+        pairs_sel = pairs_sel.materialize()
+    CHUNK_PRIME = np.uint64(0x9E3779B97F4A7C15)
+
+    def _chunk_filter(k: int):
+        def f(t: pa.Table) -> pa.Table:
+            ha = t["ha"].to_numpy(zero_copy_only=False).astype(U64)
+            hb = t["hb"].to_numpy(zero_copy_only=False).astype(U64)
+            c = ((ha * CHUNK_PRIME) ^ hb) % np.uint64(K)
+            return t.take(pa.array(np.flatnonzero(c == np.uint64(k))))
+        return f
+
+    all_blocks: list = []
+    all_metas: list = []
+    for k in range(K):
+        pk = pairs_sel if K == 1 else pairs_sel.map_batches(
+            _chunk_filter(k), batch_format="pyarrow", zero_copy_batch=True)
+        pair_blocks, _ = exchange_refs(pk, "ha", P)
+        if pair_blocks is None:
+            continue
+        j1 = [_attach_a.remote(pair_blocks[p], slim_blocks[p])
+              for p in range(P)]
+        maps = [
+            _exchange_map.options(num_returns=P).remote(j1[p], "hb", P)
+            for p in range(P)
+        ]
+        if P == 1:
+            maps = [[r] for r in maps]
+        j1b = [
+            _exchange_reduce.remote(
+                j1_schema, use_internal, *[maps[q][p] for q in range(P)])
+            for p in range(P)
+        ]
+        outs = [
+            _attach_b_verify.remote(j1b[p][0], slim_blocks[p], cfg, use_internal)
+            for p in range(P)
+        ]
+        if K > 1:
+            ray.get([o[1] for o in outs])   # barrier: one chunk in flight
+        all_blocks.extend(o[0] for o in outs)
+        all_metas.extend(o[1] for o in outs)
+    if not all_blocks:
+        return rd.from_arrow(EDGE_SCHEMA.empty_table())
+    return _dataset_from_reduced(all_blocks, all_metas)

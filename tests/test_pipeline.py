@@ -248,6 +248,31 @@ def test_consensus_synthesis_vote(ray_session):
     assert len(out) == 3                                       # one row per cluster
 
 
+def test_verified_edges_chunked_equals_single(corpus):
+    """Pair-chunked verification (the bounded-liveset path the 4M
+    spill regime takes) must produce exactly the single-shot edge set:
+    chunking is on the (ha, hb) pair key, so every copy of a pair
+    lands in one chunk and the in-partition dedupe is unaffected."""
+    from gencore_ray.stages.lsh import candidate_pairs
+    from gencore_ray.stages.verify import verified_edges
+
+    pages_tbl, _ = corpus
+    pages = rd.from_arrow(pages_tbl.select(["url", "warc_ts", "text", "lang"]))
+    sig = compute_signatures(pages, CFG).materialize()
+    pairs = candidate_pairs(sig, CFG, dedupe=False).materialize()
+
+    def norm(ds):
+        df = ds.to_pandas()
+        cols = ["url_a", "url_b", "jaccard", "containment"]
+        return (df[cols].sort_values(["url_a", "url_b"], kind="mergesort")
+                .reset_index(drop=True))
+
+    single = norm(verified_edges(pairs, sig, CFG))
+    chunked = norm(verified_edges(pairs, sig, CFG, chunks=5))
+    assert len(single) > 0
+    pd.testing.assert_frame_equal(single, chunked)
+
+
 def test_consensus_trusted_source_override(ray_session):
     """G6 side-input cross-check (gencore's reference-genome
     consultation, src/group.cpp:430-501): at vote positions with NO

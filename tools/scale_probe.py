@@ -35,12 +35,20 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--keep", action="store_true",
                     help="keep the checkpoint dir after the run")
+    ap.add_argument("--store-gb", type=float, default=None,
+                    help="object store size in GiB (default: Ray's 30%%"
+                         " heuristic); on a RAM-rich box a larger"
+                         " /dev/shm-backed store trades disk spill for"
+                         " memory")
     args = ap.parse_args()
 
     import ray
 
+    kw = {}
+    if args.store_gb:
+        kw["object_store_memory"] = int(args.store_gb * (1 << 30))
     ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
