@@ -565,6 +565,19 @@ def _q_cluster_consensus_ref(sf_dir: str):
         ["cluster_id", "cluster_size", "ref_overrides"])
 
 
+def _q_dsir_logratios(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023, ops/dsir.py): hashed
+    unigram+bigram bag models (2^16 md5 buckets, add-1 smoothing) for
+    the target (lang='en') vs raw classes; each doc scored by the
+    summed log-likelihood ratio of its grams.  Bucket hashing is
+    md5_low64 % V == DuckDB md5_number_lower % V, so the whole model
+    replays in SQL."""
+    from gencore_ray.ops.dsir import dsir_logratios
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "text"])
+    return dsir_logratios(docs, target_col="lang", target_value="en")
+
+
 def _q_cluster_size_histogram(sf_dir: str):
     """Duplication-level histogram (gencore's supporting-reads
     histogram analogue, /root/reference/src/stats.h:15): how many
@@ -2334,6 +2347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_size_histogram": _q_cluster_size_histogram,
         "cluster_consensus": _q_cluster_consensus,
         "cluster_consensus_ref": _q_cluster_consensus_ref,
+        "dsir_logratios": _q_dsir_logratios,
         "text_quality_profile": _q_text_quality_profile,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
@@ -2807,6 +2821,27 @@ def oracle_sql() -> dict[str, str]:
             "sz.cluster_size, "
             "CAST(coalesce(ov.n, 0) AS BIGINT) AS ref_overrides "
             "FROM sz LEFT JOIN ov ON ov.cid = sz.cid"
+        ),
+        "dsir_logratios": (
+            "WITH tok AS (SELECT doc_id, lang, "
+            "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') "
+            "AS ws FROM documents), "
+            "uni AS (SELECT doc_id, lang, unnest(ws) AS g FROM tok), "
+            "big AS (SELECT doc_id, lang, "
+            "unnest([ws[i] || ' ' || ws[i+1] "
+            "FOR i IN generate_series(1, len(ws)-1)]) AS g FROM tok), "
+            "bk AS (SELECT doc_id, (lang = 'en') AS tgt, "
+            "CAST(md5_number_lower(g) % 65536 AS BIGINT) AS b "
+            "FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)), "
+            "agg AS (SELECT b, "
+            "CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS ct, "
+            "CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS DOUBLE) AS cr "
+            "FROM bk GROUP BY b), "
+            "tots AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM agg), "
+            "lr AS (SELECT b, ln((ct + 1.0) / (nt + 65536.0)) "
+            "- ln((cr + 1.0) / (nr + 65536.0)) AS w FROM agg, tots) "
+            "SELECT bk.doc_id, round(sum(lr.w), 6) AS dsir_logratio "
+            "FROM bk JOIN lr USING (b) GROUP BY bk.doc_id"
         ),
         "cluster_size_histogram": (
             _PIPELINE_CTE + " "

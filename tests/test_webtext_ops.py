@@ -522,3 +522,37 @@ def test_count_min_bounds_and_merge(ray_session):
     g = cm_batch(keys.astype(np.uint64), d_, w_)
     assert (g1 + g2 == g).all()
     assert (cm_query(g1 + g2, qk.astype(np.uint64)) == est).all()
+
+
+def test_dsir_logratios_separates_distributions(ray_session):
+    """DSIR importance weights (ops/dsir.py): documents drawn from the
+    target vocabulary must score strictly above documents drawn from
+    the raw vocabulary — including a held-out doc whose LABEL is raw
+    but whose CONTENT is target-like (the resampling use case)."""
+    import pandas as pd
+
+    from gencore_ray.ops.dsir import dsir_logratios
+
+    rng = np.random.RandomState(3)
+    tvocab = [f"alpha{i}" for i in range(40)]
+    rvocab = [f"zulu{i}" for i in range(40)]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab, size=30))
+
+    rows = []
+    for i in range(25):
+        rows.append({"doc_id": i, "lang": "en", "text": doc(tvocab)})
+    for i in range(25, 50):
+        rows.append({"doc_id": i, "lang": "de", "text": doc(rvocab)})
+    # held out: labelled raw, written in the target vocabulary
+    rows.append({"doc_id": 50, "lang": "de", "text": doc(tvocab)})
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    out = dsir_logratios(docs, target_col="lang", target_value="en",
+                         num_parts=4).to_pandas().set_index("doc_id")
+    t_scores = out.loc[range(25), "dsir_logratio"]
+    r_scores = out.loc[range(25, 50), "dsir_logratio"]
+    assert t_scores.min() > 0 > r_scores.max()
+    held = float(out.loc[50, "dsir_logratio"])
+    assert held > r_scores.max()     # content beats label
+    assert len(out) == 51
