@@ -87,10 +87,26 @@ def levenshtein_batch(ta: list, tb: list, chunk: int = 1024) -> np.ndarray:
         & np.fromiter((x != y for x, y in zip(ab, bb)), dtype=bool, count=n))
     if not len(todo):
         return out
-    todo = todo[np.argsort(la[todo], kind="stable")]
+    # sort by (len_b, len_a): len_b sets the DP matrix WIDTH, so one
+    # long b-side outlier must not inflate a whole chunk's matrices;
+    # greedy cell budget bounds each chunk's (pairs x len_b) footprint
+    # (~48 MB of int32/int16 cells) regardless of length skew
+    todo = todo[np.lexsort((la[todo], lb[todo]))]
+    CELL_BUDGET = 4 << 20
 
-    for c0 in range(0, len(todo), chunk):
-        idx = todo[c0:c0 + chunk]
+    spans: list[tuple[int, int]] = []
+    s = 0
+    nt = len(todo)
+    while s < nt:                      # widths ascend, so greedy is tight
+        e = s + 1
+        while e < nt and e - s < chunk and \
+                (e - s + 1) * (int(lb[todo[e]]) + 1) <= CELL_BUDGET:
+            e += 1
+        spans.append((s, e))
+        s = e
+
+    for c0, c1 in spans:
+        idx = todo[c0:c1]
         m = len(idx)
         amax = int(la[idx].max())
         bmax = int(lb[idx].max())

@@ -92,16 +92,25 @@ def pagerank(
     ).drop_columns(["__m"]).materialize()
 
     if mode == "auto":
-        # distinct |V| via one distributed DISTINCT over the two key
-        # streams — no O(N) driver state spent on the decision
-        both = to_arrow_blocks(deg_ds.select_columns([src])).rename_columns(
-            {src: "node"}
-        ).union(
-            to_arrow_blocks(dst_ds.select_columns([dst])).rename_columns(
-                {dst: "node"})
-        )
-        n_nodes = dedupe_rows(both, ["node"], num_parts=num_parts).count()
-        mode = "broadcast" if n_nodes <= max_broadcast_nodes else "distributed"
+        # metadata-only upper bound first: |V| <= |distinct src| +
+        # |distinct dst| (both already materialized) — the common
+        # below-threshold case is decided with ZERO extra tasks; only
+        # when the bound exceeds the threshold is the exact distinct
+        # count worth an exchange
+        ub = deg_ds.count() + dst_ds.count()
+        if ub <= max_broadcast_nodes:
+            mode = "broadcast"
+        else:
+            both = to_arrow_blocks(
+                deg_ds.select_columns([src])).rename_columns(
+                {src: "node"}
+            ).union(
+                to_arrow_blocks(dst_ds.select_columns([dst])).rename_columns(
+                    {dst: "node"})
+            )
+            n_nodes = dedupe_rows(both, ["node"], num_parts=num_parts).count()
+            mode = ("broadcast" if n_nodes <= max_broadcast_nodes
+                    else "distributed")
     if mode == "distributed":
         return _pagerank_distributed(
             edges, deg_ds, dst_ds, src, dst, float(damping), iters, num_parts)

@@ -130,7 +130,7 @@ def set_similarity_join(
     # intersection, and sa/sb (riding the candidate rows) finish the
     # Jaccard inside the same exchange.
     from gencore_ray.stages.shuffle import (
-        hash_join, scaled_num_parts, to_arrow_blocks)
+        hash_join, pair_mix, scaled_num_parts, to_arrow_blocks)
 
     empty_out = rd.from_pandas(pd.DataFrame(
         {"doc_a": pd.Series(dtype="int64"),
@@ -148,13 +148,10 @@ def set_similarity_join(
     Tslim = to_arrow_blocks(T.select_columns([id_col, "th"])).rename_columns(
         {id_col: "__d"}).materialize()
 
-    PRIME = np.uint64(0x9E3779B97F4A7C15)
-
     def _pkey(t):
         import pyarrow as pa
-        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        k = ((a * PRIME) ^ b).astype(np.int64)
+        k = pair_mix(t["doc_a"].to_numpy(zero_copy_only=False),
+                     t["doc_b"].to_numpy(zero_copy_only=False))
         return t.append_column("pkey", pa.array(k))
 
     ja = hash_join(cand, Tslim, "doc_a", "__d", num_parts=vparts)

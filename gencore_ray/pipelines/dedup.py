@@ -353,7 +353,10 @@ def dedup_pages(
         import threading
 
         def _pin() -> None:
-            feat_box["ds"] = features.materialize()
+            try:
+                feat_box["ds"] = features.materialize()
+            except Exception as e:      # re-raised at join, not lost
+                feat_box["err"] = e
 
         feat_thread = threading.Thread(target=_pin, daemon=True)
         feat_thread.start()
@@ -362,6 +365,8 @@ def dedup_pages(
         nonlocal features, sig, pairs
         if feat_thread is not None:
             feat_thread.join()
+            if "err" in feat_box:
+                raise feat_box["err"]
             features = feat_box["ds"]
             # counter threads hold their own sig/pairs refs — join them
             # before dropping ours so the release actually releases

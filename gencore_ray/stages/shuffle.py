@@ -411,6 +411,16 @@ def hash_join(
                        batch_format="pyarrow")
 
 
+def pair_mix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Mix two uint64-able id arrays into one well-distributed int64
+    PAIR key (golden-ratio multiply + xor) — the partition/chunk key
+    for pair-level exchanges (ops/setjoin.py, stages/verify.py); both
+    rows of a pair always land together."""
+    av = np.asarray(a).astype(np.uint64)
+    bv = np.asarray(b).astype(np.uint64)
+    return ((av * np.uint64(0x9E3779B97F4A7C15)) ^ bv).astype(np.int64)
+
+
 def scaled_num_parts(base: int, est_bytes: float,
                      target_bytes: int = 256 << 20) -> int:
     """Partition count respecting BOTH the cpu-based floor and a

@@ -292,9 +292,17 @@ def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig,
     else:
         store_b = float(
             ray.cluster_resources().get("object_store_memory", 0) or (8 << 30))
-        budget = store_b * 0.5
-        K = max(1, min(256, int(np.ceil(3.0 * est_bytes / budget)))) \
-            if est_bytes else 1
+        # est_bytes OVERestimates the live attach mass ~2x (it counts
+        # pre-dedupe pair rows; measured: 1M pages, est 22 GB, ran
+        # spill-free in a 37.6 GB store unchunked), and the liveset is
+        # ~3x the post-dedupe mass — net ~1.5x est.  Chunk above
+        # 0.6x store (just past the measured-safe point), sized to
+        # half the store; below it the per-chunk barrier (~1 s at 1M)
+        # is pure loss.
+        if est_bytes and est_bytes > 0.6 * store_b:
+            K = max(1, min(256, int(np.ceil(est_bytes / (0.5 * store_b)))))
+        else:
+            K = 1
 
     slim_schema = slim.schema().base_schema
     j1_schema = pa.schema(
@@ -306,13 +314,14 @@ def verified_edges(pairs: rd.Dataset, sig: rd.Dataset, cfg: DedupConfig,
     pairs_sel = to_arrow_blocks(pairs.select_columns(["ha", "hb"]))
     if K > 1:
         pairs_sel = pairs_sel.materialize()
-    CHUNK_PRIME = np.uint64(0x9E3779B97F4A7C15)
 
     def _chunk_filter(k: int):
+        from gencore_ray.stages.shuffle import pair_mix
+
         def f(t: pa.Table) -> pa.Table:
-            ha = t["ha"].to_numpy(zero_copy_only=False).astype(U64)
-            hb = t["hb"].to_numpy(zero_copy_only=False).astype(U64)
-            c = ((ha * CHUNK_PRIME) ^ hb) % np.uint64(K)
+            c = pair_mix(t["ha"].to_numpy(zero_copy_only=False),
+                         t["hb"].to_numpy(zero_copy_only=False)) \
+                .astype(np.uint64) % np.uint64(K)
             return t.take(pa.array(np.flatnonzero(c == np.uint64(k))))
         return f
 

@@ -131,6 +131,9 @@ def test_levenshtein_batch_equals_scalar():
         x = "".join(rng.choice(alpha, size=rng.integers(0, 40)))
         y = "".join(rng.choice(alpha, size=rng.integers(0, 40)))
         pairs.append((x, y))
+    # one huge-b outlier among short pairs: the cell-budget chunking
+    # must isolate it instead of inflating every chunk's matrices
+    pairs.append(("short a side", "x" * 20000))
     ta = [p[0] for p in pairs]
     tb = [p[1] for p in pairs]
     got = levenshtein_batch(ta, tb, chunk=64)   # force chunk boundaries

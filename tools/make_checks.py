@@ -21,7 +21,19 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def sweep(sf_dir: str, chunk: int = 30) -> dict[str, str]:
+def oracled_names() -> list[str]:
+    import importlib.util
+
+    sys.path.insert(0, os.path.dirname(HERE))
+    spec = importlib.util.spec_from_file_location(
+        "entry", os.path.join(os.path.dirname(HERE), "__ray_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return [n for n in m.queries() if n in m.oracle_sql()]
+
+
+def sweep(sf_dir: str, expected: list[str],
+          chunk: int = 30) -> dict[str, str]:
     proc = subprocess.run(
         [sys.executable, os.path.join(HERE, "check_oracles.py"),
          "--chunk", str(chunk), sf_dir],
@@ -32,15 +44,23 @@ def sweep(sf_dir: str, chunk: int = 30) -> dict[str, str]:
                      line.strip())
         if m:
             out[m.group(1)] = m.group(2)
+    # a crashed sweep (raylet segfault — the failure mode --chunk
+    # exists for) must SHRINK the artifact loudly, not silently:
+    # absent queries are recorded as NOT_RUN and count as failures
+    for name in expected:
+        out.setdefault(name, "NOT_RUN")
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-2000:])
     return out
 
 
 def main() -> None:
     dest = sys.argv[1]
+    expected = oracled_names()
     result: dict = {}
     for sf_dir in sys.argv[2:]:
         label = os.path.basename(sf_dir.rstrip("/"))
-        res = sweep(sf_dir)
+        res = sweep(sf_dir, expected)
         n_ok = sum(1 for v in res.values() if v == "OK")
         result[label] = {"total": len(res), "ok": n_ok, "results": res}
         print(f"{label}: {n_ok}/{len(res)} OK", file=sys.stderr)
