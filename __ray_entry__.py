@@ -565,6 +565,22 @@ def _q_cluster_consensus_ref(sf_dir: str):
         ["cluster_id", "cluster_size", "ref_overrides"])
 
 
+def _q_cluster_safe_split(sf_dir: str):
+    """Leakage-safe train/val/test split: the split key is the DEDUP
+    CLUSTER id, so every member of a near-dup cluster lands on the
+    same side — the split that actually prevents test-set
+    contamination (splitting raw doc ids scatters near-identical
+    texts across train and test).  Composition of the flagship
+    pipeline with ops/split.py's pure-map hash split; the SQL twin
+    replays the cluster labels via the recursive-CTE CC and the
+    md5_number_lower bucket cutoffs."""
+    from gencore_ray.ops.split import hash_split
+
+    clusters = _q_dedup_docs_pipeline(sf_dir)
+    tagged = hash_split(clusters, "cluster_id", seed=42)
+    return tagged.select_columns(["url", "cluster_id", "split"])
+
+
 def _q_dsir_logratios(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023, ops/dsir.py): hashed
     unigram+bigram bag models (2^16 md5 buckets, add-1 smoothing) for
@@ -2348,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_consensus": _q_cluster_consensus,
         "cluster_consensus_ref": _q_cluster_consensus_ref,
         "dsir_logratios": _q_dsir_logratios,
+        "cluster_safe_split": _q_cluster_safe_split,
         "text_quality_profile": _q_text_quality_profile,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
@@ -2566,6 +2583,8 @@ def _pagerank_sql(iters: int, damping: float) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from gencore_ray.ops.split import split_sql_case
+
     # the pages corpus must exist on disk before the driver can run its
     # SQL (idempotent, cached; ~1 s at the correctness scale)
     pages_cache_001 = _pages_cache("/root/testdata/sf0.01")
@@ -2821,6 +2840,14 @@ def oracle_sql() -> dict[str, str]:
             "sz.cluster_size, "
             "CAST(coalesce(ov.n, 0) AS BIGINT) AS ref_overrides "
             "FROM sz LEFT JOIN ov ON ov.cid = sz.cid"
+        ),
+        "cluster_safe_split": (
+            _PIPELINE_CTE + " "
+            "SELECT printf('doc-%08d', did) AS url, "
+            "printf('doc-%08d', cid) AS cluster_id, "
+            + split_sql_case("printf('doc-%08d', cid)",
+                             {"train": 0.8, "val": 0.1, "test": 0.1}, 42)
+            + " AS split FROM scored"
         ),
         "dsir_logratios": (
             "WITH tok AS (SELECT doc_id, lang, "

@@ -556,3 +556,50 @@ def test_dsir_logratios_separates_distributions(ray_session):
     held = float(out.loc[50, "dsir_logratio"])
     assert held > r_scores.max()     # content beats label
     assert len(out) == 51
+
+
+def test_dsir_partition_invariance(ray_session):
+    """DSIR weights must not depend on partitioning — same scores from
+    1 and 7 exchange partitions, and from a re-blocked input."""
+    import pandas as pd
+
+    from gencore_ray.ops.dsir import dsir_logratios
+
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [{"doc_id": i, "lang": ("en" if i % 3 else "de"),
+             "text": " ".join(rng.choice(vocab, size=25))}
+            for i in range(80)]
+    df = pd.DataFrame(rows)
+    a = dsir_logratios(rd.from_pandas(df), num_parts=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dsir_logratios(rd.from_pandas(df).repartition(7), num_parts=7) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cluster_safe_split_no_leakage(ray_session):
+    """Splitting on the dedup CLUSTER id must keep every member of a
+    cluster in one split (the leakage-safe property), and the doc-id
+    split must demonstrably violate it on planted near-dup clusters."""
+    import pandas as pd
+
+    from gencore_ray.config import DedupConfig
+    from gencore_ray.corpus import generate_pages
+    from gencore_ray.ops.split import hash_split
+    from gencore_ray.pipelines.dedup import dedup_pages
+
+    tbl = generate_pages(400, 21)
+    res = dedup_pages(rd.from_arrow(tbl.select(
+        ["url", "warc_ts", "text", "lang"])), DedupConfig())
+    tagged = hash_split(res.clusters, "cluster_id", seed=42).to_pandas()
+    per_cluster = tagged.groupby("cluster_id")["split"].nunique()
+    assert per_cluster.max() == 1                  # zero leakage
+    multi = tagged.groupby("cluster_id")["url"].transform("size") > 1
+    assert multi.any()                             # real clusters exist
+    # counter-example: url-keyed split scatters >=1 multi-cluster
+    url_tagged = hash_split(res.clusters, "url", seed=42).to_pandas()
+    leaks = url_tagged.groupby("cluster_id")["split"].nunique()
+    assert leaks.max() > 1
+    # all three splits materialise at cluster granularity
+    assert set(tagged["split"].unique()) == {"train", "val", "test"}
