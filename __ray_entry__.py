@@ -594,6 +594,21 @@ def _q_dsir_logratios(sf_dir: str):
     return dsir_logratios(docs, target_col="lang", target_value="en")
 
 
+def _q_soft_dedup_commonness(sf_dir: str):
+    """SoftDedup reweighting signal (He et al. 2024, ops/softdedup.py):
+    per-doc data commonness = mean ln(df/N) over the doc's distinct
+    hashed word 3-grams (2^18 md5 buckets).  The soft alternative to
+    hard dedup — duplication level becomes a training weight instead
+    of a drop decision (gencore's duplevel histogram per record,
+    /root/reference/src/stats.h:15).  Bucket hashing is md5_low64 &
+    (V-1) == DuckDB md5_number_lower % V, so the score replays in SQL.
+    """
+    from gencore_ray.ops.softdedup import commonness_scores
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return commonness_scores(docs)
+
+
 def _q_cluster_size_histogram(sf_dir: str):
     """Duplication-level histogram (gencore's supporting-reads
     histogram analogue, /root/reference/src/stats.h:15): how many
@@ -2364,6 +2379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_consensus": _q_cluster_consensus,
         "cluster_consensus_ref": _q_cluster_consensus_ref,
         "dsir_logratios": _q_dsir_logratios,
+        "soft_dedup_commonness": _q_soft_dedup_commonness,
         "cluster_safe_split": _q_cluster_safe_split,
         "text_quality_profile": _q_text_quality_profile,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -2848,6 +2864,23 @@ def oracle_sql() -> dict[str, str]:
             + split_sql_case("printf('doc-%08d', cid)",
                              {"train": 0.8, "val": 0.1, "test": 0.1}, 42)
             + " AS split FROM scored"
+        ),
+        "soft_dedup_commonness": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') "
+            "AS ws FROM documents), "
+            "g AS (SELECT doc_id, "
+            "unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+            "FOR i IN generate_series(1, len(ws)-2)]) AS g FROM tok), "
+            "bk AS (SELECT DISTINCT doc_id, "
+            "CAST(md5_number_lower(g) % 262144 AS BIGINT) AS b FROM g), "
+            "df AS (SELECT b, CAST(count(*) AS DOUBLE) AS df "
+            "FROM bk GROUP BY b), "
+            "n AS (SELECT ln(count(DISTINCT doc_id)) AS ln_n FROM bk) "
+            "SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "round(sum(ln(df.df)) / count(*) - any_value(n.ln_n), 6) "
+            "AS commonness "
+            "FROM bk JOIN df USING (b), n GROUP BY bk.doc_id"
         ),
         "dsir_logratios": (
             "WITH tok AS (SELECT doc_id, lang, "

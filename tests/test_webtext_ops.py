@@ -603,3 +603,61 @@ def test_cluster_safe_split_no_leakage(ray_session):
     assert leaks.max() > 1
     # all three splits materialise at cluster granularity
     assert set(tagged["split"].unique()) == {"train", "val", "test"}
+
+
+def test_soft_dedup_commonness_orders_duplication(ray_session):
+    """SoftDedup commonness (ops/softdedup.py): a doc repeated many
+    times must score higher (closer to 0) than corpus-unique docs; a
+    doc of half-shared / half-unique grams lands strictly between.
+    Closed-form check on a planted corpus: distinct 3-grams of
+    'a0 a1 ... a9' all have df = n_copies."""
+    import pandas as pd
+
+    from gencore_ray.ops.softdedup import commonness_scores
+
+    common = " ".join(f"a{i}" for i in range(10))       # 8 distinct 3-grams
+    rows = [{"doc_id": i, "text": common} for i in range(6)]
+    rows += [{"doc_id": 10 + i,
+              "text": " ".join(f"u{i}x{j}" for j in range(10))}
+             for i in range(4)]
+    # half common, half unique grams
+    rows.append({"doc_id": 99,
+                 "text": common + " " + " ".join(f"m{j}" for j in range(10))})
+    out = commonness_scores(
+        rd.from_pandas(pd.DataFrame(rows)), num_parts=3
+    ).to_pandas().set_index("doc_id")
+    n = 11.0
+    # the 6 copies: every gram has df=7 (6 copies + the mixed doc)
+    assert np.allclose(out.loc[range(6), "commonness"], np.log(7 / n),
+                       atol=1e-6)
+    # unique docs: every gram df=1
+    assert np.allclose(out.loc[range(10, 14), "commonness"], np.log(1 / n),
+                       atol=1e-6)
+    mixed = float(out.loc[99, "commonness"])
+    assert np.log(1 / n) < mixed < np.log(7 / n)
+    assert int(out.loc[0, "n_grams"]) == 8
+    # short docs (< 3 tokens) are excluded, matching the SQL twin
+    out2 = commonness_scores(rd.from_pandas(pd.DataFrame(
+        [{"doc_id": 0, "text": "one two"},
+         {"doc_id": 1, "text": "x y z"}])), num_parts=2).to_pandas()
+    assert out2["doc_id"].tolist() == [1]
+
+
+def test_soft_dedup_partition_invariance(ray_session):
+    """Commonness must not depend on partitioning: same scores from 1
+    and 5 exchange partitions and from a re-blocked input."""
+    import pandas as pd
+
+    from gencore_ray.ops.softdedup import commonness_scores
+
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [{"doc_id": i, "text": " ".join(rng.choice(vocab, size=20))}
+            for i in range(60)]
+    df = pd.DataFrame(rows)
+    a = commonness_scores(rd.from_pandas(df), num_parts=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = commonness_scores(
+        rd.from_pandas(df).repartition(9), num_parts=5
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
