@@ -444,6 +444,42 @@ def _q_pages_domain_stats(sf_dir: str):
     return _round_cols(domain_stats(pages), {"avg_chars": 6})
 
 
+def _q_pages_domain_cap(sf_dir: str):
+    """Per-domain quota cap (CC curation: limit pages per host so one
+    crawl-heavy domain cannot dominate the training mix): extract the
+    host with the domain_stats regex, keep the top-5 pages per domain
+    by (length desc, url asc) via ops/relational.py top_k_per_group —
+    one exchange keyed on domain, vectorised sort + groupby-head
+    inside each partition (no per-group Python)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gencore_ray.ops.relational import top_k_per_group
+
+    cache = _pages_cache("/root/testdata/sf0.01")
+    pages = rd.read_parquet(f"{cache}/pages.parquet", columns=["url", "text"])
+
+    def _extract(t: pa.Table) -> pa.Table:
+        dom = pc.fill_null(
+            pc.struct_field(
+                pc.extract_regex(
+                    pc.utf8_lower(t["url"].cast(pa.string())),
+                    pattern=r"^[a-z][a-z0-9+.-]*://(?P<d>[^/:?#]+)",
+                ),
+                "d",
+            ),
+            "",
+        )
+        tl = pc.fill_null(
+            pc.utf8_length(t["text"].cast(pa.string())), 0).cast(pa.int64())
+        return pa.table({"domain": dom, "url": t["url"], "text_len": tl})
+
+    slim = pages.map_batches(_extract, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return top_k_per_group(slim, ["domain"], ["text_len", "url"], k=5,
+                           descending=[True, False], num_parts=8)
+
+
 def _q_pii_redaction(sf_dir: str):
     """PII scrub (functions/redact.py): a deterministic contact line
     (email + IPv4 + intl phone derived from doc_id) is appended to
@@ -2366,6 +2402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": _q_benchmark_contamination,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "pages_domain_stats": _q_pages_domain_stats,
+        "pages_domain_cap": _q_pages_domain_cap,
         "pii_redaction": _q_pii_redaction,
         "mixture_token_sample": _q_mixture_token_sample,
         "sequence_packing": _q_sequence_packing,
@@ -3618,6 +3655,16 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
         "round(avg(length(text)), 6) AS avg_chars "
         "FROM p GROUP BY 1"
+    )
+    d["pages_domain_cap"] = (
+        "WITH p AS (SELECT url, text FROM read_parquet('"
+        + pages_cache_001 + "/pages.parquet')), "
+        "e AS (SELECT "
+        "regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) "
+        "AS domain, url, CAST(length(text) AS BIGINT) AS text_len FROM p) "
+        "SELECT domain, url, text_len FROM e "
+        "QUALIFY row_number() OVER "
+        "(PARTITION BY domain ORDER BY text_len DESC, url) <= 5"
     )
     d["pii_redaction"] = (
         "WITH aug AS (SELECT doc_id, "
