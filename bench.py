@@ -62,6 +62,9 @@ QUERY_NAMES = [
     "events_daily_filled",
     "user_value_trends",
     "sorted_neighborhood_pairs",
+    # round-5 additions
+    "dsir_logratios",
+    "soft_dedup_commonness",
 ]
 
 
