@@ -661,3 +661,34 @@ def test_soft_dedup_partition_invariance(ray_session):
         rd.from_pandas(df).repartition(9), num_parts=5
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_domain_cap_top_k_per_group(ray_session):
+    """Per-domain quota cap: top_k_per_group keyed on the extracted
+    host keeps exactly min(k, n_domain) pages per domain, the longest
+    ones, with the url tiebreak deterministic."""
+    import pandas as pd
+
+    rows = []
+    for d in ("a.example", "b.example"):
+        for i in range(7):
+            rows.append({"domain": d, "url": f"http://{d}/p{i}",
+                         "text_len": 100 + (i % 3)})
+    rows.append({"domain": "c.example", "url": "http://c.example/only",
+                 "text_len": 5})
+    from gencore_ray.ops.relational import top_k_per_group
+
+    out = top_k_per_group(
+        rd.from_pandas(pd.DataFrame(rows)), ["domain"],
+        ["text_len", "url"], k=5, descending=[True, False], num_parts=3
+    ).to_pandas()
+    sizes = out.groupby("domain").size().to_dict()
+    assert sizes == {"a.example": 5, "b.example": 5, "c.example": 1}
+    a = out[out["domain"] == "a.example"].sort_values(
+        ["text_len", "url"], ascending=[False, True])
+    # longest first; within equal length, lexicographically-first urls
+    assert a["text_len"].tolist() == [102, 102, 101, 101, 100]
+    assert a["url"].tolist() == [
+        "http://a.example/p2", "http://a.example/p5",
+        "http://a.example/p1", "http://a.example/p4",
+        "http://a.example/p0"]
