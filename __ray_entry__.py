@@ -630,6 +630,36 @@ def _q_dsir_logratios(sf_dir: str):
     return dsir_logratios(docs, target_col="lang", target_value="en")
 
 
+def _q_within_doc_line_collapse(sf_dir: str):
+    """Within-document repeated-line collapse (ops/linedup.py
+    collapse_repeated_lines): keep each line's FIRST occurrence inside
+    a doc, drop later repeats, preserve order — the in-page complement
+    of cross-doc line dedup (crawlers re-emit nav menus/banners inside
+    one page).  Pure per-row map, no exchange.  The corpus has
+    single-line docs, so repeats are planted deterministically: a
+    'head <lang>' banner line, re-appended for even doc_ids, and the
+    body line duplicated for doc_id % 5 == 0 — both replayed verbatim
+    in the SQL twin."""
+    from gencore_ray.ops.linedup import collapse_repeated_lines
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        langs = t["lang"].to_pylist()
+        txt = [x or "" for x in t["text"].to_pylist()]
+        out = [
+            f"head {g}\n" + s
+            + (f"\nhead {g}" if i % 2 == 0 else "")
+            + ("\n" + s if i % 5 == 0 else "")
+            for i, g, s in zip(ids, langs, txt)
+        ]
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "text"])
+    return collapse_repeated_lines(
+        docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def _q_soft_dedup_commonness(sf_dir: str):
     """SoftDedup reweighting signal (He et al. 2024, ops/softdedup.py):
     per-doc data commonness = mean ln(df/N) over the doc's distinct
@@ -2417,6 +2447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_consensus_ref": _q_cluster_consensus_ref,
         "dsir_logratios": _q_dsir_logratios,
         "soft_dedup_commonness": _q_soft_dedup_commonness,
+        "within_doc_line_collapse": _q_within_doc_line_collapse,
         "cluster_safe_split": _q_cluster_safe_split,
         "text_quality_profile": _q_text_quality_profile,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -2901,6 +2932,25 @@ def oracle_sql() -> dict[str, str]:
             + split_sql_case("printf('doc-%08d', cid)",
                              {"train": 0.8, "val": 0.1, "test": 0.1}, 42)
             + " AS split FROM scored"
+        ),
+        "within_doc_line_collapse": (
+            "WITH aug AS (SELECT doc_id, "
+            "'head ' || lang || chr(10) || coalesce(text, '') || "
+            "(CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'head ' || lang "
+            "ELSE '' END) || "
+            "(CASE WHEN doc_id % 5 = 0 THEN chr(10) || coalesce(text, '') "
+            "ELSE '' END) AS t FROM documents), "
+            "sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug), "
+            "l AS (SELECT doc_id, unnest([{'ln': i, 'line': ls[i]} "
+            "FOR i IN generate_series(1, len(ls))]) AS s FROM sp), "
+            "e AS (SELECT doc_id, s.ln AS ln, s.line AS line FROM l), "
+            "k AS (SELECT doc_id, ln, line, "
+            "min(ln) OVER (PARTITION BY doc_id, line) AS f FROM e) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(count(*) - count(DISTINCT line) AS BIGINT) AS n_collapsed, "
+            "coalesce(string_agg(line, chr(10) ORDER BY ln) "
+            "FILTER (WHERE ln = f), '') AS clean_text "
+            "FROM k GROUP BY doc_id"
         ),
         "soft_dedup_commonness": (
             "WITH tok AS (SELECT doc_id, "

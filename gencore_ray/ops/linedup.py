@@ -155,3 +155,47 @@ def line_dedup(
         })
 
     return joined.map_batches(_rebuild, batch_format="pandas")
+
+
+def collapse_repeated_lines(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """WITHIN-document repeated-line collapse: keep the FIRST
+    occurrence of every line inside each doc, drop later repeats,
+    preserve order.  The in-page complement of the cross-doc
+    ``line_dedup`` above — crawler artifacts repeat nav menus /
+    banners inside a single page, and Gopher's dup_lines SIGNAL
+    (ops/textstats.py) flags them; this op is the corresponding
+    TRANSFORM.
+
+    A pure per-row ``map_batches`` — no exchange, no state: the
+    cheapest possible scale shape (the 100 TB cost is exactly one
+    streaming pass).  Output: (id, n_lines, n_collapsed, clean_text).
+
+    gencore analogue: the within-cluster duplicate drop before
+    consensus emission (/root/reference/src/gencore.cpp:319-389) —
+    here the cluster is a single document's line multiset.
+    """
+
+    def _collapse(df: pd.DataFrame) -> pd.DataFrame:
+        n_lines = np.empty(len(df), dtype=np.int64)
+        n_collapsed = np.empty(len(df), dtype=np.int64)
+        out_text: list[str] = []
+        for i, t in enumerate(df[text_col].fillna("").tolist()):
+            lines = t.split("\n")
+            # dict.fromkeys: first-occurrence order-preserving distinct
+            kept = list(dict.fromkeys(lines))
+            n_lines[i] = len(lines)
+            n_collapsed[i] = len(lines) - len(kept)
+            out_text.append("\n".join(kept))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_lines": n_lines,
+            "n_collapsed": n_collapsed,
+            "clean_text": out_text,
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _collapse, batch_format="pandas")

@@ -692,3 +692,30 @@ def test_domain_cap_top_k_per_group(ray_session):
         "http://a.example/p2", "http://a.example/p5",
         "http://a.example/p1", "http://a.example/p4",
         "http://a.example/p0"]
+
+
+def test_collapse_repeated_lines_first_occurrence_order(ray_session):
+    """Within-doc line collapse: later repeats drop, first occurrence
+    and inter-line order survive, blank-line runs collapse to one."""
+    import pandas as pd
+
+    from gencore_ray.ops.linedup import collapse_repeated_lines
+
+    docs = pd.DataFrame([
+        {"doc_id": 0, "text": "nav\nbody one\nnav\nbody two\nnav"},
+        {"doc_id": 1, "text": "only line"},
+        {"doc_id": 2, "text": "a\n\nb\n\na\nb"},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": None},
+    ])
+    out = collapse_repeated_lines(rd.from_pandas(docs)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "clean_text"] == "nav\nbody one\nbody two"
+    assert int(out.loc[0, "n_lines"]) == 5
+    assert int(out.loc[0, "n_collapsed"]) == 2
+    assert out.loc[1, "clean_text"] == "only line"
+    assert int(out.loc[1, "n_collapsed"]) == 0
+    assert out.loc[2, "clean_text"] == "a\n\nb"   # '' dedups like any line
+    assert int(out.loc[2, "n_collapsed"]) == 3
+    assert out.loc[3, "clean_text"] == "" and int(out.loc[3, "n_lines"]) == 1
+    assert out.loc[4, "clean_text"] == ""         # null -> empty doc
