@@ -767,6 +767,52 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return _round_cols(_canon_pairs(out), {"jaccard": 6})
 
 
+def _q_dup_pair_lang_matrix(sf_dir: str):
+    """Cross-slice duplication monitor: verified near-dup pairs joined
+    to each side's language and aggregated into a symmetric
+    (lang_lo, lang_hi) pair-count matrix — which corpus slices
+    duplicate into which (mirror sites across locales show up as
+    off-diagonal mass).  Composition: the memoized edge table
+    (_sig_edges) -> two slim int-keyed hash_joins against the
+    (doc_id, lang) projection -> one tiny grouped aggregate; langs are
+    canonically ordered so pair orientation cancels."""
+    from gencore_ray.ops.relational import grouped_aggregate
+    from gencore_ray.stages.shuffle import hash_join
+
+    edges, cfg = _sig_edges(sf_dir)
+    dup = edges.filter(
+        expr=f"jaccard >= {cfg.jaccard_threshold}"
+    ).select_columns(["url_a", "url_b"])
+
+    def parse_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ia": df["url_a"].str[4:].astype(np.int64),
+            "ib": df["url_b"].str[4:].astype(np.int64),
+        })
+
+    pairs = dup.map_batches(parse_ids, batch_format="pandas")
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang"])
+
+    def side(name: str):
+        def fn(df: pd.DataFrame, _n=name) -> pd.DataFrame:
+            return pd.DataFrame({f"d_{_n}": df["doc_id"].to_numpy(np.int64),
+                                 f"lang_{_n}": df["lang"]})
+        return docs.map_batches(fn, batch_format="pandas")
+
+    j = hash_join(pairs, side("a"), "ia", "d_a", num_parts=8)
+    j = hash_join(j, side("b"), "ib", "d_b", num_parts=8)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["lang_a"].to_numpy(dtype=object)
+        b = df["lang_b"].to_numpy(dtype=object)
+        return pd.DataFrame({"lang_lo": np.minimum(a, b),
+                             "lang_hi": np.maximum(a, b)})
+
+    return grouped_aggregate(
+        j.map_batches(canon, batch_format="pandas"),
+        ["lang_lo", "lang_hi"], [("n_pairs", None, "count")], num_parts=4)
+
+
 def _q_doc_quality_scores(sf_dir: str):
     from gencore_ray.ops.textstats import text_stats
 
@@ -2440,6 +2486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_dedup_sql": _q_pages_dedup_sql,
         "dedup_recall": _q_dedup_recall,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "dup_pair_lang_matrix": _q_dup_pair_lang_matrix,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "containment_pairs": _q_containment_pairs,
         "cluster_size_histogram": _q_cluster_size_histogram,
@@ -2859,6 +2906,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT printf('doc-%08d', ia) AS url_a, "
             "printf('doc-%08d', ib) AS url_b, round(jac, 6) AS jaccard "
             "FROM met WHERE jac >= 0.7"
+        ),
+        "dup_pair_lang_matrix": (
+            "WITH " + _SHINGLE_CTE + ", "
+            "p AS (SELECT ia, ib FROM met WHERE jac >= 0.7), "
+            "lp AS (SELECT least(da.lang, db.lang) AS lang_lo, "
+            "greatest(da.lang, db.lang) AS lang_hi "
+            "FROM p JOIN documents da ON da.doc_id = p.ia "
+            "JOIN documents db ON db.doc_id = p.ib) "
+            "SELECT lang_lo, lang_hi, CAST(count(*) AS BIGINT) AS n_pairs "
+            "FROM lp GROUP BY lang_lo, lang_hi"
         ),
         "containment_pairs": (
             "WITH " + _SHINGLE_CTE + " "
